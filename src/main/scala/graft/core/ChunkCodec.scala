@@ -1,0 +1,341 @@
+package graft.core
+
+import scala.collection.mutable.ArrayBuffer
+
+/** One encoded column chunk: a self-describing blob plus lineage metrics. */
+final case class EncodedChunk(
+    blob: Array[Byte],
+    codecId: Int,
+    numValues: Int,
+    rawSize: Long,
+    encodedSize: Long,
+    /** exact size of the reference write policy (dict until the 1 MiB dict
+      * page limit, then PLAIN) — the ceiling our selector must not exceed */
+    refPolicySize: Long,
+    dictEntries: Int) {
+  def codecName: String = CodecId.names(codecId)
+}
+
+/** Column chunk writer/reader.
+  *
+  * Mirrors the reference's chunk write behavior
+  * (`/root/reference/src/column/writer.rs:198-416` +
+  * `/root/reference/src/file/properties.rs:56-65`): values are processed in
+  * 1024-value mini-batches, data pages cut at a 1 MiB encoded-size estimate,
+  * dictionary encoding is tried first and falls back (here: to PLAIN, the
+  * v1 default) once the dictionary exceeds 1 MiB — but generalizes encoder
+  * selection: a stats-driven selector picks the cheapest codec per chunk and
+  * the reference policy is kept as the never-exceed ceiling.
+  *
+  * Chunk blob layout (our own container; we re-create the encoding layer,
+  * not the Parquet file format):
+  * {{{
+  * 'G' 'C' u8(version=1) u8(physicalType) u8(primaryCodec)
+  * vlq(numValues)
+  * u8(hasDict) [vlq(dictEntries) vlq(dictByteLen) dictBytes(PLAIN uniques)]
+  * vlq(numPages) { u8(pageCodec) vlq(pageValues) vlq(pageByteLen) bytes }*
+  * }}}
+  */
+object ChunkCodec {
+  val DataPageSizeLimit: Long = 1L << 20
+  val DictPageSizeLimit: Long = 1L << 20
+  val MiniBatch = 1024
+
+  // ---------------------------------------------------------------- slicing
+
+  private def slice(vec: ColVec, from: Int, until: Int): ColVec = vec match {
+    case BoolVec(v) => BoolVec(java.util.Arrays.copyOfRange(v, from, until))
+    case IntVec(v) => IntVec(java.util.Arrays.copyOfRange(v, from, until))
+    case LongVec(v) => LongVec(java.util.Arrays.copyOfRange(v, from, until))
+    case FloatVec(v) => FloatVec(java.util.Arrays.copyOfRange(v, from, until))
+    case DoubleVec(v) => DoubleVec(java.util.Arrays.copyOfRange(v, from, until))
+    case BytesVec(v) => BytesVec(java.util.Arrays.copyOfRange(v, from, until))
+  }
+
+  private def rawSizeOf(vec: ColVec, i: Int): Long = vec match {
+    case BytesVec(v) => 4L + v(i).length
+    case BoolVec(_) => 1L // page-cut accounting only
+    case IntVec(_) | FloatVec(_) => 4L
+    case _ => 8L
+  }
+
+  def concat(parts: Seq[ColVec]): ColVec = parts.head match {
+    case _: BoolVec => BoolVec(parts.flatMap(_.asInstanceOf[BoolVec].values).toArray)
+    case _: IntVec => IntVec(parts.flatMap(_.asInstanceOf[IntVec].values).toArray)
+    case _: LongVec => LongVec(parts.flatMap(_.asInstanceOf[LongVec].values).toArray)
+    case _: FloatVec => FloatVec(parts.flatMap(_.asInstanceOf[FloatVec].values).toArray)
+    case _: DoubleVec => DoubleVec(parts.flatMap(_.asInstanceOf[DoubleVec].values).toArray)
+    case _: BytesVec => BytesVec(parts.flatMap(_.asInstanceOf[BytesVec].values).toArray)
+  }
+
+  // ------------------------------------------------------------ page encode
+
+  private def encodePage(vec: ColVec, codecId: Int): Array[Byte] = codecId match {
+    case CodecId.Plain => PlainCodec.encode(vec)
+    case CodecId.RleBool => RleBoolCodec.encode(vec.asInstanceOf[BoolVec].values)
+    case CodecId.DeltaBinaryPacked => vec match {
+      case IntVec(v) =>
+        val e = new DeltaBinaryPackedEncoder(int32 = true); e.putInts(v, 0, v.length); e.result()
+      case LongVec(v) =>
+        val e = new DeltaBinaryPackedEncoder(int32 = false); e.put(v); e.result()
+      case other => throw new IllegalArgumentException(s"delta needs ints, got $other")
+    }
+    case CodecId.DeltaLengthByteArray =>
+      DeltaLengthByteArrayCodec.encode(vec.asInstanceOf[BytesVec].values)
+    case CodecId.DeltaByteArray =>
+      DeltaByteArrayCodec.encode(vec.asInstanceOf[BytesVec].values)
+    case CodecId.Fsst => FsstCodec.encode(vec.asInstanceOf[BytesVec].values)
+    case other => throw new IllegalArgumentException(s"not a page codec: $other")
+  }
+
+  private def decodePage(physicalType: Int, codecId: Int, buf: Array[Byte],
+      numValues: Int, dict: ColVec): ColVec = codecId match {
+    case CodecId.Plain => PlainCodec.decode(physicalType, buf, numValues)
+    case CodecId.RleBool => BoolVec(RleBoolCodec.decode(buf, numValues))
+    case CodecId.Dict =>
+      if (numValues == 0) emptyVec(physicalType)
+      else DictCodec.decodeIndices(dict, buf, numValues)
+    case CodecId.DeltaBinaryPacked =>
+      val longs = DeltaBinaryPackedDecoder.decode(buf, int32 = physicalType == PhysicalType.Int32)
+      if (physicalType == PhysicalType.Int32) IntVec(longs.map(_.toInt)) else LongVec(longs)
+    case CodecId.DeltaLengthByteArray => BytesVec(DeltaLengthByteArrayCodec.decode(buf))
+    case CodecId.DeltaByteArray => BytesVec(DeltaByteArrayCodec.decode(buf))
+    case CodecId.Fsst => BytesVec(FsstCodec.decode(buf))
+    case other => throw new IllegalArgumentException(s"unknown codec $other")
+  }
+
+  private final case class Page(codecId: Int, numValues: Int, bytes: Array[Byte])
+
+  /** Cut `vec` into pages at the 1 MiB raw-size estimate and encode each
+    * with `codecId` (non-dict codecs). */
+  private def encodePaged(vec: ColVec, codecId: Int): ArrayBuffer[Page] = {
+    val pages = ArrayBuffer.empty[Page]
+    val n = vec.length
+    var start = 0
+    var acc = 0L
+    var i = 0
+    while (i < n) {
+      acc += rawSizeOf(vec, i)
+      i += 1
+      if (acc >= DataPageSizeLimit || i == n) {
+        val part = if (start == 0 && i == n) vec else slice(vec, start, i)
+        pages += Page(codecId, i - start, encodePage(part, codecId))
+        start = i
+        acc = 0L
+      }
+    }
+    if (n == 0) pages += Page(codecId, 0, encodePage(vec, codecId))
+    pages
+  }
+
+  /** The reference write policy: dictionary-encode mini-batches until the
+    * dictionary page would exceed 1 MiB, then fall back to PLAIN for the
+    * rest of the chunk. Returns (dict | null, pages). */
+  private def encodeDictWithFallback(vec: ColVec):
+      (DictCodec.Encoder, ArrayBuffer[Page]) = {
+    val n = vec.length
+    val dict = new DictCodec.Encoder(vec.physicalType)
+    val pages = ArrayBuffer.empty[Page]
+    var i = 0
+    var fellBack = false
+    while (i < n && !fellBack) {
+      val until = math.min(i + MiniBatch, n)
+      dict.put(slice(vec, i, until))
+      i = until
+      if (dict.dictEncodedSize >= DictPageSizeLimit) {
+        // fallback: cut the buffered ids as the last dict page, rest is PLAIN
+        if (dict.numBufferedIndices > 0) {
+          val nv = dict.numBufferedIndices
+          pages += Page(CodecId.Dict, nv, dict.writeIndices())
+        }
+        fellBack = true
+      } else {
+        // data page cut at the 1 MiB estimate (worst-case id stream size)
+        val w = dict.bitWidth
+        val est = 1L + dict.numBufferedIndices.toLong * (w + 1) / 8 + 16
+        if (est >= DataPageSizeLimit) {
+          val nv = dict.numBufferedIndices
+          pages += Page(CodecId.Dict, nv, dict.writeIndices())
+        }
+      }
+    }
+    if (!fellBack) {
+      if (dict.numBufferedIndices > 0 || pages.isEmpty) {
+        val nv = dict.numBufferedIndices
+        pages += Page(CodecId.Dict, nv, dict.writeIndices())
+      }
+      (dict, pages)
+    } else {
+      if (i < n) pages ++= encodePaged(slice(vec, i, n), CodecId.Plain)
+      (dict, pages)
+    }
+  }
+
+  // ----------------------------------------------------------- chunk encode
+
+  private def assemble(vec: ColVec, primaryCodec: Int,
+      dict: DictCodec.Encoder, pages: ArrayBuffer[Page]): Array[Byte] = {
+    val w = new BitWriter(4096)
+    w.putAligned('G'.toLong, 1); w.putAligned('C'.toLong, 1)
+    w.putAligned(1L, 1)
+    w.putAligned(vec.physicalType.toLong, 1)
+    w.putAligned(primaryCodec.toLong, 1)
+    w.putVlq(vec.length.toLong)
+    if (dict != null && dict.numEntries > 0 && pages.exists(_.codecId == CodecId.Dict)) {
+      w.putAligned(1L, 1)
+      val dictBytes = dict.writeDict()
+      w.putVlq(dict.numEntries.toLong)
+      w.putVlq(dictBytes.length.toLong)
+      w.putBytes(dictBytes)
+    } else w.putAligned(0L, 1)
+    w.putVlq(pages.length.toLong)
+    pages.foreach { p =>
+      w.putAligned(p.codecId.toLong, 1)
+      w.putVlq(p.numValues.toLong)
+      w.putVlq(p.bytes.length.toLong)
+      w.putBytes(p.bytes)
+    }
+    w.result()
+  }
+
+  /** Encode with one specific codec (Dict means dict-with-PLAIN-fallback). */
+  def encodeWith(vec: ColVec, codecId: Int): Array[Byte] =
+    if (codecId == CodecId.Dict) {
+      val (dict, pages) = encodeDictWithFallback(vec)
+      assemble(vec, CodecId.Dict, dict, pages)
+    } else assemble(vec, codecId, null, encodePaged(vec, codecId))
+
+  /** The stats-driven auto-selector with the reference policy as ceiling. */
+  def encodeAuto(vec: ColVec, statsIn: ColumnStats = null): EncodedChunk = {
+    val stats = if (statsIn == null) ChunkStats.compute(vec) else statsIn
+    val refCodec = referencePolicyCodec(vec)
+    val refBlob = encodeWith(vec, refCodec)
+    val best = CodecSelector.choose(vec.physicalType, stats)
+    var chosenId = refCodec
+    var chosenBlob = refBlob
+    best.foreach { cand =>
+      if (cand != refCodec) {
+        val blob = encodeWith(vec, cand)
+        if (blob.length < chosenBlob.length) { chosenId = cand; chosenBlob = blob }
+      }
+    }
+    val dictEntries =
+      if (chosenId == CodecId.Dict && !stats.distinctCapped) stats.distinct else 0
+    EncodedChunk(chosenBlob, chosenId, vec.length, vec.rawSize,
+      chosenBlob.length.toLong, refBlob.length.toLong, dictEntries)
+  }
+
+  /** The reference's default v1 writer policy: dict for every type except
+    * BOOLEAN (`/root/reference/src/column/writer.rs:140-149,748-750`),
+    * PLAIN otherwise. */
+  def referencePolicyCodec(vec: ColVec): Int = vec match {
+    case _: BoolVec => CodecId.Plain
+    case _ => CodecId.Dict
+  }
+
+  // ----------------------------------------------------------- chunk decode
+
+  def decode(blob: Array[Byte]): ColVec = {
+    val r = new BitReader(blob)
+    require(r.getAligned(1) == 'G'.toLong && r.getAligned(1) == 'C'.toLong,
+      "bad chunk magic")
+    require(r.getAligned(1) == 1L, "bad chunk version")
+    val physicalType = r.getAligned(1).toInt
+    r.getAligned(1) // primary codec (informational)
+    val numValues = r.getVlq().toInt
+    val hasDict = r.getAligned(1) == 1L
+    var dict: ColVec = null
+    if (hasDict) {
+      val entries = r.getVlq().toInt
+      val len = r.getVlq().toInt
+      val bytes = r.getBytes(len)
+      dict = PlainCodec.decode(physicalType, bytes, entries)
+    }
+    val numPages = r.getVlq().toInt
+    val parts = new ArrayBuffer[ColVec](numPages)
+    var p = 0
+    while (p < numPages) {
+      val codec = r.getAligned(1).toInt
+      val nv = r.getVlq().toInt
+      val len = r.getVlq().toInt
+      val bytes = r.getBytes(len)
+      parts += decodePage(physicalType, codec, bytes, nv, dict)
+      p += 1
+    }
+    val out = if (parts.isEmpty) emptyVec(physicalType) else concat(parts.toSeq)
+    require(out.length == numValues, s"chunk decode: ${out.length} != $numValues")
+    out
+  }
+
+  private def emptyVec(physicalType: Int): ColVec = physicalType match {
+    case PhysicalType.Bool => BoolVec(Array.empty)
+    case PhysicalType.Int32 => IntVec(Array.empty)
+    case PhysicalType.Int64 => LongVec(Array.empty)
+    case PhysicalType.Float => FloatVec(Array.empty)
+    case PhysicalType.Double => DoubleVec(Array.empty)
+    case PhysicalType.Bytes => BytesVec(Array.empty)
+  }
+}
+
+/** Stats-driven codec ranking ("sample column statistics … to pick the
+  * cheapest encoding per column chunk" — the north star's generalization of
+  * the reference's dict-size-only trigger). Returns candidate codec ids in
+  * preference order; the caller measures actual bytes and keeps the
+  * reference policy as ceiling. */
+object CodecSelector {
+  def choose(physicalType: Int, s: ColumnStats): Seq[Int] = {
+    val n = s.numValues.toDouble
+    physicalType match {
+      case PhysicalType.Bool =>
+        val estRle = s.runs * 3 + 8
+        val estPlain = (s.numValues + 7) / 8
+        if (estRle < estPlain) Seq(CodecId.RleBool) else Seq(CodecId.Plain)
+
+      case PhysicalType.Int32 | PhysicalType.Int64 =>
+        val w = BitUtil.dictBitWidth(s.distinct)
+        val estDict =
+          if (s.distinctCapped) Long.MaxValue
+          else s.distinctRawSize + (n * w / 8).toLong + (n / 512).toLong + 8
+        val range = s.maxValue - s.minValue // may overflow; treated as wide
+        val deltaBits =
+          if (range < 0) 64
+          else if (s.sortedness > 0.99) BitUtil.numRequiredBits(
+            math.max(1L, range / math.max(1L, s.numValues)) * 4)
+          else BitUtil.numRequiredBits(math.max(1L, range)) + 1
+        val estDelta = (n * math.min(deltaBits, 64) / 8).toLong + (n / 16).toLong + 16
+        val estPlain = s.rawSize
+        Seq((estDict, CodecId.Dict), (estDelta, CodecId.DeltaBinaryPacked),
+          (estPlain, CodecId.Plain)).sortBy(_._1).take(2).map(_._2)
+
+      case PhysicalType.Float | PhysicalType.Double =>
+        val w = BitUtil.dictBitWidth(s.distinct)
+        val estDict =
+          if (s.distinctCapped) Long.MaxValue
+          else s.distinctRawSize + (n * w / 8).toLong + (n / 512).toLong + 8
+        if (estDict < s.rawSize) Seq(CodecId.Dict) else Seq(CodecId.Plain)
+
+      case PhysicalType.Bytes =>
+        val avgLen = if (s.numValues == 0) 0.0 else s.rawSize / n - 4.0
+        val w = BitUtil.dictBitWidth(s.distinct)
+        val estDict =
+          if (s.distinctCapped || s.distinctRawSize >= ChunkCodec.DictPageSizeLimit)
+            Long.MaxValue
+          else {
+            val idsBitPacked = (n * w / 8).toLong
+            val idsRle = s.runs * (1 + (w + 7) / 8 + 1)
+            s.distinctRawSize + math.min(idsBitPacked, idsRle) + (n / 512).toLong + 8
+          }
+        val estDeltaByte =
+          (s.rawSize * (1.0 - s.avgPrefixShare)).toLong + (3 * s.numValues) + 32
+        val estDeltaLen = math.max(0L, s.rawSize - 2 * s.numValues) + 16
+        val estFsst =
+          if (s.entropyBitsPerByte < 6.8 && avgLen >= 12)
+            (s.rawSize * math.max(0.30, s.entropyBitsPerByte / 8.0 * 0.75)).toLong + 2048
+          else Long.MaxValue
+        val estPlain = s.rawSize
+        Seq((estDict, CodecId.Dict), (estDeltaByte, CodecId.DeltaByteArray),
+          (estFsst, CodecId.Fsst), (estDeltaLen, CodecId.DeltaLengthByteArray),
+          (estPlain, CodecId.Plain)).sortBy(_._1).take(2).map(_._2)
+    }
+  }
+}

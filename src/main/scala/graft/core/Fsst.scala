@@ -1,0 +1,246 @@
+package graft.core
+
+/** FSST-style string compression (extension codec required by the north
+  * rule; not present in the reference — design follows the published FSST
+  * idea: "FSST: Fast Random Access String Compression", Boncz, Neumann,
+  * Leis, VLDB 2018).
+  *
+  * A per-chunk symbol table of up to 255 symbols (1..8 bytes each) is
+  * trained on a sample; encoding greedily replaces the longest matching
+  * symbol with its 1-byte code. Byte 255 is the escape code: it is followed
+  * by one literal byte.
+  *
+  * Chunk stream layout (our own container — the reference pins no FSST
+  * format):
+  * {{{
+  * vlq(numSymbols) { u8 len, bytes }*   -- the symbol table
+  * vlq(numValues)
+  * DELTA_BINARY_PACKED(compressedLengths)
+  * concatenated compressed bytes
+  * }}}
+  */
+object FsstCodec {
+  private val Escape = 255
+  private val MaxSymbols = 255
+  private val MaxSymbolLen = 8
+
+  final class SymbolTable(val symbols: Array[Array[Byte]]) {
+    // index: first byte -> symbol codes sorted by length descending
+    private[FsstCodec] val byFirst: Array[Array[Int]] = {
+      val tmp = Array.fill(256)(List.empty[Int])
+      var c = 0
+      while (c < symbols.length) {
+        val b = symbols(c)(0) & 0xFF
+        tmp(b) = c :: tmp(b)
+        c += 1
+      }
+      tmp.map(_.sortBy(c => -symbols(c).length).toArray)
+    }
+  }
+
+  /** Train a symbol table on sample text via iterative pair merging: start
+    * from frequent single bytes, repeatedly count adjacent (symbol, symbol)
+    * concatenations under the current table and keep the highest-gain 255. */
+  def train(sample: Array[Byte], iterations: Int = 4): SymbolTable = {
+    if (sample.isEmpty) return new SymbolTable(Array.empty)
+    // iteration 0: frequent single bytes
+    val byteCount = new Array[Long](256)
+    var i = 0
+    while (i < sample.length) { byteCount(sample(i) & 0xFF) += 1; i += 1 }
+    var table = new SymbolTable(
+      (0 until 256).filter(byteCount(_) > 0)
+        .sortBy(b => -byteCount(b))
+        .take(MaxSymbols)
+        .map(b => Array(b.toByte))
+        .toArray)
+
+    var it = 0
+    while (it < iterations) {
+      // encode the sample with the current table, counting symbol usage and
+      // adjacent-pair concatenations
+      val gain = scala.collection.mutable.HashMap.empty[String, Long] // latin-1 keyed bytes
+      def keyOf(a: Array[Byte], from: Int, len: Int): String =
+        new String(a, from, len, java.nio.charset.StandardCharsets.ISO_8859_1)
+      def bump(k: String, v: Long): Unit = gain.update(k, gain.getOrElse(k, 0L) + v)
+      var pos = 0
+      var prevStart = -1
+      var prevLen = 0
+      while (pos < sample.length) {
+        val len = matchLen(table, sample, pos)
+        val symLen = math.max(len, 1)
+        // gain of keeping this symbol: bytes covered per 1 code byte
+        bump(keyOf(sample, pos, symLen), symLen.toLong)
+        // candidate: concat of previous symbol and this one (≤ 8 bytes)
+        if (prevStart >= 0 && prevLen + symLen <= MaxSymbolLen) {
+          bump(keyOf(sample, prevStart, prevLen + symLen), (prevLen + symLen - 1).toLong)
+        }
+        prevStart = pos
+        prevLen = symLen
+        pos += symLen
+      }
+      // deterministic: sort by gain desc, then key, and keep the top 255
+      val top = gain.toSeq.sortBy { case (k, g) => (-g, k) }.take(MaxSymbols)
+      table = new SymbolTable(top.map { case (k, _) =>
+        k.getBytes(java.nio.charset.StandardCharsets.ISO_8859_1)
+      }.toArray)
+      it += 1
+    }
+    table
+  }
+
+  @inline private def matchLen(t: SymbolTable, a: Array[Byte], pos: Int): Int = {
+    val cands = t.byFirst(a(pos) & 0xFF)
+    var ci = 0
+    while (ci < cands.length) {
+      val s = t.symbols(cands(ci))
+      if (pos + s.length <= a.length) {
+        var k = 0
+        var ok = true
+        while (ok && k < s.length) { ok = s(k) == a(pos + k); k += 1 }
+        if (ok) return s.length
+      }
+      ci += 1
+    }
+    0
+  }
+
+  @inline private def matchCode(t: SymbolTable, a: Array[Byte], pos: Int): Int = {
+    val cands = t.byFirst(a(pos) & 0xFF)
+    var ci = 0
+    while (ci < cands.length) {
+      val code = cands(ci)
+      val s = t.symbols(code)
+      if (pos + s.length <= a.length) {
+        var k = 0
+        var ok = true
+        while (ok && k < s.length) { ok = s(k) == a(pos + k); k += 1 }
+        if (ok) return code
+      }
+      ci += 1
+    }
+    -1
+  }
+
+  private def compressOne(t: SymbolTable, a: Array[Byte]): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream(a.length / 2 + 8)
+    var pos = 0
+    while (pos < a.length) {
+      val code = matchCode(t, a, pos)
+      if (code >= 0) {
+        out.write(code)
+        pos += t.symbols(code).length
+      } else {
+        out.write(Escape)
+        out.write(a(pos) & 0xFF)
+        pos += 1
+      }
+    }
+    out.toByteArray
+  }
+
+  def encode(values: Array[Array[Byte]], sampleBytes: Int = 1 << 14): Array[Byte] = {
+    // deterministic sample: prefix of the concatenated values
+    val sample = new java.io.ByteArrayOutputStream(math.min(sampleBytes, 1 << 14))
+    var i = 0
+    while (i < values.length && sample.size < sampleBytes) {
+      val v = values(i)
+      sample.write(v, 0, math.min(v.length, sampleBytes - sample.size))
+      i += 1
+    }
+    val table = train(sample.toByteArray)
+    val w = new BitWriter(1024)
+    w.putVlq(table.symbols.length.toLong)
+    i = 0
+    while (i < table.symbols.length) {
+      w.putAligned(table.symbols(i).length.toLong, 1)
+      w.putBytes(table.symbols(i))
+      i += 1
+    }
+    w.putVlq(values.length.toLong)
+    val compressed = new Array[Array[Byte]](values.length)
+    val lens = new Array[Long](values.length)
+    i = 0
+    while (i < values.length) {
+      compressed(i) = compressOne(table, values(i))
+      lens(i) = compressed(i).length.toLong
+      i += 1
+    }
+    val lenEnc = new DeltaBinaryPackedEncoder(int32 = true)
+    lenEnc.put(lens)
+    w.putBytes(lenEnc.result())
+    i = 0
+    while (i < values.length) { w.putBytes(compressed(i)); i += 1 }
+    w.result()
+  }
+
+  def decode(buf: Array[Byte]): Array[Array[Byte]] = {
+    val r = new BitReader(buf)
+    val nSyms = r.getVlq().toInt
+    val symbols = new Array[Array[Byte]](nSyms)
+    var i = 0
+    while (i < nSyms) {
+      val len = (r.getAligned(1) & 0xFF).toInt
+      symbols(i) = r.getBytes(len)
+      i += 1
+    }
+    val nValues = r.getVlq().toInt
+    // decode the length stream, then slice the compressed bytes
+    val lensStart = r.position
+    val lens = DeltaBinaryPackedDecoder
+      .decode(java.util.Arrays.copyOfRange(buf, lensStart, buf.length), int32 = true)
+    // advance the reader past the length stream
+    skipDeltaStream(r)
+    val out = new Array[Array[Byte]](nValues)
+    var pos = r.position
+    i = 0
+    while (i < nValues) {
+      val clen = lens(i).toInt
+      out(i) = decompressOne(symbols, buf, pos, clen)
+      pos += clen
+      i += 1
+    }
+    out
+  }
+
+  private def skipDeltaStream(r: BitReader): Unit = {
+    val blockSize = r.getVlq().toInt
+    val numMiniBlocks = r.getVlq().toInt
+    val total = r.getVlq().toInt
+    r.getZigZagVlq()
+    val miniBlockSize = blockSize / numMiniBlocks
+    var produced = if (total == 0) 0 else 1
+    while (produced < total) {
+      r.getZigZagVlq()
+      val widths = new Array[Int](numMiniBlocks)
+      var i = 0
+      while (i < numMiniBlocks) { widths(i) = (r.getAligned(1) & 0xFF).toInt; i += 1 }
+      var mb = 0
+      while (mb < numMiniBlocks && produced < total) {
+        var j = 0
+        while (j < miniBlockSize) { r.getValue(widths(mb)); j += 1 }
+        produced += math.min(miniBlockSize, total - produced)
+        mb += 1
+      }
+    }
+    r.alignToByte()
+  }
+
+  private def decompressOne(symbols: Array[Array[Byte]], buf: Array[Byte],
+      off: Int, len: Int): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream(len * 2 + 8)
+    var pos = off
+    val end = off + len
+    while (pos < end) {
+      val code = buf(pos) & 0xFF
+      if (code == Escape) {
+        out.write(buf(pos + 1) & 0xFF)
+        pos += 2
+      } else {
+        val s = symbols(code)
+        out.write(s, 0, s.length)
+        pos += 1
+      }
+    }
+    out.toByteArray
+  }
+}

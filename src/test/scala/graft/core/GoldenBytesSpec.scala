@@ -1,0 +1,101 @@
+package graft.core
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Golden byte vectors lifted from the reference's own unit tests — these
+  * pin bit-identity of the hybrid kernel (see FIXTURES.md §2;
+  * /root/reference/src/encodings/rle.rs:524-623,667-721). */
+class GoldenBytesSpec extends AnyFunSuite {
+
+  test("rle-runs: 50 zeros then 50 ones -> [0x64,0x00,0x64,0x01] for widths 1..8") {
+    for (width <- 1 to 8) {
+      val e = new RleHybridEncoder(width)
+      (0 until 50).foreach(_ => e.put(0L))
+      (0 until 50).foreach(_ => e.put(1L))
+      assert(e.result().toSeq == Seq(0x64, 0x00, 0x64, 0x01).map(_.toByte),
+        s"width $width")
+    }
+  }
+
+  test("rle-bitpacked: alternating 0/1 x101 width 1 -> indicator 27, 12x0xAA, 0x0A") {
+    val e = new RleHybridEncoder(1)
+    (0 until 101).foreach(i => e.put((i % 2).toLong))
+    val expected = (Seq(27) ++ Seq.fill(12)(0xAA) ++ Seq(0x0A)).map(_.toByte)
+    assert(e.result().toSeq == expected)
+  }
+
+  test("rle-decode-int32: [0x03,0x88,0xC6,0xFA] width 3 -> 0..7") {
+    val buf = Array(0x03, 0x88, 0xC6, 0xFA).map(_.toByte)
+    val d = new RleHybridDecoder(3, buf)
+    val out = new Array[Long](8)
+    assert(d.get(out, 0, 8) == 8)
+    assert(out.toSeq == (0L to 7L))
+  }
+
+  test("rle-decode-bool: [0x64,0x01,0x64,0x00] -> 50 true then 50 false") {
+    val buf = Array(0x64, 0x01, 0x64, 0x00).map(_.toByte)
+    val d = new RleHybridDecoder(1, buf)
+    val out = new Array[Long](100)
+    assert(d.get(out, 0, 100) == 100)
+    assert(out.take(50).forall(_ == 1L) && out.drop(50).forall(_ == 0L))
+  }
+
+  test("dict-rle-indices decode: [0x06,0x00,0x08,0x01,0x0A,0x02] width 3") {
+    val buf = Array(0x06, 0x00, 0x08, 0x01, 0x0A, 0x02).map(_.toByte)
+    val d = new RleHybridDecoder(3, buf)
+    val out = new Array[Long](12)
+    assert(d.get(out, 0, 12) == 12)
+    assert(out.toSeq == Seq.fill(3)(0L) ++ Seq.fill(4)(1L) ++ Seq.fill(5)(2L))
+  }
+
+  test("dict-encoded-size: 5 distinct i32 -> 20 bytes; 'abcd','efj' -> 15") {
+    val di = new DictCodec.Encoder(PhysicalType.Int32)
+    di.put(IntVec(Array(1, 2, 3, 4, 5, 1, 2)))
+    assert(di.dictEncodedSize == 20L)
+    val ds = new DictCodec.Encoder(PhysicalType.Bytes)
+    ds.put(BytesVec(Array("abcd".getBytes, "efj".getBytes, "abcd".getBytes)))
+    assert(ds.dictEncodedSize == (4 + 4) + (4 + 3))
+  }
+
+  test("dict bit width rule: 0->0, 1->1, 2->1, 3->2, 4->2, 5->3, 1024->10") {
+    assert(BitUtil.dictBitWidth(0) == 0)
+    assert(BitUtil.dictBitWidth(1) == 1)
+    assert(BitUtil.dictBitWidth(2) == 1)
+    assert(BitUtil.dictBitWidth(3) == 2)
+    assert(BitUtil.dictBitWidth(4) == 2)
+    assert(BitUtil.dictBitWidth(5) == 3)
+    assert(BitUtil.dictBitWidth(1024) == 10)
+  }
+
+  test("delta-byte-array encoder state resets across flushes (reference issue 47)") {
+    val e = new DeltaByteArrayEncoder
+    e.put(Array("aa".getBytes, "aaa".getBytes))
+    val first = e.result()
+    assert(DeltaByteArrayCodec.decode(first).map(new String(_)).toSeq == Seq("aa", "aaa"))
+    e.put(Array("aa".getBytes, "aaa".getBytes))
+    val second = e.result()
+    assert(second.toSeq == first.toSeq, "state must reset at flush")
+  }
+
+  test("vlq and zigzag round-trip known encodings") {
+    val w = new BitWriter()
+    w.putVlq(300L) // 0xAC 0x02
+    assert(w.result().toSeq == Seq(0xAC, 0x02).map(_.toByte))
+    val w2 = new BitWriter()
+    w2.putZigZagVlq(-1L) // zigzag(-1) = 1
+    assert(w2.result().toSeq == Seq(0x01).map(_.toByte))
+    val w3 = new BitWriter()
+    w3.putZigZagVlq(1L) // zigzag(1) = 2
+    assert(w3.result().toSeq == Seq(0x02).map(_.toByte))
+  }
+
+  test("plain byte-array layout: u32 LE length prefix + bytes") {
+    val enc = PlainCodec.encode(BytesVec(Array("hi".getBytes)))
+    assert(enc.toSeq == Seq(2, 0, 0, 0, 'h'.toInt, 'i'.toInt).map(_.toByte))
+  }
+
+  test("plain bool layout: LSB-first bit packing") {
+    val enc = PlainCodec.encode(BoolVec(Array(true, false, true, true)))
+    assert(enc.length == 1 && enc(0) == 0x0D.toByte) // 0b1101
+  }
+}
