@@ -1,13 +1,263 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.core.CodecId
+import graft.functions.TextOps
+import graft.operators._
+import graft.sources.CodeTableGen
+
+/** Driver contract — see /root/repo/SURVEY.md §7 + BASELINE.json.
+  *
+  * Every `queries` entry runs the named operator end-to-end at `sfDir`
+  * scale; entries with an `oracleSql` twin are value-checked against DuckDB
+  * on the same parquet tables. The codec roundtrip queries push the data
+  * through the full encode -> decode pipeline first, so the oracle equality
+  * IS the bit-identity gate.
+  */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
-  def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+
+  private def docs(s: SparkSession, dir: String): DataFrame =
+    s.read.parquet(s"$dir/documents.parquet")
+  private def lineitem(s: SparkSession, dir: String): DataFrame =
+    s.read.parquet(s"$dir/lineitem.parquet")
+  private def events(s: SparkSession, dir: String): DataFrame =
+    s.read.parquet(s"$dir/events.parquet")
+  private def embeddings(s: SparkSession, dir: String): DataFrame =
+    s.read.parquet(s"$dir/embeddings.parquet")
+
+  /** Flagship: synthesize the north-rule code table, encode every column
+    * with the auto-selector, return the per-partition lineage. */
+  def entry(spark: SparkSession): DataFrame = {
+    val code = CodeTableGen.generate(spark, numRows = 2000L, numPartitions = 4)
+      .toDF()
+      .withColumn("content_len", octet_length(col("content")))
+      .withColumn("line_count", TextOps.lineCount(col("content")).cast("int"))
+    val chunks = EncodeJob.encode(code, numPartitions = 8,
+      partitionKeys = Seq("repo", "lang"), sortKeys = Seq("repo", "path", "commit"))
+    EncodeJob.lineage(chunks).toDF()
+  }
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // ---- codec roundtrips (encode -> decode -> aggregate; oracle-checked)
+    "q_rt_dict_lang" -> ((s, dir) => {
+      val in = docs(s, dir).select("doc_id", "lang")
+      Roundtrip.through(in, sortKeys = Seq("doc_id"),
+          forced = Map("lang" -> CodecId.Dict))
+        .groupBy("lang").agg(count(lit(1)).as("cnt"))
+        .orderBy("lang")
+    }),
+    "q_rt_plain_text" -> ((s, dir) => {
+      val in = docs(s, dir).select("doc_id", "text")
+      Roundtrip.through(in, sortKeys = Seq("doc_id"),
+          forced = Map("text" -> CodecId.Plain))
+        .select(col("doc_id"), length(col("text")).cast("long").as("n"))
+        .orderBy("doc_id")
+    }),
+    "q_rt_fsst_text" -> ((s, dir) => {
+      val in = docs(s, dir).select("doc_id", "lang", "text")
+      Roundtrip.through(in, sortKeys = Seq("doc_id"),
+          forced = Map("text" -> CodecId.Fsst))
+        .groupBy("lang").agg(sum(length(col("text"))).as("total_chars"))
+        .orderBy("lang")
+    }),
+    "q_rt_delta_orderkey" -> ((s, dir) => {
+      val in = lineitem(s, dir).select("l_orderkey", "l_linenumber")
+      Roundtrip.through(in, sortKeys = Seq("l_orderkey", "l_linenumber"),
+          forced = Map("l_orderkey" -> CodecId.DeltaBinaryPacked,
+            "l_linenumber" -> CodecId.DeltaBinaryPacked))
+        .agg(count(lit(1)).as("n"), min(col("l_orderkey")).as("mn"),
+          max(col("l_orderkey")).as("mx"), sum(col("l_orderkey")).as("s"),
+          sum(col("l_linenumber").cast("long")).as("sl"))
+    }),
+    "q_rt_deltabyte_source" -> ((s, dir) => {
+      val in = docs(s, dir).select("doc_id", "source")
+      Roundtrip.through(in, sortKeys = Seq("source", "doc_id"),
+          forced = Map("source" -> CodecId.DeltaByteArray))
+        .groupBy("source").agg(count(lit(1)).as("cnt"))
+        .orderBy("source")
+    }),
+    "q_rt_deltalen_text" -> ((s, dir) => {
+      val in = docs(s, dir).select("doc_id", "text")
+      Roundtrip.through(in, sortKeys = Seq("doc_id"),
+          forced = Map("text" -> CodecId.DeltaLengthByteArray))
+        .agg(sum(octet_length(col("text"))).as("total_bytes"),
+          count(lit(1)).as("n"))
+    }),
+    "q_rt_rle_flag" -> ((s, dir) => {
+      val in = lineitem(s, dir)
+        .select(col("l_orderkey"), (col("l_quantity") >= 25).as("flag"))
+      Roundtrip.through(in, sortKeys = Seq("flag", "l_orderkey"),
+          forced = Map("flag" -> CodecId.RleBool))
+        .groupBy("flag").agg(count(lit(1)).as("cnt"))
+        .orderBy("flag")
+    }),
+    "q_rt_auto_docs" -> ((s, dir) => {
+      Roundtrip.through(docs(s, dir), sortKeys = Seq("doc_id"))
+        .agg(count(lit(1)).as("n"), countDistinct(col("doc_id")).as("nd"),
+          sum(col("n_chars")).as("sum_chars"))
+    }),
+    "q_rt_events_ts" -> ((s, dir) => {
+      val in = events(s, dir).select("event_id", "ts", "event_type", "user_id")
+      Roundtrip.through(in, sortKeys = Seq("event_id"))
+        .agg(count(lit(1)).as("n"), min(col("ts")).as("mn_ts"),
+          max(col("ts")).as("mx_ts"),
+          countDistinct(col("event_type")).as("ntypes"))
+    }),
+    // ---- encoder lineage + selector (oracle checks the byte accounting)
+    "q_enc_lineage_bytes" -> ((s, dir) => {
+      val chunks = EncodeJob.encode(docs(s, dir), numPartitions = 8,
+        partitionKeys = Seq("lang"), sortKeys = Seq("doc_id"))
+      EncodeJob.lineage(chunks).toDF()
+        .groupBy(col("column").as("col_name"))
+        .agg(sum(col("inputBytes")).as("input_bytes"))
+        .orderBy("col_name")
+    }),
+    "q_enc_ratio" -> ((s, dir) => {
+      val chunks = EncodeJob.encode(docs(s, dir), numPartitions = 8,
+        partitionKeys = Seq("lang"), sortKeys = Seq("doc_id"))
+      EncodeJob.lineage(chunks).toDF()
+        .groupBy(col("column").as("col_name"))
+        .agg(
+          concat_ws("+", array_sort(collect_set(col("codecs")))).as("codecs"),
+          sum(col("inputBytes")).as("input_bytes"),
+          sum(col("outputBytes")).as("output_bytes"),
+          sum(col("refPolicyBytes")).as("ref_policy_bytes"),
+          round(sum(col("outputBytes")) / sum(col("inputBytes")), 4).as("ratio"),
+          max((col("outputBytes") > col("refPolicyBytes")).cast("int"))
+            .as("exceeds_ceiling"))
+        .orderBy("col_name")
+    }),
+    "q_verify_roundtrip" -> ((s, dir) => {
+      val source = docs(s, dir)
+      val decoded = Roundtrip.through(source, sortKeys = Seq("doc_id"))
+      val (nSrc, nDec, bad) = Verifier.verify(source, decoded,
+        keyCols = Seq("doc_id"), contentCol = "text")
+      import s.implicits._
+      Seq((nSrc, nDec, bad)).toDF("rows_source", "rows_decoded", "mismatches")
+    }),
+    // ---- training-data pipeline operators
+    "q_dedup_exact" -> ((s, dir) => {
+      Dedup.exact(docs(s, dir), "text", "doc_id")
+        .groupBy("lang").agg(count(lit(1)).as("distinct_texts"))
+        .orderBy("lang")
+    }),
+    "q_token_count" -> ((s, dir) => {
+      docs(s, dir)
+        .groupBy("lang")
+        .agg(sum(TextOps.wsTokenCount(col("text"))).as("tokens"),
+          count(lit(1)).as("n"))
+        .orderBy("lang")
+    }),
+    "q_text_quality" -> ((s, dir) => {
+      val q = TextOps.qualitySignals(col("text"))
+      docs(s, dir)
+        .groupBy("source")
+        .agg(sum(q(0)).as("chars"), sum(q(2)).as("spaces"),
+          sum(q(3)).as("alphas"), sum(q(4)).as("digits"))
+        .orderBy("source")
+    }),
+    "q_lang_id" -> ((s, dir) => {
+      docs(s, dir)
+        .select(col("lang"), TextOps.langId(col("text")).as("predicted"))
+        .groupBy("lang", "predicted").agg(count(lit(1)).as("cnt"))
+        .orderBy("lang", "predicted")
+    }),
+    "q_fingerprint" -> ((s, dir) => {
+      docs(s, dir)
+        .groupBy("source")
+        .agg(countDistinct(TextOps.fingerprint(col("text"))).as("distinct_fp"))
+        .orderBy("source")
+    }),
+    "q_minhash_lsh" -> ((s, dir) => {
+      val pairs = Dedup.minhashLsh(docs(s, dir), "doc_id", "text",
+        numHashes = 32, bands = 8, threshold = 0.5)
+      pairs.agg(count(lit(1)).as("dup_pairs"),
+        coalesce(round(avg(col("estJaccard")), 3), lit(0.0)).as("avg_jaccard"))
+    }),
+    "q_simhash" -> ((s, dir) => {
+      val pairs = Dedup.simhashNearDups(docs(s, dir), "doc_id", "text", maxDist = 8)
+      pairs.agg(count(lit(1)).as("near_pairs"),
+        coalesce(min(col("dist")), lit(0)).as("min_dist"))
+    }),
+    "q_ngram_jaccard" -> ((s, dir) => {
+      val pairs = Dedup.ngramJaccardPairs(docs(s, dir), "doc_id", "text",
+        blockCols = Seq("lang"), n = 3, threshold = 0.2)
+      pairs.agg(count(lit(1)).as("sim_pairs"),
+        coalesce(round(max(col("jaccard")), 3), lit(0.0)).as("max_jaccard"))
+    }),
+    "q_ann_topk" -> ((s, dir) => {
+      Similarity.bruteForceTopK(embeddings(s, dir), "vec_id", "embedding", k = 3)
+        .select("query", "neighbor", "rank")
+        .orderBy("query", "rank")
+    }),
+    "q_ann_lsh" -> ((s, dir) => {
+      val lsh = Similarity.lshTopK(embeddings(s, dir), "vec_id", "embedding",
+        k = 3, planes = 6)
+      lsh.agg(count(lit(1)).as("pairs"),
+        countDistinct(col("query")).as("queries_covered"))
+    }),
+    "q_embed_neardup" -> ((s, dir) => {
+      val pairs = Dedup.embeddingNearDups(embeddings(s, dir), "vec_id",
+        "embedding", threshold = 0.9, planes = 8)
+      pairs.agg(count(lit(1)).as("near_pairs"))
+    }),
+    "q_multimodal_stub" -> ((s, dir) => {
+      val bin = docs(s, dir).select(col("doc_id"),
+        col("text").cast("binary").as("payload"))
+      Multimodal.extractFeatures(bin, "doc_id", "payload").toDF()
+        .agg(count(lit(1)).as("n"), sum(col("numBytes")).as("total_bytes"),
+          min(col("width")).as("min_w"), max(col("height")).as("max_h"))
+    }),
+  )
+
+  def oracleSql: Map[String, String] = Map(
+    "q_rt_dict_lang" ->
+      "SELECT lang, count(*) AS cnt FROM documents GROUP BY lang ORDER BY lang",
+    "q_rt_plain_text" ->
+      "SELECT doc_id, CAST(length(text) AS BIGINT) AS n FROM documents ORDER BY doc_id",
+    "q_rt_fsst_text" ->
+      "SELECT lang, CAST(sum(length(text)) AS BIGINT) AS total_chars FROM documents GROUP BY lang ORDER BY lang",
+    "q_rt_delta_orderkey" ->
+      "SELECT count(*) AS n, min(l_orderkey) AS mn, max(l_orderkey) AS mx, CAST(sum(l_orderkey) AS BIGINT) AS s, CAST(sum(l_linenumber) AS BIGINT) AS sl FROM lineitem",
+    "q_rt_deltabyte_source" ->
+      "SELECT source, count(*) AS cnt FROM documents GROUP BY source ORDER BY source",
+    "q_rt_deltalen_text" ->
+      "SELECT CAST(sum(strlen(text)) AS BIGINT) AS total_bytes, count(*) AS n FROM documents",
+    "q_rt_rle_flag" ->
+      "SELECT (l_quantity >= 25) AS flag, count(*) AS cnt FROM lineitem GROUP BY 1 ORDER BY 1",
+    "q_rt_auto_docs" ->
+      "SELECT count(*) AS n, count(DISTINCT doc_id) AS nd, CAST(sum(n_chars) AS BIGINT) AS sum_chars FROM documents",
+    "q_rt_events_ts" ->
+      "SELECT count(*) AS n, min(ts) AS mn_ts, max(ts) AS mx_ts, count(DISTINCT event_type) AS ntypes FROM events",
+    "q_enc_lineage_bytes" ->
+      ("SELECT 'doc_id' AS col_name, CAST(8*count(*) AS BIGINT) AS input_bytes FROM documents " +
+        "UNION ALL SELECT 'lang', CAST(sum(4 + strlen(lang)) AS BIGINT) FROM documents " +
+        "UNION ALL SELECT 'n_chars', CAST(8*count(*) AS BIGINT) FROM documents " +
+        "UNION ALL SELECT 'source', CAST(sum(4 + strlen(source)) AS BIGINT) FROM documents " +
+        "UNION ALL SELECT 'text', CAST(sum(4 + strlen(text)) AS BIGINT) FROM documents " +
+        "ORDER BY col_name"),
+    "q_verify_roundtrip" ->
+      "SELECT count(*) AS rows_source, count(*) AS rows_decoded, CAST(0 AS BIGINT) AS mismatches FROM documents",
+    "q_dedup_exact" ->
+      "SELECT lang, count(DISTINCT regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS distinct_texts FROM documents GROUP BY lang ORDER BY lang",
+    "q_token_count" ->
+      "SELECT lang, CAST(sum(CASE WHEN length(trim(text)) = 0 THEN 0 ELSE length(string_split_regex(trim(text), '\\s+')) END) AS BIGINT) AS tokens, count(*) AS n FROM documents GROUP BY lang ORDER BY lang",
+    "q_text_quality" ->
+      ("SELECT source, CAST(sum(length(text)) AS BIGINT) AS chars, " +
+        "CAST(sum(length(text) - length(regexp_replace(text, '\\s', '', 'g'))) AS BIGINT) AS spaces, " +
+        "CAST(sum(length(text) - length(regexp_replace(text, '[A-Za-z]', '', 'g'))) AS BIGINT) AS alphas, " +
+        "CAST(sum(length(text) - length(regexp_replace(text, '[0-9]', '', 'g'))) AS BIGINT) AS digits " +
+        "FROM documents GROUP BY source ORDER BY source"),
+    "q_fingerprint" ->
+      "SELECT source, count(DISTINCT regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS distinct_fp FROM documents GROUP BY source ORDER BY source",
+    "q_ann_topk" ->
+      ("WITH pairs AS (SELECT a.vec_id AS query, b.vec_id AS neighbor, " +
+        "list_cosine_similarity(a.embedding, b.embedding) AS c " +
+        "FROM embeddings a, embeddings b WHERE a.vec_id <> b.vec_id) " +
+        "SELECT query, neighbor, CAST(r AS INT) AS rank FROM " +
+        "(SELECT query, neighbor, row_number() OVER (PARTITION BY query ORDER BY c DESC, neighbor) AS r FROM pairs) " +
+        "WHERE r <= 3 ORDER BY query, rank"),
+  )
 }

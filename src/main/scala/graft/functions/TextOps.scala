@@ -1,0 +1,93 @@
+package graft.functions
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for a large-scale training-data pipeline. All
+  * built from codegen'd `org.apache.spark.sql.functions` (no UDFs), so they
+  * stay inside WholeStageCodegen and scale linearly with input. */
+object TextOps {
+
+  /** Whitespace + punctuation-aware token count (BPE-ish pre-tokenizer:
+    * words, numbers, or single non-space symbols). */
+  def tokenCount(text: Column): Column =
+    size(regexp_extract_all(text, lit("[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]"), lit(0)))
+      .cast("long")
+
+  /** Plain whitespace token count (matches a trivial SQL oracle exactly). */
+  def wsTokenCount(text: Column): Column = {
+    val trimmed = trim(text)
+    when(length(trimmed) === 0, lit(0L))
+      .otherwise(size(split(trimmed, "\\s+")).cast("long"))
+  }
+
+  def lineCount(text: Column): Column =
+    (size(split(text, "\n", -1)) - lit(1)).cast("long")
+
+  /** Integer quality signals (exactly reproducible in ANSI SQL): byte and
+    * char lengths, whitespace count, alpha count, digit count. */
+  def qualitySignals(text: Column): Seq[Column] = Seq(
+    length(text).cast("long").as("n_chars"),
+    octet_length(text).cast("long").as("n_bytes"),
+    (length(text) - length(regexp_replace(text, "\\s", ""))).cast("long").as("n_space"),
+    (length(text) - length(regexp_replace(text, "[A-Za-z]", ""))).cast("long").as("n_alpha"),
+    (length(text) - length(regexp_replace(text, "[0-9]", ""))).cast("long").as("n_digit"),
+  )
+
+  /** Heuristic quality score in [0,1]: penalizes extreme lengths, low alpha
+    * ratio, and high symbol density — a standard pretraining-corpus filter. */
+  def qualityScore(text: Column): Column = {
+    val n = length(text).cast("double")
+    val alpha = (length(text) - length(regexp_replace(text, "[A-Za-z]", ""))).cast("double")
+    val space = (length(text) - length(regexp_replace(text, "\\s", ""))).cast("double")
+    val alphaRatio = when(n > 0, alpha / n).otherwise(lit(0.0))
+    val spaceRatio = when(n > 0, space / n).otherwise(lit(0.0))
+    val lenScore = when(n < 20, n / 20.0).when(n > 20000, lit(0.5)).otherwise(lit(1.0))
+    round(least(lit(1.0), greatest(lit(0.0),
+      lenScore * (lit(0.5) + alphaRatio * 0.5) *
+        when(spaceRatio > 0.6, lit(0.3)).otherwise(lit(1.0)))), 4)
+  }
+
+  private val stopwords: Map[String, Seq[String]] = Map(
+    "en" -> Seq("the", "and", "of", "to", "in", "is", "that", "for", "with", "was"),
+    "de" -> Seq("der", "die", "das", "und", "ist", "nicht", "mit", "ein", "zu", "von"),
+    "fr" -> Seq("le", "la", "les", "et", "est", "pas", "pour", "que", "une", "dans"),
+    "es" -> Seq("el", "la", "los", "que", "de", "es", "en", "un", "por", "con"),
+    "it" -> Seq("il", "la", "che", "di", "e", "un", "per", "non", "sono", "con"),
+    "pt" -> Seq("o", "a", "que", "de", "e", "um", "para", "com", "os", "mais"),
+  )
+
+  /** N-gram/stopword-heuristic language ID: the language whose stopword set
+    * hits the most lowercase tokens wins; ties break lexicographically;
+    * no hits => "und" (undetermined). Pure built-ins, fully distributed. */
+  def langId(text: Column): Column = {
+    val tokens = split(lower(text), "\\W+")
+    val scored = stopwords.toSeq.sortBy(_._1).map { case (langCode, words) =>
+      struct(
+        size(filter(tokens, t => t.isin(words.map(lit(_)): _*))).as("hits"),
+        lit(langCode).as("lang"))
+    }
+    val best = greatest(scored: _*) // struct compare: hits first, then lang
+    when(best.getField("hits") > 0, best.getField("lang")).otherwise(lit("und"))
+  }
+
+  /** Deterministic 64-bit document fingerprint over normalized text
+    * (lowercased, whitespace-collapsed) — xxhash64, codegen'd. */
+  def fingerprint(text: Column): Column =
+    xxhash64(regexp_replace(lower(trim(text)), "\\s+", " "))
+
+  /** Character n-gram shingles (array column), the MinHash/Jaccard input. */
+  def charShingles(text: Column, n: Int): Column = {
+    val norm = regexp_replace(lower(text), "\\s+", " ")
+    val idx = sequence(lit(1), greatest(lit(1), length(norm) - lit(n - 1)))
+    array_distinct(transform(idx, i => norm.substr(i, lit(n))))
+  }
+
+  /** Word n-gram shingles. */
+  def wordShingles(text: Column, n: Int): Column = {
+    val toks = split(regexp_replace(lower(trim(text)), "\\s+", " "), " ")
+    val count = greatest(lit(1), size(toks) - lit(n - 1))
+    array_distinct(transform(sequence(lit(0), count - 1),
+      i => array_join(slice(toks, i + 1, lit(n)), " ")))
+  }
+}

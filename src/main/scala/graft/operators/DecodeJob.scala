@@ -1,0 +1,86 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, Dataset, Encoders, Row, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.core._
+
+/** Chunks -> rows (the reference's record-assembly layer re-expressed as a
+  * typed Dataset transformation; cf. `/root/reference/src/record/reader.rs`
+  * — columns of one (partId, chunkIdx) range zip back into rows). */
+object DecodeJob {
+
+  /** Decode chunk rows back into a DataFrame with the given flat schema.
+    * One shuffle: groupByKey on (partId, chunkIdx). */
+  def decode(chunks: Dataset[ChunkRow], schema: StructType): DataFrame = {
+    val spark = chunks.sparkSession
+    import spark.implicits._
+    val fields = schema.fields
+    val rowEnc = Encoders.row(schema)
+    chunks
+      .groupByKey(c => (c.partId, c.chunkIdx))
+      .flatMapGroups { (_, it) =>
+        val byCol = it.toArray.sortBy(_.colIdx)
+        require(byCol.length == fields.length,
+          s"expected ${fields.length} column chunks, got ${byCol.length}")
+        val vecs = byCol.map(c => ChunkCodec.decode(c.blob))
+        val n = vecs.head.length
+        val cols: Array[Int => Any] = vecs.zipWithIndex.map { case (v, ci) =>
+          materialize(fields(ci).dataType, v)
+        }
+        (0 until n).iterator.map { i =>
+          Row.fromSeq(cols.indices.map(c => cols(c)(i)))
+        }
+      }(rowEnc)
+  }
+
+  private def materialize(dt: DataType, vec: ColVec): Int => Any = (dt, vec) match {
+    case (StringType, BytesVec(vs)) =>
+      i => new String(vs(i), java.nio.charset.StandardCharsets.UTF_8)
+    case (BinaryType, BytesVec(vs)) => i => vs(i)
+    case (IntegerType, IntVec(vs)) => i => vs(i)
+    case (DateType, IntVec(vs)) => i => java.sql.Date.valueOf(
+      java.time.LocalDate.ofEpochDay(vs(i).toLong))
+    case (LongType, LongVec(vs)) => i => vs(i)
+    case (TimestampNTZType, LongVec(vs)) => i => {
+      val micros = vs(i)
+      java.time.LocalDateTime.ofEpochSecond(
+        Math.floorDiv(micros, 1000000L),
+        (Math.floorMod(micros, 1000000L) * 1000L).toInt,
+        java.time.ZoneOffset.UTC)
+    }
+    case (TimestampType, LongVec(vs)) => i => {
+      val micros = vs(i)
+      val ts = new java.sql.Timestamp(Math.floorDiv(micros, 1000000L) * 1000L)
+      ts.setNanos((Math.floorMod(micros, 1000000L) * 1000L).toInt)
+      ts
+    }
+    case (FloatType, FloatVec(vs)) => i => vs(i)
+    case (DoubleType, DoubleVec(vs)) => i => vs(i)
+    case (BooleanType, BoolVec(vs)) => i => vs(i)
+    case other => throw new IllegalArgumentException(s"cannot materialize $other")
+  }
+}
+
+/** End-to-end bit-identity verification (the north rule's per-row sha256
+  * equality on content): encode -> decode -> join back to the source on the
+  * row key and compare content hashes. */
+object Verifier {
+
+  /** Returns (sourceRows, decodedRows, mismatchedOrMissing). */
+  def verify(source: DataFrame, decoded: DataFrame, keyCols: Seq[String],
+      contentCol: String): (Long, Long, Long) = {
+    val s = source.select(
+      (keyCols.map(col) :+ sha2(col(contentCol).cast("string"), 256).as("__h_src")): _*)
+    val d = decoded.select(
+      (keyCols.map(col) :+ sha2(col(contentCol).cast("string"), 256).as("__h_dec")): _*)
+    val joined = s.join(d, keyCols, "full_outer").cache()
+    try {
+      val bad = joined.where(
+        col("__h_src").isNull || col("__h_dec").isNull ||
+          col("__h_src") =!= col("__h_dec")).count()
+      (source.count(), decoded.count(), bad)
+    } finally joined.unpersist()
+  }
+}

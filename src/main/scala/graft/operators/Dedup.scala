@@ -1,0 +1,133 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import graft.functions.TextOps
+
+/** Deduplication operators for web-scale corpora. Every variant is a pure
+  * DataFrame transformation: the heavy lifting is hash-shuffle groupBys and
+  * band-bucket self-joins, which Spark distributes and AQE skew-handles.
+  *
+  * Scale notes (100 TB): exact dedup is one shuffle on a 64-bit hash;
+  * MinHash-LSH shuffles only (docId, bandHash) pairs — `bands * rows` small
+  * rows, never full text; candidate verification joins only within buckets.
+  */
+object Dedup {
+
+  /** Exact dedup on a content fingerprint: keeps the first row (smallest
+    * key) per fingerprint. One shuffle on the 64-bit fingerprint. */
+  def exact(df: DataFrame, textCol: String, keyCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(TextOps.fingerprint(col(textCol))).orderBy(col(keyCol))
+    df.withColumn("__rn", row_number().over(w)).where(col("__rn") === 1).drop("__rn")
+  }
+
+  /** MinHash signature: `numHashes` seeded xxhash64 min-values over
+    * shingles. Returns the input plus a `minhash` array<bigint> column. */
+  def minhashSignature(df: DataFrame, textCol: String,
+      numHashes: Int = 64, shingleSize: Int = 5): DataFrame = {
+    val shingles = TextOps.wordShingles(col(textCol), shingleSize)
+    val sig = array((0 until numHashes).map { h =>
+      array_min(transform(shingles, s => xxhash64(s, lit(h))))
+    }: _*)
+    df.withColumn("minhash", sig)
+  }
+
+  /** MinHash + LSH banding: documents sharing any band bucket become
+    * candidate pairs; pairs are scored by signature agreement (an unbiased
+    * Jaccard estimate) and filtered at `threshold`.
+    *
+    * Returns (keyA, keyB, estJaccard) with keyA < keyB.
+    */
+  def minhashLsh(df: DataFrame, keyCol: String, textCol: String,
+      numHashes: Int = 64, bands: Int = 16, threshold: Double = 0.7): DataFrame = {
+    val rowsPerBand = numHashes / bands
+    val withSig = minhashSignature(df, textCol, numHashes)
+      .select(col(keyCol).as("__key"), col("minhash"))
+    val banded = withSig.select(col("__key"), col("minhash"),
+      explode(array((0 until bands).map { b =>
+        struct(lit(b).as("band"),
+          xxhash64(concat_ws(",",
+            slice(col("minhash"), b * rowsPerBand + 1, rowsPerBand)), lit(b))
+            .as("bucket"))
+      }: _*)).as("bb"))
+      .select(col("__key"), col("minhash"), col("bb.band"), col("bb.bucket"))
+    val a = banded.select(col("band"), col("bucket"),
+      col("__key").as("keyA"), col("minhash").as("sigA"))
+    val b = banded.select(col("band"), col("bucket"),
+      col("__key").as("keyB"), col("minhash").as("sigB"))
+    a.join(b, Seq("band", "bucket"))
+      .where(col("keyA") < col("keyB"))
+      .select(col("keyA"), col("keyB"),
+        (size(filter(zip_with(col("sigA"), col("sigB"), (x, y) =>
+          when(x === y, 1).otherwise(0)), v => v === 1)).cast("double") /
+          lit(numHashes.toDouble)).as("estJaccard"))
+      .where(col("estJaccard") >= threshold)
+      .dropDuplicates("keyA", "keyB")
+  }
+
+  /** 64-bit SimHash over word tokens: per-bit weighted majority vote,
+    * expressed as 64 codegen'd aggregate-free array ops (no shuffle beyond
+    * what the caller adds). Returns input + `simhash` bigint column. */
+  def simhash(df: DataFrame, textCol: String): DataFrame = {
+    val tokens = split(regexp_replace(lower(trim(col(textCol))), "\\s+", " "), " ")
+    val hashes = transform(tokens, t => xxhash64(t))
+    val bitCols = (0 until 64).map { bit =>
+      val votes = aggregate(hashes, lit(0L),
+        (acc, h) => acc + when(shiftright(h, bit).bitwiseAND(lit(1L)) === 1L, 1L)
+          .otherwise(-1L))
+      when(votes > 0, shiftleft(lit(1L), bit)).otherwise(lit(0L))
+    }
+    df.withColumn("simhash", bitCols.reduce(_.bitwiseOR(_)))
+  }
+
+  /** Near-dup pairs by SimHash hamming distance ≤ maxDist, blocked on the
+    * top 16 bits so the self-join never goes quadratic on the full corpus. */
+  def simhashNearDups(df: DataFrame, keyCol: String, textCol: String,
+      maxDist: Int = 3): DataFrame = {
+    val withSim = simhash(df, textCol).select(col(keyCol).as("__key"), col("simhash"))
+      .withColumn("block", shiftrightunsigned(col("simhash"), 48))
+    val a = withSim.select(col("block"), col("__key").as("keyA"), col("simhash").as("simA"))
+    val b = withSim.select(col("block"), col("__key").as("keyB"), col("simhash").as("simB"))
+    a.join(b, Seq("block")).where(col("keyA") < col("keyB"))
+      .withColumn("dist", bit_count(col("simA").bitwiseXOR(col("simB"))))
+      .where(col("dist") <= maxDist)
+      .select("keyA", "keyB", "dist")
+  }
+
+  /** Exact n-gram Jaccard similarity for candidate pairs blocked by length
+    * bucket + a cheap prefilter column (e.g. lang). Quadratic only inside a
+    * block. */
+  def ngramJaccardPairs(df: DataFrame, keyCol: String, textCol: String,
+      blockCols: Seq[String], n: Int = 3, threshold: Double = 0.5): DataFrame = {
+    val withSh = df.select(
+      (blockCols.map(col) :+ col(keyCol).as("__key") :+
+        TextOps.wordShingles(col(textCol), n).as("__sh")): _*)
+    val a = withSh.select((blockCols.map(col) :+ col("__key").as("keyA") :+
+      col("__sh").as("shA")): _*)
+    val b = withSh.select((blockCols.map(col) :+ col("__key").as("keyB") :+
+      col("__sh").as("shB")): _*)
+    a.join(b, blockCols).where(col("keyA") < col("keyB"))
+      .withColumn("jaccard",
+        size(array_intersect(col("shA"), col("shB"))).cast("double") /
+          size(array_union(col("shA"), col("shB"))).cast("double"))
+      .where(col("jaccard") >= threshold)
+      .select("keyA", "keyB", "jaccard")
+  }
+
+  /** Embedding-cosine near-duplicates via the LSH bucketing in
+    * [[Similarity.cosineLshBuckets]]: pairs in the same hyperplane-sign
+    * bucket with cosine ≥ threshold. */
+  def embeddingNearDups(df: DataFrame, keyCol: String, vecCol: String,
+      threshold: Double = 0.95, planes: Int = 12): DataFrame = {
+    val bucketed = Similarity.cosineLshBuckets(df, vecCol, planes)
+      .select(col(keyCol).as("__key"), col(vecCol).as("__vec"), col("lshBucket"))
+    val a = bucketed.select(col("lshBucket"), col("__key").as("keyA"), col("__vec").as("vecA"))
+    val b = bucketed.select(col("lshBucket"), col("__key").as("keyB"), col("__vec").as("vecB"))
+    a.join(b, Seq("lshBucket")).where(col("keyA") < col("keyB"))
+      .withColumn("cosine", Similarity.cosine(col("vecA"), col("vecB")))
+      .where(col("cosine") >= threshold)
+      .select("keyA", "keyB", "cosine")
+      .dropDuplicates("keyA", "keyB")
+  }
+}

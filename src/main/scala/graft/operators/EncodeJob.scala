@@ -1,0 +1,275 @@
+package graft.operators
+
+import org.apache.spark.TaskContext
+import org.apache.spark.sql.{Column, DataFrame, Dataset, Encoders, Row, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import scala.collection.mutable.ArrayBuffer
+
+import graft.core._
+
+/** One encoded column chunk, the engine's unit of storage.
+  * `(partId, chunkIdx)` identifies a row range; every column of that range
+  * appears as one ChunkRow, so rows re-assemble by zipping columns. */
+final case class ChunkRow(
+    partId: Int,
+    chunkIdx: Int,
+    colIdx: Int,
+    column: String,
+    physicalType: Int,
+    codec: String,
+    numValues: Long,
+    rawBytes: Long,
+    encodedBytes: Long,
+    refPolicyBytes: Long,
+    dictEntries: Int,
+    sha256: String,
+    blob: Array[Byte])
+
+/** Per-(partition, column) lineage row — the north rule's resumability and
+  * metrics record (partition id, codec chosen, input/output bytes, sha256
+  * manifest). */
+final case class LineageRow(
+    partId: Int,
+    column: String,
+    codecs: String,
+    numChunks: Long,
+    numValues: Long,
+    inputBytes: Long,
+    outputBytes: Long,
+    refPolicyBytes: Long,
+    sha256Manifest: String)
+
+/** Encodes ANY flat-schema DataFrame into per-column compressed chunks.
+  *
+  * Spark-first design: the input stays a Dataset end to end; the only
+  * shuffle is one explicit `repartition` on user-chosen keys plus a salt
+  * (defusing mega-repo skew per the north rule), after which all codec work
+  * is per-partition CPU with NO further exchange. Chunk contents are a pure
+  * function of (input, partitionCount) — independent of executor count —
+  * so manifests are reproducible at any parallelism (the scaling-law
+  * evidence relies on this).
+  */
+object EncodeJob {
+
+  val DefaultChunkRows = 16384
+  val DefaultChunkRawBytes: Long = 32L * 1024 * 1024
+
+  /** Map a Spark type to our physical type + extractor into column buffers. */
+  private def physicalTypeOf(dt: DataType): Int = dt match {
+    case BooleanType => PhysicalType.Bool
+    case IntegerType | DateType => PhysicalType.Int32
+    case LongType | TimestampType | TimestampNTZType => PhysicalType.Int64
+    case FloatType => PhysicalType.Float
+    case DoubleType => PhysicalType.Double
+    case StringType | BinaryType => PhysicalType.Bytes
+    case other => throw new IllegalArgumentException(
+      s"unsupported column type $other (flat schemas only)")
+  }
+
+  /** Salted repartition + deterministic in-partition sort, then
+    * per-partition chunked encode of every column.
+    *
+    * @param partitionKeys shuffle keys (e.g. repo, lang); a salt derived
+    *   from the remaining columns is always appended so one hot key spreads
+    *   over `saltBuckets` partitions instead of one.
+    */
+  def encode(df: DataFrame, numPartitions: Int, partitionKeys: Seq[String],
+      sortKeys: Seq[String], saltBuckets: Int = 16,
+      chunkRows: Int = DefaultChunkRows,
+      chunkRawBytes: Long = DefaultChunkRawBytes,
+      skipPartitions: Set[Int] = Set.empty,
+      forcedCodecs: Map[String, Int] = Map.empty): Dataset[ChunkRow] = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val schema = df.schema
+    val allCols = schema.fields.map(_.name).toSeq
+    val salt = pmod(xxhash64(allCols.map(col): _*), lit(saltBuckets)).as("__salt")
+    val keyed =
+      if (partitionKeys.isEmpty) df.repartition(numPartitions, salt)
+      else df.repartition(numPartitions, (partitionKeys.map(col) :+ salt): _*)
+    val sorted =
+      if (sortKeys.isEmpty) keyed
+      else keyed.sortWithinPartitions(sortKeys.map(col): _*)
+    val skip = spark.sparkContext.broadcast(skipPartitions)
+    sorted.mapPartitions { rows =>
+      val partId = TaskContext.getPartitionId()
+      if (skip.value.contains(partId)) Iterator.empty
+      else encodePartition(partId, schema, rows, chunkRows, chunkRawBytes, forcedCodecs)
+    }
+  }
+
+  /** Pure per-partition encode: buffer up to chunkRows/chunkRawBytes rows,
+    * then run the codec auto-selector per column. */
+  def encodePartition(partId: Int, schema: StructType, rows: Iterator[Row],
+      chunkRows: Int, chunkRawBytes: Long,
+      forcedCodecs: Map[String, Int] = Map.empty): Iterator[ChunkRow] = {
+    val fields = schema.fields
+    val nCols = fields.length
+    val out = ArrayBuffer.empty[ChunkRow]
+    var chunkIdx = 0
+
+    var buffers: Array[ArrayBuffer[Any]] = null
+    var bufferedRaw = 0L
+    var buffered = 0
+
+    def reset(): Unit = {
+      buffers = Array.fill(nCols)(ArrayBuffer.empty[Any])
+      bufferedRaw = 0L
+      buffered = 0
+    }
+    reset()
+
+    def flushChunk(): Unit = {
+      if (buffered == 0) return
+      var c = 0
+      while (c < nCols) {
+        val vec = toColVec(fields(c).dataType, buffers(c))
+        val chunk = forcedCodecs.get(fields(c).name) match {
+          case Some(codec) =>
+            val blob = ChunkCodec.encodeWith(vec, codec)
+            EncodedChunk(blob, codec, vec.length, vec.rawSize,
+              blob.length.toLong, blob.length.toLong, 0)
+          case None => ChunkCodec.encodeAuto(vec)
+        }
+        out += ChunkRow(partId, chunkIdx, c, fields(c).name, vec.physicalType,
+          chunk.codecName, chunk.numValues.toLong, chunk.rawSize,
+          chunk.encodedSize, chunk.refPolicySize, chunk.dictEntries,
+          ColVecHash.sha256Hex(vec), chunk.blob)
+        c += 1
+      }
+      chunkIdx += 1
+      reset()
+    }
+
+    rows.foreach { row =>
+      var c = 0
+      while (c < nCols) {
+        val v = extract(fields(c).dataType, row, c)
+        buffers(c) += v
+        bufferedRaw += (v match {
+          case b: Array[Byte] => 4L + b.length
+          case _: java.lang.Integer | _: java.lang.Float => 4L
+          case _: java.lang.Boolean => 1L
+          case _ => 8L
+        })
+        c += 1
+      }
+      buffered += 1
+      if (buffered >= chunkRows || bufferedRaw >= chunkRawBytes) flushChunk()
+    }
+    flushChunk()
+    out.iterator
+  }
+
+  private def extract(dt: DataType, row: Row, i: Int): Any = dt match {
+    case StringType => row.getString(i).getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    case BinaryType => row.getAs[Array[Byte]](i)
+    case IntegerType => Int.box(row.getInt(i))
+    case DateType => Int.box(row.getDate(i).toLocalDate.toEpochDay.toInt)
+    case LongType => Long.box(row.getLong(i))
+    case TimestampType =>
+      val ts = row.getTimestamp(i)
+      Long.box(Math.floorDiv(ts.getTime, 1000L) * 1000000L + ts.getNanos / 1000L)
+    case TimestampNTZType =>
+      val ldt = row.getAs[java.time.LocalDateTime](i)
+      Long.box(ldt.toEpochSecond(java.time.ZoneOffset.UTC) * 1000000L +
+        ldt.getNano / 1000L)
+    case FloatType => Float.box(row.getFloat(i))
+    case DoubleType => Double.box(row.getDouble(i))
+    case BooleanType => Boolean.box(row.getBoolean(i))
+    case other => throw new IllegalArgumentException(s"unsupported $other")
+  }
+
+  private def toColVec(dt: DataType, buf: ArrayBuffer[Any]): ColVec = dt match {
+    case StringType | BinaryType => BytesVec(buf.map(_.asInstanceOf[Array[Byte]]).toArray)
+    case IntegerType | DateType => IntVec(buf.map(_.asInstanceOf[Int]).toArray)
+    case LongType | TimestampType | TimestampNTZType =>
+      LongVec(buf.map(_.asInstanceOf[Long]).toArray)
+    case FloatType => FloatVec(buf.map(_.asInstanceOf[Float]).toArray)
+    case DoubleType => DoubleVec(buf.map(_.asInstanceOf[Double]).toArray)
+    case BooleanType => BoolVec(buf.map(_.asInstanceOf[Boolean]).toArray)
+    case other => throw new IllegalArgumentException(s"unsupported $other")
+  }
+
+  /** Per-(partition, column) lineage with a deterministic sha256 manifest
+    * (chunk hashes concatenated in chunk order). Pure DataFrame aggregation
+    * — map-side combinable, one shuffle on (partId, column). */
+  def lineage(chunks: Dataset[ChunkRow]): Dataset[LineageRow] = {
+    val spark = chunks.sparkSession
+    import spark.implicits._
+    chunks
+      .groupBy($"partId", $"column")
+      .agg(
+        concat_ws("+", array_sort(collect_set($"codec"))).as("codecs"),
+        count(lit(1)).as("numChunks"),
+        sum($"numValues").as("numValues"),
+        sum($"rawBytes").as("inputBytes"),
+        sum($"encodedBytes").as("outputBytes"),
+        sum($"refPolicyBytes").as("refPolicyBytes"),
+        sha2(concat_ws(",",
+          transform(array_sort(collect_list(struct($"chunkIdx", $"sha256"))),
+            x => x.getField("sha256"))), 256).as("sha256Manifest"))
+      .as[LineageRow]
+  }
+
+  /** Checkpoint-resumable encode: chunks + lineage land under `outDir`; a
+    * re-run after partial failure reads the lineage table and skips
+    * partitions whose every column already has a manifest. */
+  def encodeResumable(df: DataFrame, outDir: String, numPartitions: Int,
+      partitionKeys: Seq[String], sortKeys: Seq[String]): Unit = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val nCols = df.schema.fields.length
+    val done: Set[Int] =
+      try {
+        spark.read.parquet(s"$outDir/lineage")
+          .groupBy($"partId").agg(countDistinct($"column").as("n"))
+          .where($"n" === nCols)
+          .select($"partId").as[Int].collect().toSet
+      } catch { case _: Throwable => Set.empty }
+    val chunks = encode(df, numPartitions, partitionKeys, sortKeys,
+      skipPartitions = done)
+    chunks.write.mode("append").parquet(s"$outDir/chunks")
+    val newChunks = spark.read.parquet(s"$outDir/chunks").as[ChunkRow]
+      .filter(!$"partId".isin(done.toSeq: _*) || lit(done.isEmpty))
+    lineage(newChunks).write.mode("overwrite").parquet(s"$outDir/lineage_new")
+    // merge manifests: completed partitions keep their rows
+    val merged =
+      try {
+        val old = spark.read.parquet(s"$outDir/lineage").as[LineageRow]
+          .filter($"partId".isin(done.toSeq: _*))
+        spark.read.parquet(s"$outDir/lineage_new").as[LineageRow].unionByName(old)
+      } catch { case _: Throwable =>
+        spark.read.parquet(s"$outDir/lineage_new").as[LineageRow] }
+    merged.write.mode("overwrite").parquet(s"$outDir/lineage_merged")
+    // atomic-ish swap via rename is fs-dependent; rewrite instead
+    spark.read.parquet(s"$outDir/lineage_merged").write.mode("overwrite")
+      .parquet(s"$outDir/lineage")
+  }
+}
+
+/** Incremental sha256 of a column vector's canonical value bytes
+  * (4-byte LE length + bytes per value — PLAIN-equivalent, so the manifest
+  * is decodable-side reproducible). */
+object ColVecHash {
+  def sha256Hex(vec: ColVec): String = {
+    val md = java.security.MessageDigest.getInstance("SHA-256")
+    val lenBuf = new Array[Byte](4)
+    def putLen(n: Int): Unit = {
+      lenBuf(0) = n.toByte; lenBuf(1) = (n >>> 8).toByte
+      lenBuf(2) = (n >>> 16).toByte; lenBuf(3) = (n >>> 24).toByte
+      md.update(lenBuf)
+    }
+    vec match {
+      case BytesVec(vs) => vs.foreach { v => putLen(v.length); md.update(v) }
+      case other => md.update(PlainCodec.encode(other))
+    }
+    other2hex(md.digest())
+  }
+  private def other2hex(d: Array[Byte]): String = {
+    val sb = new StringBuilder(d.length * 2)
+    d.foreach(b => sb.append(f"${b & 0xFF}%02x"))
+    sb.toString
+  }
+}

@@ -1,0 +1,170 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.BeforeAndAfterAll
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.core.CodecId
+import graft.functions.TextOps
+import graft.operators._
+import graft.sources.CodeTableGen
+
+class SparkE2ESpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  @transient private var spark: SparkSession = _
+  private val sfDir = "/root/testdata/sf0.001"
+
+  override def beforeAll(): Unit = {
+    spark = SparkSession.builder()
+      .master("local[4]")
+      .appName("graft-test")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+  }
+
+  override def afterAll(): Unit = if (spark != null) spark.stop()
+
+  private def code(n: Long, parts: Int) =
+    CodeTableGen.generate(spark, n, parts).toDF()
+      .withColumn("content_len", octet_length(col("content")))
+      .withColumn("line_count", TextOps.lineCount(col("content")).cast("int"))
+
+  test("code table generator is deterministic and partition-count independent") {
+    val a = CodeTableGen.generate(spark, 500L, 2).collect().sortBy(_.commit)
+    val b = CodeTableGen.generate(spark, 500L, 7).collect().sortBy(_.commit)
+    assert(a.toSeq == b.toSeq)
+    assert(a.map(r => (r.repo, r.path, r.commit)).distinct.length == 500)
+    assert(a.map(_.lang).distinct.length > 5)
+  }
+
+  test("encode -> decode roundtrips the code table bit-identically (sha256 join)") {
+    val df = code(1500L, 3)
+    val chunks = EncodeJob.encode(df, numPartitions = 6,
+      partitionKeys = Seq("repo", "lang"), sortKeys = Seq("repo", "path", "commit"))
+    val decoded = DecodeJob.decode(chunks, df.schema)
+    val (nSrc, nDec, bad) = Verifier.verify(df, decoded,
+      keyCols = Seq("repo", "path", "commit"), contentCol = "content")
+    assert(nSrc == 1500L && nDec == 1500L && bad == 0L)
+  }
+
+  test("selector never exceeds the reference-policy ceiling and picks cheap codecs") {
+    val df = code(2000L, 2)
+    val chunks = EncodeJob.encode(df, 4, Seq("repo", "lang"),
+      Seq("repo", "path", "commit")).collect()
+    assert(chunks.nonEmpty)
+    chunks.foreach { c =>
+      assert(c.encodedBytes <= c.refPolicyBytes,
+        s"${c.column}/${c.codec}: ${c.encodedBytes} > ${c.refPolicyBytes}")
+    }
+    val byCol = chunks.groupBy(_.column)
+    // lang is ~25 values -> dictionary must win
+    assert(byCol("lang").forall(_.codec == "DICT"))
+    // overall compression must be real
+    val raw = chunks.map(_.rawBytes).sum
+    val enc = chunks.map(_.encodedBytes).sum
+    assert(enc < raw / 2, s"poor overall ratio: $enc vs $raw")
+  }
+
+  test("lineage manifests are identical across parallelism levels (scaling determinism)") {
+    val df8 = code(1200L, 2)
+    val df32 = code(1200L, 9) // different input partitioning
+    def manifests(df: org.apache.spark.sql.DataFrame) =
+      EncodeJob.lineage(EncodeJob.encode(df, 6, Seq("repo", "lang"),
+          Seq("repo", "path", "commit")))
+        .collect().map(l => (l.partId, l.column, l.sha256Manifest)).sortBy(x => (x._1, x._2))
+    assert(manifests(df8).toSeq == manifests(df32).toSeq)
+  }
+
+  test("resumable encode skips completed partitions") {
+    val out = java.nio.file.Files.createTempDirectory("graft-resume").toString
+    val df = code(800L, 2)
+    EncodeJob.encodeResumable(df, out, 4, Seq("repo", "lang"), Seq("repo", "path", "commit"))
+    val lineage1 = spark.read.parquet(s"$out/lineage")
+    val parts1 = lineage1.select("partId").distinct().collect().map(_.getInt(0)).toSet
+    val chunks1 = spark.read.parquet(s"$out/chunks").count()
+    // second run: everything complete -> nothing re-encoded, chunks unchanged
+    EncodeJob.encodeResumable(df, out, 4, Seq("repo", "lang"), Seq("repo", "path", "commit"))
+    val chunks2 = spark.read.parquet(s"$out/chunks").count()
+    assert(chunks1 == chunks2, "completed partitions must be skipped on re-run")
+    val parts2 = spark.read.parquet(s"$out/lineage")
+      .select("partId").distinct().collect().map(_.getInt(0)).toSet
+    assert(parts1 == parts2)
+  }
+
+  test("timestamp and numeric columns roundtrip through the chunk pipeline") {
+    val ev = spark.read.parquet(s"$sfDir/events.parquet")
+      .select("event_id", "ts", "event_type", "user_id", "value")
+    val back = Roundtrip.through(ev, sortKeys = Seq("event_id"))
+    // decimal sum is order-insensitive (double sums vary with partitioning)
+    val src = ev.agg(count(lit(1)), min(col("ts")), max(col("ts")),
+      sum(col("user_id")), sum(col("value").cast("decimal(28,10)"))).collect()(0)
+    val dec = back.agg(count(lit(1)), min(col("ts")), max(col("ts")),
+      sum(col("user_id")), sum(col("value").cast("decimal(28,10)"))).collect()(0)
+    assert(src == dec)
+  }
+
+  test("flagship entry returns lineage rows") {
+    val df = SparkEntry.entry(spark)
+    assert(df.count() > 0)
+  }
+
+  test("dedup operators find planted duplicates") {
+    val base = spark.read.parquet(s"$sfDir/documents.parquet")
+    val dup = base.limit(5).withColumn("doc_id", col("doc_id") + 100000L)
+    val withDups = base.unionByName(dup)
+    // exact dedup removes exactly the 5 planted copies
+    val deduped = Dedup.exact(withDups, "text", "doc_id").count()
+    assert(deduped == base.count())
+    // minhash-lsh finds the planted identical pairs at threshold ~1.0
+    val pairs = Dedup.minhashLsh(withDups, "doc_id", "text",
+      numHashes = 32, bands = 8, threshold = 0.99)
+    val found = pairs.select("keyA", "keyB").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert((0 until 5).forall(i => found.exists { case (a, b) =>
+      b - a == 100000L }), s"planted dups not found: $found")
+    // simhash near-dups find them too (distance 0)
+    val sPairs = Dedup.simhashNearDups(withDups, "doc_id", "text", maxDist = 0)
+    assert(sPairs.count() >= 5)
+  }
+
+  test("ANN: lsh buckets agree with brute force on self-match neighborhoods") {
+    val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
+    val bf = Similarity.bruteForceTopK(emb, "vec_id", "embedding", k = 1)
+    assert(bf.count() > 0)
+    val lsh = Similarity.lshTopK(emb, "vec_id", "embedding", k = 1, planes = 4)
+    assert(lsh.count() > 0)
+  }
+
+  test("multimodal stub plumbing: binary in, typed features out, no shuffle") {
+    val bin = spark.read.parquet(s"$sfDir/documents.parquet")
+      .select(col("doc_id"), col("text").cast("binary").as("payload"))
+    val feats = Multimodal.extractFeatures(bin, "doc_id", "payload")
+    val rows = feats.collect()
+    assert(rows.length == bin.count().toInt)
+    assert(rows.forall(r => r.features.length == 16 && r.width >= 64))
+    // determinism
+    val again = Multimodal.extractFeatures(bin, "doc_id", "payload").collect()
+    assert(rows.map(_.features.toSeq).toSeq.sorted(Ordering.by((s: Seq[Float]) => s.hashCode)) ==
+      again.map(_.features.toSeq).toSeq.sorted(Ordering.by((s: Seq[Float]) => s.hashCode)))
+  }
+
+  test("text ops: language id, quality, tokens behave sanely") {
+    val d = spark.read.parquet(s"$sfDir/documents.parquet")
+    val scored = d.select(col("lang"), TextOps.langId(col("text")).as("pred"),
+      TextOps.qualityScore(col("text")).as("q"),
+      TextOps.wsTokenCount(col("text")).as("toks"))
+    val rows = scored.collect()
+    assert(rows.forall(r => r.getDouble(2) >= 0.0 && r.getDouble(2) <= 1.0))
+    assert(rows.forall(_.getLong(3) > 0))
+    // the synthetic corpus is English-ish word soup regardless of its lang
+    // label, so assert the predictor's output domain + determinism instead
+    val preds = rows.map(_.getString(1)).toSet
+    assert(preds.subsetOf(Set("en", "de", "fr", "es", "it", "pt", "und")), preds)
+    val again = scored.collect().map(_.getString(1)).toSeq
+    assert(again == rows.map(_.getString(1)).toSeq)
+  }
+}
