@@ -26,5 +26,8 @@ val jdk17AddOpens = Seq(
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
-  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "24g")}",
+  // chunk blobs are multi-MB arrays; 32m G1 regions keep them out of the
+  // humongous-allocation path at local[32] concurrency
+  "-XX:+UseG1GC", "-XX:G1HeapRegionSize=32m",
 )

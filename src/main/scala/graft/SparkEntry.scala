@@ -183,7 +183,7 @@ object SparkEntry {
     }),
     "q_ngram_jaccard" -> ((s, dir) => {
       val pairs = Dedup.ngramJaccardPairs(docs(s, dir), "doc_id", "text",
-        blockCols = Seq("lang"), n = 3, threshold = 0.2)
+        blockCols = Seq("lang"), n = 3, threshold = 0.4)
       pairs.agg(count(lit(1)).as("sim_pairs"),
         coalesce(round(max(col("jaccard")), 3), lit(0.0)).as("max_jaccard"))
     }),

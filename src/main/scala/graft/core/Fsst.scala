@@ -36,7 +36,31 @@ object FsstCodec {
       }
       tmp.map(_.sortBy(c => -symbols(c).length).toArray)
     }
+    // fast path: symbol as little-endian long + length mask, so a candidate
+    // check is one masked 64-bit compare instead of a byte loop (the
+    // "longCodes" trick of the FSST paper's reference implementation idea,
+    // re-derived — no code consulted)
+    private[FsstCodec] val symWord: Array[Long] = symbols.map(wordOf)
+    private[FsstCodec] val symMask: Array[Long] =
+      symbols.map(s => if (s.length >= 8) -1L else (1L << (8 * s.length)) - 1)
+    private[FsstCodec] val symLen: Array[Int] = symbols.map(_.length)
   }
+
+  private val LongView = java.lang.invoke.MethodHandles.byteArrayViewVarHandle(
+    classOf[Array[Long]], java.nio.ByteOrder.LITTLE_ENDIAN)
+
+  /** Little-endian load of up to 8 bytes of `a` starting at `pos`. */
+  @inline private def loadWord(a: Array[Byte], pos: Int): Long =
+    if (pos + 8 <= a.length) LongView.get(a, pos).asInstanceOf[Long]
+    else {
+      val n = a.length - pos
+      var w = 0L
+      var k = 0
+      while (k < n) { w |= (a(pos + k) & 0xFFL) << (8 * k); k += 1 }
+      w
+    }
+
+  @inline private def wordOf(s: Array[Byte]): Long = loadWord(s, 0)
 
   /** Train a symbol table on sample text via iterative pair merging: start
     * from frequent single bytes, repeatedly count adjacent (symbol, symbol)
@@ -89,53 +113,45 @@ object FsstCodec {
   }
 
   @inline private def matchLen(t: SymbolTable, a: Array[Byte], pos: Int): Int = {
-    val cands = t.byFirst(a(pos) & 0xFF)
-    var ci = 0
-    while (ci < cands.length) {
-      val s = t.symbols(cands(ci))
-      if (pos + s.length <= a.length) {
-        var k = 0
-        var ok = true
-        while (ok && k < s.length) { ok = s(k) == a(pos + k); k += 1 }
-        if (ok) return s.length
-      }
-      ci += 1
-    }
-    0
+    val code = matchCode(t, a, pos)
+    if (code >= 0) t.symLen(code) else 0
   }
 
   @inline private def matchCode(t: SymbolTable, a: Array[Byte], pos: Int): Int = {
     val cands = t.byFirst(a(pos) & 0xFF)
+    if (cands.length == 0) return -1
+    val word = loadWord(a, pos)
+    val avail = a.length - pos
     var ci = 0
     while (ci < cands.length) {
       val code = cands(ci)
-      val s = t.symbols(code)
-      if (pos + s.length <= a.length) {
-        var k = 0
-        var ok = true
-        while (ok && k < s.length) { ok = s(k) == a(pos + k); k += 1 }
-        if (ok) return code
-      }
+      if (t.symLen(code) <= avail &&
+          (word & t.symMask(code)) == t.symWord(code)) return code
       ci += 1
     }
     -1
   }
 
-  private def compressOne(t: SymbolTable, a: Array[Byte]): Array[Byte] = {
-    val out = new java.io.ByteArrayOutputStream(a.length / 2 + 8)
+  /** Compress `a` into `out` starting at `outPos`; returns new outPos.
+    * `out` must have ≥ 2*a.length headroom (worst case all escapes). */
+  private def compressInto(t: SymbolTable, a: Array[Byte],
+      out: Array[Byte], outPos0: Int): Int = {
+    var outPos = outPos0
     var pos = 0
-    while (pos < a.length) {
+    val n = a.length
+    while (pos < n) {
       val code = matchCode(t, a, pos)
       if (code >= 0) {
-        out.write(code)
-        pos += t.symbols(code).length
+        out(outPos) = code.toByte; outPos += 1
+        pos += t.symLen(code)
       } else {
-        out.write(Escape)
-        out.write(a(pos) & 0xFF)
+        out(outPos) = Escape.toByte
+        out(outPos + 1) = a(pos)
+        outPos += 2
         pos += 1
       }
     }
-    out.toByteArray
+    outPos
   }
 
   def encode(values: Array[Array[Byte]], sampleBytes: Int = 1 << 14): Array[Byte] = {
@@ -157,19 +173,24 @@ object FsstCodec {
       i += 1
     }
     w.putVlq(values.length.toLong)
-    val compressed = new Array[Array[Byte]](values.length)
+    // single shared output buffer: worst case 2x raw (all escapes)
+    var rawTotal = 0L
+    i = 0
+    while (i < values.length) { rawTotal += values(i).length; i += 1 }
+    val body = new Array[Byte](math.toIntExact(2L * rawTotal + 8))
     val lens = new Array[Long](values.length)
+    var bodyPos = 0
     i = 0
     while (i < values.length) {
-      compressed(i) = compressOne(table, values(i))
-      lens(i) = compressed(i).length.toLong
+      val next = compressInto(table, values(i), body, bodyPos)
+      lens(i) = (next - bodyPos).toLong
+      bodyPos = next
       i += 1
     }
     val lenEnc = new DeltaBinaryPackedEncoder(int32 = true)
     lenEnc.put(lens)
     w.putBytes(lenEnc.result())
-    i = 0
-    while (i < values.length) { w.putBytes(compressed(i)); i += 1 }
+    w.putBytes(body, 0, bodyPos)
     w.result()
   }
 
@@ -227,20 +248,30 @@ object FsstCodec {
 
   private def decompressOne(symbols: Array[Array[Byte]], buf: Array[Byte],
       off: Int, len: Int): Array[Byte] = {
-    val out = new java.io.ByteArrayOutputStream(len * 2 + 8)
+    // pass 1: exact output size
+    var outLen = 0
     var pos = off
     val end = off + len
     while (pos < end) {
       val code = buf(pos) & 0xFF
+      if (code == Escape) { outLen += 1; pos += 2 }
+      else { outLen += symbols(code).length; pos += 1 }
+    }
+    // pass 2: fill
+    val out = new Array[Byte](outLen)
+    var o = 0
+    pos = off
+    while (pos < end) {
+      val code = buf(pos) & 0xFF
       if (code == Escape) {
-        out.write(buf(pos + 1) & 0xFF)
-        pos += 2
+        out(o) = buf(pos + 1); o += 1; pos += 2
       } else {
         val s = symbols(code)
-        out.write(s, 0, s.length)
+        System.arraycopy(s, 0, out, o, s.length)
+        o += s.length
         pos += 1
       }
     }
-    out.toByteArray
+    out
   }
 }

@@ -22,15 +22,23 @@ object Dedup {
     df.withColumn("__rn", row_number().over(w)).where(col("__rn") === 1).drop("__rn")
   }
 
-  /** MinHash signature: `numHashes` seeded xxhash64 min-values over
-    * shingles. Returns the input plus a `minhash` array<bigint> column. */
+  /** MinHash signature as `numHashes` min-values over shingles. The string
+    * shingles are hashed ONCE (string xxhash64 is the expensive part); the
+    * hash family is then derived by re-hashing that 8-byte value with the
+    * seed — the standard one-base-hash MinHash construction. Shingles and
+    * base hashes are materialized as real columns so the optimizer can
+    * never re-derive the shingling per hash function.
+    * Returns the input plus a `minhash` array<bigint> column. */
   def minhashSignature(df: DataFrame, textCol: String,
       numHashes: Int = 64, shingleSize: Int = 5): DataFrame = {
-    val shingles = TextOps.wordShingles(col(textCol), shingleSize)
-    val sig = array((0 until numHashes).map { h =>
-      array_min(transform(shingles, s => xxhash64(s, lit(h))))
+    val baseHashes = transform(TextOps.wordShingles(col(textCol), shingleSize),
+      s => xxhash64(s))
+    val sig = array((0 until numHashes).map { i =>
+      array_min(transform(col("__mh_base"), x => xxhash64(x, lit(i))))
     }: _*)
-    df.withColumn("minhash", sig)
+    df.withColumn("__mh_base", baseHashes)
+      .withColumn("minhash", sig)
+      .drop("__mh_base")
   }
 
   /** MinHash + LSH banding: documents sharing any band bucket become
@@ -71,14 +79,17 @@ object Dedup {
     * what the caller adds). Returns input + `simhash` bigint column. */
   def simhash(df: DataFrame, textCol: String): DataFrame = {
     val tokens = split(regexp_replace(lower(trim(col(textCol))), "\\s+", " "), " ")
-    val hashes = transform(tokens, t => xxhash64(t))
+    // materialize token hashes once; the 64 per-bit votes then read the
+    // array column instead of re-deriving split+hash per bit
     val bitCols = (0 until 64).map { bit =>
-      val votes = aggregate(hashes, lit(0L),
+      val votes = aggregate(col("__sh_hashes"), lit(0L),
         (acc, h) => acc + when(shiftright(h, bit).bitwiseAND(lit(1L)) === 1L, 1L)
           .otherwise(-1L))
       when(votes > 0, shiftleft(lit(1L), bit)).otherwise(lit(0L))
     }
-    df.withColumn("simhash", bitCols.reduce(_.bitwiseOR(_)))
+    df.withColumn("__sh_hashes", transform(tokens, t => xxhash64(t)))
+      .withColumn("simhash", bitCols.reduce(_.bitwiseOR(_)))
+      .drop("__sh_hashes")
   }
 
   /** Near-dup pairs by SimHash hamming distance ≤ maxDist, blocked on the
@@ -103,14 +114,27 @@ object Dedup {
     val withSh = df.select(
       (blockCols.map(col) :+ col(keyCol).as("__key") :+
         TextOps.wordShingles(col(textCol), n).as("__sh")): _*)
-    val a = withSh.select((blockCols.map(col) :+ col("__key").as("keyA") :+
-      col("__sh").as("shA")): _*)
-    val b = withSh.select((blockCols.map(col) :+ col("__key").as("keyB") :+
-      col("__sh").as("shB")): _*)
-    a.join(b, blockCols).where(col("keyA") < col("keyB"))
-      .withColumn("jaccard",
-        size(array_intersect(col("shA"), col("shB"))).cast("double") /
-          size(array_union(col("shA"), col("shB"))).cast("double"))
+      .withColumn("__n", size(col("__sh")))
+    // jaccard >= t forces |A|/|B| within [t, 1/t]; bucketing shingle counts
+    // by log base 1/t means qualifying pairs sit in the same or an adjacent
+    // bucket. One side emits buckets {k-1,k,k+1}, the other {k}: every
+    // qualifying unordered pair is generated exactly once, and the
+    // quadratic blow-up is confined to (block, size-bucket) cells.
+    val logBase = math.log(math.max(1.25, 1.0 / threshold))
+    val bucket = floor(log(greatest(col("__n"), lit(1)).cast("double")) / logBase)
+    val withB = withSh.withColumn("__bkt", bucket.cast("int"))
+    val a = withB.select((blockCols.map(col) :+ col("__key").as("keyA") :+
+      col("__sh").as("shA") :+ col("__n").as("nA") :+
+      explode(array(col("__bkt") - 1, col("__bkt"), col("__bkt") + 1)).as("__bkt")): _*)
+    val b = withB.select((blockCols.map(col) :+ col("__key").as("keyB") :+
+      col("__sh").as("shB") :+ col("__n").as("nB") :+ col("__bkt")): _*)
+    // exact size prefilter inside the bucket join, then one set
+    // intersection; union size is |A|+|B|-|A∩B| (array_union never built)
+    a.join(b, blockCols :+ "__bkt").where(col("keyA") < col("keyB") &&
+        col("nA") >= col("nB") * threshold && col("nB") >= col("nA") * threshold)
+      .withColumn("__inter", size(array_intersect(col("shA"), col("shB"))))
+      .withColumn("jaccard", col("__inter").cast("double") /
+        (col("nA") + col("nB") - col("__inter")).cast("double"))
       .where(col("jaccard") >= threshold)
       .select("keyA", "keyB", "jaccard")
   }
@@ -121,11 +145,15 @@ object Dedup {
   def embeddingNearDups(df: DataFrame, keyCol: String, vecCol: String,
       threshold: Double = 0.95, planes: Int = 12): DataFrame = {
     val bucketed = Similarity.cosineLshBuckets(df, vecCol, planes)
-      .select(col(keyCol).as("__key"), col(vecCol).as("__vec"), col("lshBucket"))
-    val a = bucketed.select(col("lshBucket"), col("__key").as("keyA"), col("__vec").as("vecA"))
-    val b = bucketed.select(col("lshBucket"), col("__key").as("keyB"), col("__vec").as("vecB"))
+      .withColumn("__norm", Similarity.norm(col(vecCol)))
+      .select(col(keyCol).as("__key"), col("lshBucket"),
+        transform(col(vecCol), x =>
+          when(col("__norm") > 0, x / col("__norm")).otherwise(lit(0.0)))
+          .as("__unit"))
+    val a = bucketed.select(col("lshBucket"), col("__key").as("keyA"), col("__unit").as("unitA"))
+    val b = bucketed.select(col("lshBucket"), col("__key").as("keyB"), col("__unit").as("unitB"))
     a.join(b, Seq("lshBucket")).where(col("keyA") < col("keyB"))
-      .withColumn("cosine", Similarity.cosine(col("vecA"), col("vecB")))
+      .withColumn("cosine", Similarity.dot(col("unitA"), col("unitB")))
       .where(col("cosine") >= threshold)
       .select("keyA", "keyB", "cosine")
       .dropDuplicates("keyA", "keyB")

@@ -85,9 +85,20 @@ object EncodeJob {
     val schema = df.schema
     val allCols = schema.fields.map(_.name).toSeq
     val salt = pmod(xxhash64(allCols.map(col): _*), lit(saltBuckets)).as("__salt")
+    // String columns travel as binary: Spark's internal UTF8String is
+    // already UTF-8, so `encode(c, 'UTF-8')` is a cheap byte handoff inside
+    // codegen, and the per-row hot loop below never decodes/re-encodes
+    // chars. Sort order is unchanged (UTF8String compares byte-wise, as
+    // does BinaryType).
+    val asBinary = df.select(schema.fields.map { f =>
+      if (f.dataType == StringType)
+        org.apache.spark.sql.functions.encode(col(f.name), "UTF-8").as(f.name)
+      else col(f.name)
+    }.toSeq: _*)
+    val binarySchema = asBinary.schema
     val keyed =
-      if (partitionKeys.isEmpty) df.repartition(numPartitions, salt)
-      else df.repartition(numPartitions, (partitionKeys.map(col) :+ salt): _*)
+      if (partitionKeys.isEmpty) asBinary.repartition(numPartitions, salt)
+      else asBinary.repartition(numPartitions, (partitionKeys.map(col) :+ salt): _*)
     val sorted =
       if (sortKeys.isEmpty) keyed
       else keyed.sortWithinPartitions(sortKeys.map(col): _*)
@@ -95,12 +106,13 @@ object EncodeJob {
     sorted.mapPartitions { rows =>
       val partId = TaskContext.getPartitionId()
       if (skip.value.contains(partId)) Iterator.empty
-      else encodePartition(partId, schema, rows, chunkRows, chunkRawBytes, forcedCodecs)
+      else encodePartition(partId, binarySchema, rows, chunkRows, chunkRawBytes, forcedCodecs)
     }
   }
 
   /** Pure per-partition encode: buffer up to chunkRows/chunkRawBytes rows,
-    * then run the codec auto-selector per column. */
+    * then run the codec auto-selector per column. Typed per-column builders
+    * keep the buffering boxing-free (primitive arrays end to end). */
   def encodePartition(partId: Int, schema: StructType, rows: Iterator[Row],
       chunkRows: Int, chunkRawBytes: Long,
       forcedCodecs: Map[String, Int] = Map.empty): Iterator[ChunkRow] = {
@@ -109,22 +121,16 @@ object EncodeJob {
     val out = ArrayBuffer.empty[ChunkRow]
     var chunkIdx = 0
 
-    var buffers: Array[ArrayBuffer[Any]] = null
+    val builders: Array[ColBuilder] = fields.map(f => ColBuilder(f.dataType))
     var bufferedRaw = 0L
     var buffered = 0
-
-    def reset(): Unit = {
-      buffers = Array.fill(nCols)(ArrayBuffer.empty[Any])
-      bufferedRaw = 0L
-      buffered = 0
-    }
-    reset()
 
     def flushChunk(): Unit = {
       if (buffered == 0) return
       var c = 0
       while (c < nCols) {
-        val vec = toColVec(fields(c).dataType, buffers(c))
+        val vec = builders(c).build()
+        builders(c).clear()
         val chunk = forcedCodecs.get(fields(c).name) match {
           case Some(codec) =>
             val blob = ChunkCodec.encodeWith(vec, codec)
@@ -139,20 +145,14 @@ object EncodeJob {
         c += 1
       }
       chunkIdx += 1
-      reset()
+      bufferedRaw = 0L
+      buffered = 0
     }
 
     rows.foreach { row =>
       var c = 0
       while (c < nCols) {
-        val v = extract(fields(c).dataType, row, c)
-        buffers(c) += v
-        bufferedRaw += (v match {
-          case b: Array[Byte] => 4L + b.length
-          case _: java.lang.Integer | _: java.lang.Float => 4L
-          case _: java.lang.Boolean => 1L
-          case _ => 8L
-        })
+        bufferedRaw += builders(c).add(row, c)
         c += 1
       }
       buffered += 1
@@ -160,36 +160,6 @@ object EncodeJob {
     }
     flushChunk()
     out.iterator
-  }
-
-  private def extract(dt: DataType, row: Row, i: Int): Any = dt match {
-    case StringType => row.getString(i).getBytes(java.nio.charset.StandardCharsets.UTF_8)
-    case BinaryType => row.getAs[Array[Byte]](i)
-    case IntegerType => Int.box(row.getInt(i))
-    case DateType => Int.box(row.getDate(i).toLocalDate.toEpochDay.toInt)
-    case LongType => Long.box(row.getLong(i))
-    case TimestampType =>
-      val ts = row.getTimestamp(i)
-      Long.box(Math.floorDiv(ts.getTime, 1000L) * 1000000L + ts.getNanos / 1000L)
-    case TimestampNTZType =>
-      val ldt = row.getAs[java.time.LocalDateTime](i)
-      Long.box(ldt.toEpochSecond(java.time.ZoneOffset.UTC) * 1000000L +
-        ldt.getNano / 1000L)
-    case FloatType => Float.box(row.getFloat(i))
-    case DoubleType => Double.box(row.getDouble(i))
-    case BooleanType => Boolean.box(row.getBoolean(i))
-    case other => throw new IllegalArgumentException(s"unsupported $other")
-  }
-
-  private def toColVec(dt: DataType, buf: ArrayBuffer[Any]): ColVec = dt match {
-    case StringType | BinaryType => BytesVec(buf.map(_.asInstanceOf[Array[Byte]]).toArray)
-    case IntegerType | DateType => IntVec(buf.map(_.asInstanceOf[Int]).toArray)
-    case LongType | TimestampType | TimestampNTZType =>
-      LongVec(buf.map(_.asInstanceOf[Long]).toArray)
-    case FloatType => FloatVec(buf.map(_.asInstanceOf[Float]).toArray)
-    case DoubleType => DoubleVec(buf.map(_.asInstanceOf[Double]).toArray)
-    case BooleanType => BoolVec(buf.map(_.asInstanceOf[Boolean]).toArray)
-    case other => throw new IllegalArgumentException(s"unsupported $other")
   }
 
   /** Per-(partition, column) lineage with a deterministic sha256 manifest
@@ -246,6 +216,120 @@ object EncodeJob {
     // atomic-ish swap via rename is fs-dependent; rewrite instead
     spark.read.parquet(s"$outDir/lineage_merged").write.mode("overwrite")
       .parquet(s"$outDir/lineage")
+  }
+}
+
+/** Boxing-free per-column row buffer: `add` pulls the typed value straight
+  * off the Row into a primitive array (strings decode to UTF-8 bytes once)
+  * and returns the raw-size delta used for chunk-cut accounting. */
+sealed trait ColBuilder {
+  def add(row: Row, i: Int): Long
+  def build(): ColVec
+  def clear(): Unit
+}
+
+object ColBuilder {
+  def apply(dt: DataType): ColBuilder = dt match {
+    case StringType => new BytesBuilder(fromString = true)
+    case BinaryType => new BytesBuilder(fromString = false)
+    case IntegerType => new IntBuilder(null)
+    case DateType => new IntBuilder((r, i) =>
+      r.getDate(i).toLocalDate.toEpochDay.toInt)
+    case LongType => new LongBuilder(null)
+    case TimestampType => new LongBuilder((r, i) => {
+      val ts = r.getTimestamp(i)
+      Math.floorDiv(ts.getTime, 1000L) * 1000000L + ts.getNanos / 1000L
+    })
+    case TimestampNTZType => new LongBuilder((r, i) => {
+      val ldt = r.getAs[java.time.LocalDateTime](i)
+      ldt.toEpochSecond(java.time.ZoneOffset.UTC) * 1000000L + ldt.getNano / 1000L
+    })
+    case FloatType => new FloatBuilder
+    case DoubleType => new DoubleBuilder
+    case BooleanType => new BoolBuilder
+    case other => throw new IllegalArgumentException(
+      s"unsupported column type $other (flat schemas only)")
+  }
+
+  private final class BytesBuilder(fromString: Boolean) extends ColBuilder {
+    private var a = new Array[Array[Byte]](1024)
+    private var n = 0
+    def add(row: Row, i: Int): Long = {
+      if (n == a.length) a = java.util.Arrays.copyOf(a, a.length << 1)
+      val v =
+        if (fromString) row.getString(i).getBytes(java.nio.charset.StandardCharsets.UTF_8)
+        else row.getAs[Array[Byte]](i)
+      a(n) = v
+      n += 1
+      4L + v.length
+    }
+    def build(): ColVec = BytesVec(java.util.Arrays.copyOf(a, n))
+    def clear(): Unit = n = 0
+  }
+
+  private class IntBuilder(get: (Row, Int) => Int) extends ColBuilder {
+    private var a = new Array[Int](1024)
+    private var n = 0
+    def add(row: Row, i: Int): Long = {
+      if (n == a.length) a = java.util.Arrays.copyOf(a, a.length << 1)
+      a(n) = if (get == null) row.getInt(i) else get(row, i)
+      n += 1
+      4L
+    }
+    def build(): ColVec = IntVec(java.util.Arrays.copyOf(a, n))
+    def clear(): Unit = n = 0
+  }
+
+  private class LongBuilder(get: (Row, Int) => Long) extends ColBuilder {
+    private var a = new Array[Long](1024)
+    private var n = 0
+    def add(row: Row, i: Int): Long = {
+      if (n == a.length) a = java.util.Arrays.copyOf(a, a.length << 1)
+      a(n) = if (get == null) row.getLong(i) else get(row, i)
+      n += 1
+      8L
+    }
+    def build(): ColVec = LongVec(java.util.Arrays.copyOf(a, n))
+    def clear(): Unit = n = 0
+  }
+
+  private final class FloatBuilder extends ColBuilder {
+    private var a = new Array[Float](1024)
+    private var n = 0
+    def add(row: Row, i: Int): Long = {
+      if (n == a.length) a = java.util.Arrays.copyOf(a, a.length << 1)
+      a(n) = row.getFloat(i)
+      n += 1
+      4L
+    }
+    def build(): ColVec = FloatVec(java.util.Arrays.copyOf(a, n))
+    def clear(): Unit = n = 0
+  }
+
+  private final class DoubleBuilder extends ColBuilder {
+    private var a = new Array[Double](1024)
+    private var n = 0
+    def add(row: Row, i: Int): Long = {
+      if (n == a.length) a = java.util.Arrays.copyOf(a, a.length << 1)
+      a(n) = row.getDouble(i)
+      n += 1
+      8L
+    }
+    def build(): ColVec = DoubleVec(java.util.Arrays.copyOf(a, n))
+    def clear(): Unit = n = 0
+  }
+
+  private final class BoolBuilder extends ColBuilder {
+    private var a = new Array[Boolean](1024)
+    private var n = 0
+    def add(row: Row, i: Int): Long = {
+      if (n == a.length) a = java.util.Arrays.copyOf(a, a.length << 1)
+      a(n) = row.getBoolean(i)
+      n += 1
+      1L
+    }
+    def build(): ColVec = BoolVec(java.util.Arrays.copyOf(a, n))
+    def clear(): Unit = n = 0
   }
 }
 

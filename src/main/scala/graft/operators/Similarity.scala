@@ -1,37 +1,113 @@
 package graft.operators
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, Row}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
 
 /** Approximate-nearest-neighbor search over an embedding column
   * (array<float>). Brute-force cosine top-k is the exact baseline; the
   * scale path buckets by random-hyperplane signs (LSH) so the self-join is
-  * linear in bucket size, and a broadcast path serves small query sets. */
+  * linear in bucket size.
+  *
+  * Scale notes (100 TB): [[bruteForceTopK]] broadcasts the corpus side —
+  * correct whenever the *indexed* side fits in executor memory (the classic
+  * brute-force-with-broadcast baseline); queries stream through
+  * mapPartitions with a primitive-float kernel, no shuffle at all.
+  * [[lshTopK]] avoids the quadratic join entirely: one shuffle on bucket
+  * id, pairs only within buckets.
+  */
 object Similarity {
 
-  /** Codegen'd cosine similarity between two array<float/double> columns. */
+  /** Codegen'd cosine similarity between two array<float/double> columns.
+    * For join hot paths prefer normalizing each side once and using
+    * [[dot]] — this recomputes both norms per pair. */
   def cosine(a: Column, b: Column): Column = {
-    val dot = aggregate(zip_with(a, b, (x, y) => x * y),
-      lit(0.0), (acc, v) => acc + v)
+    val d = dot(a, b)
     val na = sqrt(aggregate(a, lit(0.0), (acc, v) => acc + v * v))
     val nb = sqrt(aggregate(b, lit(0.0), (acc, v) => acc + v * v))
-    when(na * nb > 0, dot / (na * nb)).otherwise(lit(0.0))
+    when(na * nb > 0, d / (na * nb)).otherwise(lit(0.0))
   }
 
-  /** Exact brute-force top-k neighbors for every row (self-join). The small
-    * side is broadcast when it fits; for N large use [[lshTopK]]. */
+  /** Codegen'd dot product of two array columns. */
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, v) => acc + v)
+
+  /** L2 norm of an array column. */
+  def norm(a: Column): Column =
+    sqrt(aggregate(a, lit(0.0), (acc, v) => acc + v * v))
+
+  /** Exact brute-force cosine top-k for every row: the corpus is collected
+    * (normalized, primitive floats) and broadcast; each partition scans its
+    * queries against the broadcast matrix with a JIT-friendly fused loop and
+    * a bounded selection — zero shuffle, linear scaling in queries. */
   def bruteForceTopK(df: DataFrame, keyCol: String, vecCol: String,
       k: Int = 5): DataFrame = {
-    val a = df.select(col(keyCol).as("query"), col(vecCol).as("vecA"))
-    val b = df.select(col(keyCol).as("neighbor"), col(vecCol).as("vecB"))
-    val scored = a.join(broadcast(b), col("query") =!= col("neighbor"))
-      .withColumn("cosine", cosine(col("vecA"), col("vecB")))
-    val w = Window.partitionBy(col("query"))
-      .orderBy(col("cosine").desc, col("neighbor").asc)
-    scored.withColumn("rank", row_number().over(w))
-      .where(col("rank") <= k)
-      .select("query", "neighbor", "cosine", "rank")
+    val spark = df.sparkSession
+    val src = df.select(col(keyCol).cast("long").as("id"),
+      col(vecCol).cast("array<double>").as("v"))
+    // corpus side: raw doubles + precomputed L2 norms
+    val corpus: Array[(Long, Array[Double], Double)] = src.collect().map { r =>
+      val id = r.getLong(0)
+      val v = r.getSeq[Double](1).toArray
+      var s = 0.0
+      var i = 0
+      while (i < v.length) { s += v(i) * v(i); i += 1 }
+      (id, v, math.sqrt(s))
+    }.sortBy(_._1)
+    val bc = spark.sparkContext.broadcast(corpus)
+
+    val outSchema = StructType(Seq(
+      StructField("query", LongType, nullable = false),
+      StructField("neighbor", LongType, nullable = false),
+      StructField("cosine", DoubleType, nullable = false),
+      StructField("rank", IntegerType, nullable = false)))
+    implicit val enc: org.apache.spark.sql.Encoder[Row] =
+      org.apache.spark.sql.Encoders.row(outSchema)
+
+    src.mapPartitions { it =>
+      val cor = bc.value
+      val n = cor.length
+      it.flatMap { r =>
+        val qid = r.getLong(0)
+        val q = r.getSeq[Double](1).toArray
+        var s = 0.0
+        var i = 0
+        while (i < q.length) { s += q(i) * q(i); i += 1 }
+        val qn = math.sqrt(s)
+        // top-k by (cosine desc, neighbor asc): bounded insertion sort
+        val topIds = new Array[Long](k)
+        val topCos = new Array[Double](k)
+        var filled = 0
+        var ci = 0
+        while (ci < n) {
+          val (cid, cv, cn) = cor(ci)
+          if (cid != qid) {
+            var d = 0.0
+            var j = 0
+            while (j < cv.length) { d += q(j) * cv(j); j += 1 }
+            val c = if (qn * cn > 0) d / (qn * cn) else 0.0
+            val better = filled < k || c > topCos(k - 1) ||
+              (c == topCos(k - 1) && cid < topIds(k - 1))
+            if (better) {
+              var pos = if (filled < k) filled else k - 1
+              topIds(pos) = cid
+              topCos(pos) = c
+              while (pos > 0 && (topCos(pos) > topCos(pos - 1) ||
+                  (topCos(pos) == topCos(pos - 1) && topIds(pos) < topIds(pos - 1)))) {
+                val ti = topIds(pos); topIds(pos) = topIds(pos - 1); topIds(pos - 1) = ti
+                val tc = topCos(pos); topCos(pos) = topCos(pos - 1); topCos(pos - 1) = tc
+                pos -= 1
+              }
+              if (filled < k) filled += 1
+            }
+          }
+          ci += 1
+        }
+        (0 until filled).iterator.map(rk =>
+          Row(qid, topIds(rk), topCos(rk), rk + 1))
+      }
+    }.toDF("query", "neighbor", "cosine", "rank")
   }
 
   /** Deterministic pseudo-random hyperplane component for (plane p, dim i):
@@ -47,24 +123,31 @@ object Similarity {
     val v = col(vecCol)
     val idx = sequence(lit(0), size(v) - 1)
     val bits = (0 until planes).map { p =>
-      val dot = aggregate(zip_with(v, idx, (x, i) => x * planeComponent(p, i)),
+      val d = aggregate(zip_with(v, idx, (x, i) => x * planeComponent(p, i)),
         lit(0.0), (acc, x) => acc + x)
-      when(dot >= 0, shiftleft(lit(1L), p)).otherwise(lit(0L))
+      when(d >= 0, shiftleft(lit(1L), p)).otherwise(lit(0L))
     }
     df.withColumn("lshBucket", bits.reduce(_.bitwiseOR(_)))
   }
 
   /** Scale-path ANN: join only within LSH buckets, then top-k per query.
-    * Recall trades off with `planes`; at 100 TB this is the shape that
-    * avoids the quadratic cross join entirely. */
+    * Vectors are normalized once per side before the join, so each pair
+    * costs a single dot product. Recall trades off with `planes`; at 100 TB
+    * this is the shape that avoids the quadratic cross join entirely. */
   def lshTopK(df: DataFrame, keyCol: String, vecCol: String,
       k: Int = 5, planes: Int = 8): DataFrame = {
     val bucketed = cosineLshBuckets(df, vecCol, planes)
-      .select(col("lshBucket"), col(keyCol).as("__key"), col(vecCol).as("__vec"))
-    val a = bucketed.select(col("lshBucket"), col("__key").as("query"), col("__vec").as("vecA"))
-    val b = bucketed.select(col("lshBucket"), col("__key").as("neighbor"), col("__vec").as("vecB"))
+      .withColumn("__norm", norm(col(vecCol)))
+      .select(col("lshBucket"), col(keyCol).as("__key"),
+        transform(col(vecCol), x =>
+          when(col("__norm") > 0, x / col("__norm")).otherwise(lit(0.0)))
+          .as("__unit"))
+    val a = bucketed.select(col("lshBucket"), col("__key").as("query"),
+      col("__unit").as("unitA"))
+    val b = bucketed.select(col("lshBucket"), col("__key").as("neighbor"),
+      col("__unit").as("unitB"))
     val scored = a.join(b, Seq("lshBucket")).where(col("query") =!= col("neighbor"))
-      .withColumn("cosine", cosine(col("vecA"), col("vecB")))
+      .withColumn("cosine", dot(col("unitA"), col("unitB")))
     val w = Window.partitionBy(col("query"))
       .orderBy(col("cosine").desc, col("neighbor").asc)
     scored.withColumn("rank", row_number().over(w))

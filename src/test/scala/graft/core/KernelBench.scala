@@ -1,0 +1,44 @@
+package graft.core
+
+import graft.sources.CodeTableGen
+
+/** Scratch single-thread kernel profiler (not a ScalaTest suite; run via
+  * `sbt "Test/runMain graft.core.KernelBench"`). */
+object KernelBench {
+  def time[A](label: String, rawBytes: Long)(f: => A): A = {
+    val t0 = System.nanoTime()
+    val a = f
+    val dt = (System.nanoTime() - t0) / 1e9
+    println(f"$label%-34s ${dt}%8.3fs  ${rawBytes / dt / 1e6}%10.1f MB/s")
+    a
+  }
+
+  def main(args: Array[String]): Unit = {
+    val n = 16384
+    val rows = (0 until n).map(i => CodeTableGen.genRow(42L, i.toLong, 1024, 1536))
+    val content = BytesVec(rows.map(_.content.getBytes("UTF-8")).toArray)
+    val path = BytesVec(rows.map(_.path.getBytes("UTF-8")).toArray)
+    val commit = BytesVec(rows.map(_.commit.getBytes("UTF-8")).toArray)
+    val lang = BytesVec(rows.map(_.lang.getBytes("UTF-8")).toArray)
+    val repo = BytesVec(rows.map(_.repo.getBytes("UTF-8")).toArray)
+    val lens = IntVec(rows.map(_.content.length).toArray)
+
+    (1 to 3).foreach { round =>
+      println(s"--- round $round")
+      time("stats content", content.rawSize)(ChunkStats.compute(content))
+      time("plain content", content.rawSize)(ChunkCodec.encodeWith(content, CodecId.Plain))
+      time("dictRef content", content.rawSize)(ChunkCodec.encodeWith(content, CodecId.Dict))
+      time("fsst content", content.rawSize)(ChunkCodec.encodeWith(content, CodecId.Fsst))
+      time("deltaByte content", content.rawSize)(ChunkCodec.encodeWith(content, CodecId.DeltaByteArray))
+      time("deltaLen content", content.rawSize)(ChunkCodec.encodeWith(content, CodecId.DeltaLengthByteArray))
+      time("AUTO content", content.rawSize)(ChunkCodec.encodeAuto(content))
+      time("AUTO path", path.rawSize)(ChunkCodec.encodeAuto(path))
+      time("AUTO commit", commit.rawSize)(ChunkCodec.encodeAuto(commit))
+      time("AUTO lang", lang.rawSize)(ChunkCodec.encodeAuto(lang))
+      time("AUTO repo", repo.rawSize)(ChunkCodec.encodeAuto(repo))
+      time("AUTO lens", lens.rawSize)(ChunkCodec.encodeAuto(lens))
+      val blob = ChunkCodec.encodeAuto(content).blob
+      time("decode content", content.rawSize)(ChunkCodec.decode(blob))
+    }
+  }
+}
