@@ -27,6 +27,10 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "24g")}",
+  // pin the heap: the sandbox host faults in fresh pages very slowly, so a
+  // growing/uncommitting heap causes multi-second sys-time stalls mid-run
+  s"-Xms${sys.env.getOrElse("SPARK_DRIVER_MEM", "24g")}",
+  "-XX:+AlwaysPreTouch",
   // chunk blobs are multi-MB arrays; 32m G1 regions keep them out of the
   // humongous-allocation path at local[32] concurrency
   "-XX:+UseG1GC", "-XX:G1HeapRegionSize=32m",

@@ -105,6 +105,31 @@ object SparkEntry {
           max(col("ts")).as("mx_ts"),
           countDistinct(col("event_type")).as("ntypes"))
     }),
+    "q_rt_zstd_text" -> ((s, dir) => {
+      // chunk encoding + general-purpose block compression on top
+      // (reference compression.rs); decode unwraps transparently
+      val in = docs(s, dir).select("doc_id", "lang", "text")
+      Roundtrip.through(in, sortKeys = Seq("doc_id"),
+          blockCodec = graft.core.BlockCodec.Zstd)
+        .groupBy("lang").agg(count(lit(1)).as("cnt"),
+          sum(octet_length(col("text"))).as("bytes"))
+        .orderBy("lang")
+    }),
+    "q_rt_nulls" -> ((s, dir) => {
+      // nullable columns: def-level (validity) streams through the chunk
+      // container, values null-suppressed like Parquet data pages
+      val in = docs(s, dir).select(col("doc_id"),
+        when(col("n_chars") % 7 === 0, lit(null)).otherwise(col("source"))
+          .as("source_n"),
+        when(col("n_chars") % 5 === 0, lit(null)).otherwise(col("n_chars"))
+          .as("chars_n"))
+      Roundtrip.through(in, sortKeys = Seq("doc_id"))
+        .agg(count(lit(1)).as("n"),
+          count(col("source_n")).as("nn_source"),
+          count(col("chars_n")).as("nn_chars"),
+          sum(col("chars_n")).as("sum_chars"),
+          countDistinct(col("source_n")).as("nd_source"))
+    }),
     // ---- encoder lineage + selector (oracle checks the byte accounting)
     "q_enc_lineage_bytes" -> ((s, dir) => {
       val chunks = EncodeJob.encode(docs(s, dir), numPartitions = 8,
@@ -182,8 +207,12 @@ object SparkEntry {
         coalesce(min(col("dist")), lit(0)).as("min_dist"))
     }),
     "q_ngram_jaccard" -> ((s, dir) => {
-      val pairs = Dedup.ngramJaccardPairs(docs(s, dir), "doc_id", "text",
-        blockCols = Seq("lang"), n = 3, threshold = 0.4)
+      // blocked exact jaccard: (lang, 128-char length band) — near-dups
+      // share length, so banding bounds the per-block quadratic cost
+      val banded = docs(s, dir)
+        .withColumn("len_band", floor(col("n_chars") / lit(128)))
+      val pairs = Dedup.ngramJaccardPairs(banded, "doc_id", "text",
+        blockCols = Seq("lang", "len_band"), n = 3, threshold = 0.4)
       pairs.agg(count(lit(1)).as("sim_pairs"),
         coalesce(round(max(col("jaccard")), 3), lit(0.0)).as("max_jaccard"))
     }),
@@ -231,6 +260,15 @@ object SparkEntry {
       "SELECT count(*) AS n, count(DISTINCT doc_id) AS nd, CAST(sum(n_chars) AS BIGINT) AS sum_chars FROM documents",
     "q_rt_events_ts" ->
       "SELECT count(*) AS n, min(ts) AS mn_ts, max(ts) AS mx_ts, count(DISTINCT event_type) AS ntypes FROM events",
+    "q_rt_zstd_text" ->
+      "SELECT lang, count(*) AS cnt, CAST(sum(strlen(text)) AS BIGINT) AS bytes FROM documents GROUP BY lang ORDER BY lang",
+    "q_rt_nulls" ->
+      ("SELECT count(*) AS n, " +
+        "count(CASE WHEN n_chars % 7 = 0 THEN NULL ELSE source END) AS nn_source, " +
+        "count(CASE WHEN n_chars % 5 = 0 THEN NULL ELSE n_chars END) AS nn_chars, " +
+        "CAST(sum(CASE WHEN n_chars % 5 = 0 THEN NULL ELSE n_chars END) AS BIGINT) AS sum_chars, " +
+        "count(DISTINCT CASE WHEN n_chars % 7 = 0 THEN NULL ELSE source END) AS nd_source " +
+        "FROM documents"),
     "q_enc_lineage_bytes" ->
       ("SELECT 'doc_id' AS col_name, CAST(8*count(*) AS BIGINT) AS input_bytes FROM documents " +
         "UNION ALL SELECT 'lang', CAST(sum(4 + strlen(lang)) AS BIGINT) FROM documents " +

@@ -30,11 +30,18 @@ final case class EncodedChunk(
   * Chunk blob layout (our own container; we re-create the encoding layer,
   * not the Parquet file format):
   * {{{
-  * 'G' 'C' u8(version=1) u8(physicalType) u8(primaryCodec)
-  * vlq(numValues)
+  * 'G' 'C' u8(version) u8(physicalType) u8(primaryCodec)
+  * vlq(numRows)
+  * [v2 only] vlq(levelByteLen) defLevels(RLE/bit-packed hybrid, bit width 1)
   * u8(hasDict) [vlq(dictEntries) vlq(dictByteLen) dictBytes(PLAIN uniques)]
   * vlq(numPages) { u8(pageCodec) vlq(pageValues) vlq(pageByteLen) bytes }*
   * }}}
+  * version = 1: no nulls, numRows == numValues (bit-identical to the
+  * engine's null-free format). version = 2: a definition-level stream
+  * (1 = present, 0 = null — the flat-OPTIONAL case of the reference's
+  * `/root/reference/src/encodings/levels.rs:48-137`, RLE v2 mode, bit
+  * width = log2(max_level+1) = 1); value pages then hold only the
+  * non-null values, exactly like Parquet data pages.
   */
 object ChunkCodec {
   val DataPageSizeLimit: Long = 1L << 20
@@ -49,11 +56,11 @@ object ChunkCodec {
     case LongVec(v) => LongVec(java.util.Arrays.copyOfRange(v, from, until))
     case FloatVec(v) => FloatVec(java.util.Arrays.copyOfRange(v, from, until))
     case DoubleVec(v) => DoubleVec(java.util.Arrays.copyOfRange(v, from, until))
-    case BytesVec(v) => BytesVec(java.util.Arrays.copyOfRange(v, from, until))
+    case v: BytesVec => v.slice(from, until) // zero-copy arena window
   }
 
   private def rawSizeOf(vec: ColVec, i: Int): Long = vec match {
-    case BytesVec(v) => 4L + v(i).length
+    case v: BytesVec => 4L + v.len(i)
     case BoolVec(_) => 1L // page-cut accounting only
     case IntVec(_) | FloatVec(_) => 4L
     case _ => 8L
@@ -65,7 +72,27 @@ object ChunkCodec {
     case _: LongVec => LongVec(parts.flatMap(_.asInstanceOf[LongVec].values).toArray)
     case _: FloatVec => FloatVec(parts.flatMap(_.asInstanceOf[FloatVec].values).toArray)
     case _: DoubleVec => DoubleVec(parts.flatMap(_.asInstanceOf[DoubleVec].values).toArray)
-    case _: BytesVec => BytesVec(parts.flatMap(_.asInstanceOf[BytesVec].values).toArray)
+    case _: BytesVec =>
+      val vs = parts.map(_.asInstanceOf[BytesVec])
+      val n = vs.map(_.length).sum
+      val totalBytes = vs.map(_.totalBytes.toLong).sum
+      val offsets = new Array[Int](n + 1)
+      val data = new Array[Byte](math.toIntExact(totalBytes))
+      var vi = 0
+      var dPos = 0
+      vs.foreach { v =>
+        val base = v.offsets(0)
+        var i = 0
+        while (i < v.length) {
+          offsets(vi) = dPos + (v.offsets(i) - base)
+          i += 1
+          vi += 1
+        }
+        System.arraycopy(v.data, base, data, dPos, v.totalBytes)
+        dPos += v.totalBytes
+      }
+      offsets(n) = dPos
+      BytesVec(data, offsets)
   }
 
   // ------------------------------------------------------------ page encode
@@ -81,10 +108,10 @@ object ChunkCodec {
       case other => throw new IllegalArgumentException(s"delta needs ints, got $other")
     }
     case CodecId.DeltaLengthByteArray =>
-      DeltaLengthByteArrayCodec.encode(vec.asInstanceOf[BytesVec].values)
+      DeltaLengthByteArrayCodec.encode(vec.asInstanceOf[BytesVec])
     case CodecId.DeltaByteArray =>
-      DeltaByteArrayCodec.encode(vec.asInstanceOf[BytesVec].values)
-    case CodecId.Fsst => FsstCodec.encode(vec.asInstanceOf[BytesVec].values)
+      DeltaByteArrayCodec.encode(vec.asInstanceOf[BytesVec])
+    case CodecId.Fsst => FsstCodec.encode(vec.asInstanceOf[BytesVec])
     case other => throw new IllegalArgumentException(s"not a page codec: $other")
   }
 
@@ -98,9 +125,9 @@ object ChunkCodec {
     case CodecId.DeltaBinaryPacked =>
       val longs = DeltaBinaryPackedDecoder.decode(buf, int32 = physicalType == PhysicalType.Int32)
       if (physicalType == PhysicalType.Int32) IntVec(longs.map(_.toInt)) else LongVec(longs)
-    case CodecId.DeltaLengthByteArray => BytesVec(DeltaLengthByteArrayCodec.decode(buf))
-    case CodecId.DeltaByteArray => BytesVec(DeltaByteArrayCodec.decode(buf))
-    case CodecId.Fsst => BytesVec(FsstCodec.decode(buf))
+    case CodecId.DeltaLengthByteArray => DeltaLengthByteArrayCodec.decode(buf)
+    case CodecId.DeltaByteArray => DeltaByteArrayCodec.decode(buf)
+    case CodecId.Fsst => FsstCodec.decode(buf)
     case other => throw new IllegalArgumentException(s"unknown codec $other")
   }
 
@@ -174,13 +201,23 @@ object ChunkCodec {
   // ----------------------------------------------------------- chunk encode
 
   private def assemble(vec: ColVec, primaryCodec: Int,
-      dict: DictCodec.Encoder, pages: ArrayBuffer[Page]): Array[Byte] = {
+      dict: DictCodec.Encoder, pages: ArrayBuffer[Page],
+      defLevels: Array[Byte]): Array[Byte] = {
     val w = new BitWriter(4096)
     w.putAligned('G'.toLong, 1); w.putAligned('C'.toLong, 1)
-    w.putAligned(1L, 1)
+    w.putAligned(if (defLevels == null) 1L else 2L, 1)
     w.putAligned(vec.physicalType.toLong, 1)
     w.putAligned(primaryCodec.toLong, 1)
-    w.putVlq(vec.length.toLong)
+    if (defLevels == null) w.putVlq(vec.length.toLong)
+    else {
+      w.putVlq(defLevels.length.toLong)
+      val rle = new RleHybridEncoder(1, math.max(64, defLevels.length / 8))
+      var i = 0
+      while (i < defLevels.length) { rle.put(defLevels(i).toLong); i += 1 }
+      val body = rle.result()
+      w.putVlq(body.length.toLong)
+      w.putBytes(body)
+    }
     if (dict != null && dict.numEntries > 0 && pages.exists(_.codecId == CodecId.Dict)) {
       w.putAligned(1L, 1)
       val dictBytes = dict.writeDict()
@@ -198,24 +235,28 @@ object ChunkCodec {
     w.result()
   }
 
-  /** Encode with one specific codec (Dict means dict-with-PLAIN-fallback). */
-  def encodeWith(vec: ColVec, codecId: Int): Array[Byte] =
+  /** Encode with one specific codec (Dict means dict-with-PLAIN-fallback).
+    * `defLevels` (one 0/1 byte per ROW) is non-null iff the chunk contains
+    * nulls; `vec` then holds only the non-null values. */
+  def encodeWith(vec: ColVec, codecId: Int,
+      defLevels: Array[Byte] = null): Array[Byte] =
     if (codecId == CodecId.Dict) {
       val (dict, pages) = encodeDictWithFallback(vec)
-      assemble(vec, CodecId.Dict, dict, pages)
-    } else assemble(vec, codecId, null, encodePaged(vec, codecId))
+      assemble(vec, CodecId.Dict, dict, pages, defLevels)
+    } else assemble(vec, codecId, null, encodePaged(vec, codecId), defLevels)
 
   /** The stats-driven auto-selector with the reference policy as ceiling. */
-  def encodeAuto(vec: ColVec, statsIn: ColumnStats = null): EncodedChunk = {
+  def encodeAuto(vec: ColVec, statsIn: ColumnStats = null,
+      defLevels: Array[Byte] = null): EncodedChunk = {
     val stats = if (statsIn == null) ChunkStats.compute(vec) else statsIn
     val refCodec = referencePolicyCodec(vec)
-    val refBlob = encodeWith(vec, refCodec)
+    val refBlob = encodeWith(vec, refCodec, defLevels)
     val best = CodecSelector.choose(vec.physicalType, stats)
     var chosenId = refCodec
     var chosenBlob = refBlob
     best.foreach { cand =>
       if (cand != refCodec) {
-        val blob = encodeWith(vec, cand)
+        val blob = encodeWith(vec, cand, defLevels)
         if (blob.length < chosenBlob.length) { chosenId = cand; chosenBlob = blob }
       }
     }
@@ -235,14 +276,45 @@ object ChunkCodec {
 
   // ----------------------------------------------------------- chunk decode
 
+  /** Decode a null-free chunk (version 1). */
   def decode(blob: Array[Byte]): ColVec = {
+    val d = decodeWithLevels(blob)
+    require(d.defLevels == null, "chunk has nulls; use decodeWithLevels")
+    d.vec
+  }
+
+  /** Decoded chunk: non-null values + (for v2 chunks) one 0/1 def level
+    * per row; `defLevels == null` means no nulls. */
+  final case class Decoded(vec: ColVec, defLevels: Array[Byte]) {
+    def numRows: Int = if (defLevels == null) vec.length else defLevels.length
+  }
+
+  def decodeWithLevels(blob: Array[Byte]): Decoded = {
     val r = new BitReader(blob)
     require(r.getAligned(1) == 'G'.toLong && r.getAligned(1) == 'C'.toLong,
       "bad chunk magic")
-    require(r.getAligned(1) == 1L, "bad chunk version")
+    val version = r.getAligned(1)
+    require(version == 1L || version == 2L, s"bad chunk version $version")
     val physicalType = r.getAligned(1).toInt
     r.getAligned(1) // primary codec (informational)
-    val numValues = r.getVlq().toInt
+    val numRows = r.getVlq().toInt
+    var defLevels: Array[Byte] = null
+    var numValues = numRows
+    if (version == 2L) {
+      val levelLen = r.getVlq().toInt
+      val levelBytes = r.getBytes(levelLen)
+      val dec = new RleHybridDecoder(1, levelBytes, 0, levelBytes.length)
+      val tmp = new Array[Long](numRows)
+      dec.get(tmp, 0, numRows)
+      defLevels = new Array[Byte](numRows)
+      numValues = 0
+      var i = 0
+      while (i < numRows) {
+        defLevels(i) = tmp(i).toByte
+        if (tmp(i) != 0L) numValues += 1
+        i += 1
+      }
+    }
     val hasDict = r.getAligned(1) == 1L
     var dict: ColVec = null
     if (hasDict) {
@@ -264,7 +336,7 @@ object ChunkCodec {
     }
     val out = if (parts.isEmpty) emptyVec(physicalType) else concat(parts.toSeq)
     require(out.length == numValues, s"chunk decode: ${out.length} != $numValues")
-    out
+    Decoded(out, defLevels)
   }
 
   private def emptyVec(physicalType: Int): ColVec = physicalType match {
@@ -273,7 +345,7 @@ object ChunkCodec {
     case PhysicalType.Int64 => LongVec(Array.empty)
     case PhysicalType.Float => FloatVec(Array.empty)
     case PhysicalType.Double => DoubleVec(Array.empty)
-    case PhysicalType.Bytes => BytesVec(Array.empty)
+    case PhysicalType.Bytes => BytesVec.empty
   }
 }
 

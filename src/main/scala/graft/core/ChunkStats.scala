@@ -45,7 +45,7 @@ object ChunkStats {
       i => java.lang.Float.floatToRawIntBits(vs(i)).toLong, 4)
     case DoubleVec(vs) => longStats(vec, vs.length,
       i => java.lang.Double.doubleToRawLongBits(vs(i)), 8)
-    case BytesVec(vs) => bytesStats(vec, vs)
+    case v: BytesVec => bytesStats(v)
   }
 
   private def longStats(vec: ColVec, n: Int, at: Int => Long, width: Int): ColumnStats = {
@@ -75,10 +75,12 @@ object ChunkStats {
       if (n == 0) 0 else mn, if (n == 0) 0 else mx)
   }
 
-  private def bytesStats(vec: ColVec, vs: Array[Array[Byte]]): ColumnStats = {
+  private def bytesStats(vec: BytesVec): ColumnStats = {
+    val n = vec.length
+    val data = vec.data
     val seen = new java.util.HashSet[Int]() // distinct via hash (estimate)
     var distinctRaw = 0L
-    var runs = if (vs.isEmpty) 0L else 1L
+    var runs = if (n == 0) 0L else 1L
     var nondec = 0L
     var prefixShareSum = 0.0
     var capped = false
@@ -87,28 +89,36 @@ object ChunkStats {
     var histBytes = 0L
     val HistLimit = 1L << 16
     var i = 0
-    while (i < vs.length) {
-      val v = vs(i)
+    while (i < n) {
+      val off = vec.start(i)
+      val len = vec.len(i)
       if (!capped) {
-        val h = java.util.Arrays.hashCode(v)
-        if (seen.add(h)) distinctRaw += 4L + v.length
+        var h = 1
+        var k = off
+        val end = off + len
+        while (k < end) { h = 31 * h + data(k); k += 1 }
+        if (seen.add(h)) distinctRaw += 4L + len
         if (seen.size >= DistinctCap) capped = true
       }
       if (histBytes < HistLimit) {
-        val take = math.min(v.length.toLong, HistLimit - histBytes).toInt
+        val take = math.min(len.toLong, HistLimit - histBytes).toInt
         var k = 0
-        while (k < take) { hist(v(k) & 0xFF) += 1; k += 1 }
+        while (k < take) { hist(data(off + k) & 0xFF) += 1; k += 1 }
         histBytes += take
       }
       if (i > 0) {
-        val p = vs(i - 1)
-        val cmp = java.util.Arrays.compareUnsigned(p, v)
+        val pOff = vec.start(i - 1)
+        val pLen = vec.len(i - 1)
+        val maxLen = math.min(pLen, len)
+        var m = 0
+        while (m < maxLen && data(pOff + m) == data(off + m)) m += 1
+        // lexicographic compare via first mismatch
+        val cmp =
+          if (m < maxLen) (data(pOff + m) & 0xFF) - (data(off + m) & 0xFF)
+          else pLen - len
         if (cmp != 0) runs += 1
         if (cmp <= 0) nondec += 1
-        val maxLen = math.min(p.length, v.length)
-        var m = 0
-        while (m < maxLen && p(m) == v(m)) m += 1
-        prefixShareSum += (if (v.length == 0) 1.0 else m.toDouble / v.length)
+        prefixShareSum += (if (len == 0) 1.0 else m.toDouble / len)
       }
       i += 1
     }
@@ -123,9 +133,9 @@ object ChunkStats {
         b += 1
       }
     }
-    ColumnStats(vs.length, vec.rawSize, seen.size, capped, distinctRaw, runs,
-      if (vs.length > 1) nondec.toDouble / (vs.length - 1) else 1.0,
-      if (vs.length > 1) prefixShareSum / (vs.length - 1) else 0.0,
+    ColumnStats(n, vec.rawSize, seen.size, capped, distinctRaw, runs,
+      if (n > 1) nondec.toDouble / (n - 1) else 1.0,
+      if (n > 1) prefixShareSum / (n - 1) else 0.0,
       entropy, 0, 0)
   }
 }

@@ -48,16 +48,47 @@ final case class DoubleVec(values: Array[Double]) extends ColVec {
   def physicalType: Int = PhysicalType.Double
   def rawSize: Long = 8L * values.length
 }
-/** BYTE_ARRAY; each value is an independent byte array (UTF-8 for strings). */
-final case class BytesVec(values: Array[Array[Byte]]) extends ColVec {
-  def length: Int = values.length
+/** BYTE_ARRAY (UTF-8 for strings), arena representation: ONE contiguous
+  * byte buffer + an offsets array (value i = data[offsets(i), offsets(i+1))).
+  * No per-value heap objects — at 100 TB the alternative is millions of
+  * small arrays per task and an allocator-bound encode. `offsets(0)` may be
+  * non-zero: slicing shares `data` and copies only the offset window. */
+final case class BytesVec(data: Array[Byte], offsets: Array[Int]) extends ColVec {
+  def length: Int = offsets.length - 1
   def physicalType: Int = PhysicalType.Bytes
-  def rawSize: Long = {
-    var s = 0L
+  @inline def start(i: Int): Int = offsets(i)
+  @inline def len(i: Int): Int = offsets(i + 1) - offsets(i)
+  /** Total value bytes covered by this (possibly sliced) vector. */
+  def totalBytes: Int = offsets(length) - offsets(0)
+  def rawSize: Long = totalBytes.toLong + 4L * length
+  /** Copy out value i (test/interop convenience — not for hot paths). */
+  def valueBytes(i: Int): Array[Byte] =
+    java.util.Arrays.copyOfRange(data, offsets(i), offsets(i + 1))
+  /** Zero-copy slice of values [from, until). */
+  def slice(from: Int, until: Int): BytesVec =
+    BytesVec(data, java.util.Arrays.copyOfRange(offsets, from, until + 1))
+}
+
+object BytesVec {
+  val empty: BytesVec = BytesVec(Array.emptyByteArray, Array(0))
+
+  /** Build an arena vector from independent value arrays. */
+  def of(values: Array[Array[Byte]]): BytesVec = {
+    val offsets = new Array[Int](values.length + 1)
+    var total = 0
     var i = 0
-    while (i < values.length) { s += 4L + values(i).length; i += 1 }
-    s
+    while (i < values.length) { offsets(i) = total; total += values(i).length; i += 1 }
+    offsets(values.length) = total
+    val data = new Array[Byte](total)
+    i = 0
+    while (i < values.length) {
+      System.arraycopy(values(i), 0, data, offsets(i), values(i).length)
+      i += 1
+    }
+    BytesVec(data, offsets)
   }
+
+  def of(values: Seq[Array[Byte]]): BytesVec = of(values.toArray)
 }
 
 /** Codec ids persisted in chunk blobs and lineage rows. */

@@ -161,28 +161,24 @@ object DeltaBinaryPackedDecoder {
   * the concatenated raw bytes (reference
   * `/root/reference/src/encodings/encoding.rs:813-884`). */
 object DeltaLengthByteArrayCodec {
-  def encode(values: Array[Array[Byte]]): Array[Byte] = {
+  def encode(vec: BytesVec): Array[Byte] = {
+    val n = vec.length
     val lenEnc = new DeltaBinaryPackedEncoder(int32 = true)
-    val lens = new Array[Long](values.length)
-    var total = 0L
+    val lens = new Array[Long](n)
     var i = 0
-    while (i < values.length) { lens(i) = values(i).length.toLong; total += values(i).length; i += 1 }
+    while (i < n) { lens(i) = vec.len(i).toLong; i += 1 }
     lenEnc.put(lens)
     val head = lenEnc.result()
-    val out = new Array[Byte]((head.length + total).toInt)
+    val total = vec.totalBytes
+    val out = new Array[Byte](head.length + total)
     System.arraycopy(head, 0, out, 0, head.length)
-    var pos = head.length
-    i = 0
-    while (i < values.length) {
-      System.arraycopy(values(i), 0, out, pos, values(i).length)
-      pos += values(i).length
-      i += 1
-    }
+    // values are contiguous in the arena: ONE copy for the whole section
+    System.arraycopy(vec.data, vec.offsets(0), out, head.length, total)
     out
   }
 
   /** Returns (values, bytesConsumed). */
-  def decodeWithLength(buf: Array[Byte], off: Int): (Array[Array[Byte]], Int) = {
+  def decodeWithLength(buf: Array[Byte], off: Int): (BytesVec, Int) = {
     // The length stream is self-delimiting only via its value count, so we
     // re-walk it with a reader to find where the data section starts.
     val r = new BitReader(buf, off, buf.length)
@@ -220,18 +216,16 @@ object DeltaLengthByteArrayCodec {
       r.alignToByte()
       dataStart = r.position
     }
-    val out = new Array[Array[Byte]](total)
-    var pos = dataStart
+    val offsets = new Array[Int](total + 1)
+    var acc = 0
     var i = 0
-    while (i < total) {
-      out(i) = java.util.Arrays.copyOfRange(buf, pos, pos + lens(i))
-      pos += lens(i)
-      i += 1
-    }
-    (out, pos - off)
+    while (i < total) { offsets(i) = acc; acc += lens(i); i += 1 }
+    offsets(total) = acc
+    val data = java.util.Arrays.copyOfRange(buf, dataStart, dataStart + acc)
+    (BytesVec(data, offsets), dataStart + acc - off)
   }
 
-  def decode(buf: Array[Byte]): Array[Array[Byte]] = decodeWithLength(buf, 0)._1
+  def decode(buf: Array[Byte]): BytesVec = decodeWithLength(buf, 0)._1
 }
 
 /** DELTA_BYTE_ARRAY (incremental / front coding): shared-prefix lengths vs
@@ -239,47 +233,71 @@ object DeltaLengthByteArrayCodec {
   * (reference `/root/reference/src/encodings/encoding.rs:886-967`). The
   * `previous` state persists across `put` calls and resets on `result()`. */
 final class DeltaByteArrayEncoder {
-  private val prefixLens = scala.collection.mutable.ArrayBuffer.empty[Long]
-  private val suffixes = scala.collection.mutable.ArrayBuffer.empty[Array[Byte]]
-  private var previous: Array[Byte] = Array.emptyByteArray
+  private var prefixLens = new Array[Long](256)
+  private var nVals = 0
+  // suffix arena
+  private var sData = new Array[Byte](4096)
+  private var sOffsets = new IntArrayList()
+  sOffsets.add(0)
+  // previous value = a view into the last arena seen (kept alive by ref)
+  private var prevArr: Array[Byte] = Array.emptyByteArray
+  private var prevOff = 0
+  private var prevLen = 0
 
-  def put(values: Array[Array[Byte]]): Unit = {
+  def put(vec: BytesVec): Unit = {
     var i = 0
-    while (i < values.length) {
-      val cur = values(i)
-      val maxLen = math.min(previous.length, cur.length)
+    val n = vec.length
+    while (i < n) {
+      val off = vec.start(i)
+      val len = vec.len(i)
+      val maxLen = math.min(prevLen, len)
       var m = 0
-      while (m < maxLen && previous(m) == cur(m)) m += 1
-      prefixLens += m.toLong
-      suffixes += java.util.Arrays.copyOfRange(cur, m, cur.length)
-      previous = cur
+      while (m < maxLen && prevArr(prevOff + m) == vec.data(off + m)) m += 1
+      if (nVals == prefixLens.length)
+        prefixLens = java.util.Arrays.copyOf(prefixLens, nVals << 1)
+      prefixLens(nVals) = m.toLong
+      nVals += 1
+      val sLen = len - m
+      val sEnd = sOffsets.get(sOffsets.size - 1)
+      if (sEnd + sLen > sData.length) {
+        var cap = sData.length << 1
+        while (cap < sEnd + sLen) cap <<= 1
+        sData = java.util.Arrays.copyOf(sData, cap)
+      }
+      System.arraycopy(vec.data, off + m, sData, sEnd, sLen)
+      sOffsets.add(sEnd + sLen)
+      prevArr = vec.data; prevOff = off; prevLen = len
       i += 1
     }
   }
 
   def result(): Array[Byte] = {
     val lenEnc = new DeltaBinaryPackedEncoder(int32 = true)
-    lenEnc.put(prefixLens.toArray)
+    lenEnc.put(prefixLens, 0, nVals)
     val head = lenEnc.result()
-    val tail = DeltaLengthByteArrayCodec.encode(suffixes.toArray)
+    val offs = new Array[Int](nVals + 1)
+    var i = 0
+    while (i <= nVals) { offs(i) = sOffsets.get(i); i += 1 }
+    val tail = DeltaLengthByteArrayCodec.encode(BytesVec(sData, offs))
     val out = new Array[Byte](head.length + tail.length)
     System.arraycopy(head, 0, out, 0, head.length)
     System.arraycopy(tail, 0, out, head.length, tail.length)
-    prefixLens.clear()
-    suffixes.clear()
-    previous = Array.emptyByteArray
+    nVals = 0
+    sOffsets.clear()
+    sOffsets.add(0)
+    prevArr = Array.emptyByteArray; prevOff = 0; prevLen = 0
     out
   }
 }
 
 object DeltaByteArrayCodec {
-  def encode(values: Array[Array[Byte]]): Array[Byte] = {
+  def encode(vec: BytesVec): Array[Byte] = {
     val e = new DeltaByteArrayEncoder
-    e.put(values)
+    e.put(vec)
     e.result()
   }
 
-  def decode(buf: Array[Byte]): Array[Array[Byte]] = {
+  def decode(buf: Array[Byte]): BytesVec = {
     val prefixStream = DeltaBinaryPackedDecoder.decode(buf, int32 = true)
     // find where the prefix-length stream ends: re-walk with a reader
     val r = new BitReader(buf)
@@ -304,19 +322,29 @@ object DeltaByteArrayCodec {
     }
     r.alignToByte()
     val (suffixes, _) = DeltaLengthByteArrayCodec.decodeWithLength(buf, r.position)
-    val out = new Array[Array[Byte]](total)
-    var prev: Array[Byte] = Array.emptyByteArray
+    // exact output arena: len(i) = prefix(i) + suffixLen(i); prev is a view
+    // into the output arena itself, so reconstruction never copies twice
+    val offsets = new Array[Int](total + 1)
+    var acc = 0
     var i = 0
     while (i < total) {
-      val p = prefixStream(i).toInt
-      val s = suffixes(i)
-      val v = new Array[Byte](p + s.length)
-      System.arraycopy(prev, 0, v, 0, p)
-      System.arraycopy(s, 0, v, p, s.length)
-      out(i) = v
-      prev = v
+      offsets(i) = acc
+      acc += prefixStream(i).toInt + suffixes.len(i)
       i += 1
     }
-    out
+    offsets(total) = acc
+    val data = new Array[Byte](acc)
+    var prevOff = 0
+    i = 0
+    while (i < total) {
+      val p = prefixStream(i).toInt
+      val sLen = suffixes.len(i)
+      val off = offsets(i)
+      System.arraycopy(data, prevOff, data, off, p)
+      System.arraycopy(suffixes.data, suffixes.start(i), data, off + p, sLen)
+      prevOff = off
+      i += 1
+    }
+    BytesVec(data, offsets)
   }
 }

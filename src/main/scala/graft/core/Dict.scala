@@ -9,57 +9,168 @@ package graft.core
   *  - index page = 1 byte bit width then the ids as an RLE/bit-packed
   *    hybrid stream; bit width = 0 for an empty dict, 1 for a single
   *    entry, else ceil(log2(nUniques)).
+  *
+  * Byte values are hashed as (arena, offset, length) slices — no per-value
+  * allocation on the probe path; uniques are appended to a private arena.
   */
 object DictCodec {
 
   final class Encoder(physicalType: Int) {
-    private val ids = new java.util.HashMap[AnyRef, Integer]()
-    private val uniqueKeys = scala.collection.mutable.ArrayBuffer.empty[AnyRef]
+    // open addressing over ids; key bytes live in the uniques arena
+    private var table = new Array[Int](1 << 12) // entry: id+1, 0 = empty
+    private var mask = table.length - 1
     private val bufferedIndices = new IntArrayList()
     private var dictBytes = 0L
 
-    /** Wrapper giving Array[Byte] value equality for the hash map. */
-    private final class BKey(val a: Array[Byte]) {
-      override val hashCode: Int = java.util.Arrays.hashCode(a)
-      override def equals(o: Any): Boolean = o match {
-        case b: BKey => java.util.Arrays.equals(a, b.a)
-        case _ => false
+    // uniques, typed storage (only one in use per instance)
+    private var uData = new Array[Byte](4096)
+    private var uOffsets = new IntArrayList()
+    private var uLongs = new Array[Long](64)
+    private var uDoubles = new Array[Double](64)
+    private var nUnique = 0
+    uOffsets.add(0)
+
+    @inline private def grow(): Unit = {
+      val old = table
+      table = new Array[Int](old.length << 1)
+      mask = table.length - 1
+      var i = 0
+      while (i < old.length) {
+        val idPlus = old(i)
+        if (idPlus != 0) {
+          var h = hashOfId(idPlus - 1) & mask
+          while (table(h) != 0) h = (h + 1) & mask
+          table(h) = idPlus
+        }
+        i += 1
       }
     }
 
-    private def putOne(key: AnyRef, encodedSize: Long): Unit = {
-      var id = ids.get(key)
-      if (id == null) {
-        id = Integer.valueOf(uniqueKeys.length)
-        ids.put(key, id)
-        uniqueKeys += key
-        dictBytes += encodedSize
+    // ---- hashing ---------------------------------------------------------
+    @inline private def mix(z0: Long): Int = {
+      var z = z0 * 0x9E3779B97F4A7C15L
+      z ^= z >>> 29
+      z *= 0xBF58476D1CE4E5B9L
+      (z ^ (z >>> 32)).toInt
+    }
+
+    @inline private def hashBytes(a: Array[Byte], off: Int, len: Int): Int = {
+      var h = 1125899906842597L
+      var i = off
+      val end = off + len
+      while (i < end) { h = 31 * h + a(i); i += 1 }
+      mix(h)
+    }
+
+    private def hashOfId(id: Int): Int = physicalType match {
+      case PhysicalType.Bytes =>
+        hashBytes(uData, uOffsets.get(id), uOffsets.get(id + 1) - uOffsets.get(id))
+      case PhysicalType.Int32 | PhysicalType.Int64 => mix(uLongs(id))
+      case PhysicalType.Float | PhysicalType.Double =>
+        mix(java.lang.Double.doubleToRawLongBits(uDoubles(id)))
+      case _ => throw new IllegalStateException
+    }
+
+    // ---- byte values -----------------------------------------------------
+    @inline private def bytesEqual(a: Array[Byte], off: Int, len: Int, id: Int): Boolean = {
+      val s = uOffsets.get(id)
+      if (uOffsets.get(id + 1) - s != len) return false
+      var i = 0
+      while (i < len) {
+        if (a(off + i) != uData(s + i)) return false
+        i += 1
       }
-      bufferedIndices.add(id.intValue())
+      true
+    }
+
+    private def putBytesOne(a: Array[Byte], off: Int, len: Int): Unit = {
+      var h = hashBytes(a, off, len) & mask
+      var id = -1
+      while (id < 0) {
+        val e = table(h)
+        if (e == 0) {
+          id = nUnique
+          table(h) = id + 1
+          // append to arena
+          val end = uOffsets.get(nUnique)
+          if (end + len > uData.length) {
+            var cap = uData.length << 1
+            while (cap < end + len) cap <<= 1
+            uData = java.util.Arrays.copyOf(uData, cap)
+          }
+          System.arraycopy(a, off, uData, end, len)
+          uOffsets.add(end + len)
+          nUnique += 1
+          dictBytes += 4L + len
+          if (nUnique * 10 >= table.length * 7) grow()
+        } else if (bytesEqual(a, off, len, e - 1)) id = e - 1
+        else h = (h + 1) & mask
+      }
+      bufferedIndices.add(id)
+    }
+
+    private def putLongOne(v: Long, width: Int): Unit = {
+      var h = mix(v) & mask
+      var id = -1
+      while (id < 0) {
+        val e = table(h)
+        if (e == 0) {
+          id = nUnique
+          table(h) = id + 1
+          if (nUnique == uLongs.length) uLongs = java.util.Arrays.copyOf(uLongs, nUnique << 1)
+          uLongs(nUnique) = v
+          nUnique += 1
+          dictBytes += width
+          if (nUnique * 10 >= table.length * 7) grow()
+        } else if (uLongs(e - 1) == v) id = e - 1
+        else h = (h + 1) & mask
+      }
+      bufferedIndices.add(id)
+    }
+
+    private def putDoubleOne(v: Double, width: Int): Unit = {
+      val bits = java.lang.Double.doubleToRawLongBits(v)
+      var h = mix(bits) & mask
+      var id = -1
+      while (id < 0) {
+        val e = table(h)
+        if (e == 0) {
+          id = nUnique
+          table(h) = id + 1
+          if (nUnique == uDoubles.length) uDoubles = java.util.Arrays.copyOf(uDoubles, nUnique << 1)
+          uDoubles(nUnique) = v
+          nUnique += 1
+          dictBytes += width
+          if (nUnique * 10 >= table.length * 7) grow()
+        } else if (java.lang.Double.doubleToRawLongBits(uDoubles(e - 1)) == bits) id = e - 1
+        else h = (h + 1) & mask
+      }
+      bufferedIndices.add(id)
     }
 
     def put(vec: ColVec): Unit = vec match {
       case IntVec(vs) =>
-        var i = 0; while (i < vs.length) { putOne(Integer.valueOf(vs(i)), 4L); i += 1 }
+        var i = 0; while (i < vs.length) { putLongOne(vs(i).toLong, 4); i += 1 }
       case LongVec(vs) =>
-        var i = 0; while (i < vs.length) { putOne(java.lang.Long.valueOf(vs(i)), 8L); i += 1 }
+        var i = 0; while (i < vs.length) { putLongOne(vs(i), 8); i += 1 }
       case FloatVec(vs) =>
-        var i = 0; while (i < vs.length) { putOne(java.lang.Float.valueOf(vs(i)), 4L); i += 1 }
+        var i = 0; while (i < vs.length) { putDoubleOne(vs(i).toDouble, 4); i += 1 }
       case DoubleVec(vs) =>
-        var i = 0; while (i < vs.length) { putOne(java.lang.Double.valueOf(vs(i)), 8L); i += 1 }
-      case BytesVec(vs) =>
-        var i = 0; while (i < vs.length) { putOne(new BKey(vs(i)), 4L + vs(i).length); i += 1 }
+        var i = 0; while (i < vs.length) { putDoubleOne(vs(i), 8); i += 1 }
+      case v: BytesVec =>
+        var i = 0
+        while (i < v.length) { putBytesOne(v.data, v.start(i), v.len(i)); i += 1 }
       case BoolVec(_) =>
         throw new IllegalArgumentException("booleans are never dictionary-encoded")
     }
 
-    def numEntries: Int = uniqueKeys.length
+    def numEntries: Int = nUnique
 
     /** Size in bytes of the PLAIN-encoded dictionary (the reference's
       * fallback trigger compares this against the 1 MiB dict page limit). */
     def dictEncodedSize: Long = dictBytes
 
-    def bitWidth: Int = BitUtil.dictBitWidth(uniqueKeys.length)
+    def bitWidth: Int = BitUtil.dictBitWidth(nUnique)
 
     def numBufferedIndices: Int = bufferedIndices.size
 
@@ -68,15 +179,20 @@ object DictCodec {
 
     def uniquesVec: ColVec = physicalType match {
       case PhysicalType.Int32 =>
-        IntVec(uniqueKeys.map(_.asInstanceOf[Integer].intValue()).toArray)
-      case PhysicalType.Int64 =>
-        LongVec(uniqueKeys.map(_.asInstanceOf[java.lang.Long].longValue()).toArray)
+        val o = new Array[Int](nUnique)
+        var i = 0; while (i < nUnique) { o(i) = uLongs(i).toInt; i += 1 }
+        IntVec(o)
+      case PhysicalType.Int64 => LongVec(java.util.Arrays.copyOf(uLongs, nUnique))
       case PhysicalType.Float =>
-        FloatVec(uniqueKeys.map(_.asInstanceOf[java.lang.Float].floatValue()).toArray)
-      case PhysicalType.Double =>
-        DoubleVec(uniqueKeys.map(_.asInstanceOf[java.lang.Double].doubleValue()).toArray)
+        val o = new Array[Float](nUnique)
+        var i = 0; while (i < nUnique) { o(i) = uDoubles(i).toFloat; i += 1 }
+        FloatVec(o)
+      case PhysicalType.Double => DoubleVec(java.util.Arrays.copyOf(uDoubles, nUnique))
       case PhysicalType.Bytes =>
-        BytesVec(uniqueKeys.map(_.asInstanceOf[BKey].a).toArray)
+        val offs = new Array[Int](nUnique + 1)
+        var i = 0
+        while (i <= nUnique) { offs(i) = uOffsets.get(i); i += 1 }
+        BytesVec(java.util.Arrays.copyOf(uData, offs(nUnique)), offs)
       case other => throw new IllegalArgumentException(s"no dict for type $other")
     }
 
@@ -111,9 +227,20 @@ object DictCodec {
         case DoubleVec(us) =>
           val o = new Array[Double](n); var i = 0
           while (i < n) { o(i) = us(bufferedIndices.get(i)); i += 1 }; DoubleVec(o)
-        case BytesVec(us) =>
-          val o = new Array[Array[Byte]](n); var i = 0
-          while (i < n) { o(i) = us(bufferedIndices.get(i)); i += 1 }; BytesVec(o)
+        case uv: BytesVec =>
+          val offs = new Array[Int](n + 1)
+          var total = 0
+          var i = 0
+          while (i < n) { offs(i) = total; total += uv.len(bufferedIndices.get(i)); i += 1 }
+          offs(n) = total
+          val data = new Array[Byte](total)
+          i = 0
+          while (i < n) {
+            val id = bufferedIndices.get(i)
+            System.arraycopy(uv.data, uv.start(id), data, offs(i), uv.len(id))
+            i += 1
+          }
+          BytesVec(data, offs)
         case BoolVec(_) => throw new IllegalStateException("unreachable")
       }
       bufferedIndices.clear()
@@ -140,9 +267,20 @@ object DictCodec {
       case DoubleVec(us) =>
         val o = new Array[Double](numValues); var i = 0
         while (i < numValues) { o(i) = us(idx(i).toInt); i += 1 }; DoubleVec(o)
-      case BytesVec(us) =>
-        val o = new Array[Array[Byte]](numValues); var i = 0
-        while (i < numValues) { o(i) = us(idx(i).toInt); i += 1 }; BytesVec(o)
+      case uv: BytesVec =>
+        val offs = new Array[Int](numValues + 1)
+        var total = 0
+        var i = 0
+        while (i < numValues) { offs(i) = total; total += uv.len(idx(i).toInt); i += 1 }
+        offs(numValues) = total
+        val data = new Array[Byte](total)
+        i = 0
+        while (i < numValues) {
+          val id = idx(i).toInt
+          System.arraycopy(uv.data, uv.start(id), data, offs(i), uv.len(id))
+          i += 1
+        }
+        BytesVec(data, offs)
       case BoolVec(_) => throw new IllegalArgumentException("no bool dict")
     }
   }

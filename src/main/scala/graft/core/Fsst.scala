@@ -25,7 +25,16 @@ object FsstCodec {
   private val MaxSymbolLen = 8
 
   final class SymbolTable(val symbols: Array[Array[Byte]]) {
-    // index: first byte -> symbol codes sorted by length descending
+    // fast path: symbol as little-endian long + length mask, so a candidate
+    // check is one masked 64-bit compare instead of a byte loop (the
+    // "longCodes" idea of the FSST paper, re-derived — no code consulted)
+    private[FsstCodec] val symWord: Array[Long] = symbols.map(wordOf)
+    private[FsstCodec] val symMask: Array[Long] =
+      symbols.map(s => if (s.length >= 8) -1L else (1L << (8 * s.length)) - 1)
+    private[FsstCodec] val symLen: Array[Int] = symbols.map(_.length)
+    // index: first byte -> symbol codes sorted by length descending (256
+    // entries stays L1-resident; a 2-byte 64K index measured slower due to
+    // cache misses)
     private[FsstCodec] val byFirst: Array[Array[Int]] = {
       val tmp = Array.fill(256)(List.empty[Int])
       var c = 0
@@ -36,31 +45,23 @@ object FsstCodec {
       }
       tmp.map(_.sortBy(c => -symbols(c).length).toArray)
     }
-    // fast path: symbol as little-endian long + length mask, so a candidate
-    // check is one masked 64-bit compare instead of a byte loop (the
-    // "longCodes" trick of the FSST paper's reference implementation idea,
-    // re-derived — no code consulted)
-    private[FsstCodec] val symWord: Array[Long] = symbols.map(wordOf)
-    private[FsstCodec] val symMask: Array[Long] =
-      symbols.map(s => if (s.length >= 8) -1L else (1L << (8 * s.length)) - 1)
-    private[FsstCodec] val symLen: Array[Int] = symbols.map(_.length)
   }
 
   private val LongView = java.lang.invoke.MethodHandles.byteArrayViewVarHandle(
     classOf[Array[Long]], java.nio.ByteOrder.LITTLE_ENDIAN)
 
-  /** Little-endian load of up to 8 bytes of `a` starting at `pos`. */
-  @inline private def loadWord(a: Array[Byte], pos: Int): Long =
-    if (pos + 8 <= a.length) LongView.get(a, pos).asInstanceOf[Long]
+  /** Little-endian load of up to 8 bytes of `a` from [pos, end). */
+  @inline private def loadWord(a: Array[Byte], pos: Int, end: Int): Long =
+    if (pos + 8 <= end) LongView.get(a, pos).asInstanceOf[Long]
     else {
-      val n = a.length - pos
+      val n = end - pos
       var w = 0L
       var k = 0
       while (k < n) { w |= (a(pos + k) & 0xFFL) << (8 * k); k += 1 }
       w
     }
 
-  @inline private def wordOf(s: Array[Byte]): Long = loadWord(s, 0)
+  @inline private def wordOf(s: Array[Byte]): Long = loadWord(s, 0, s.length)
 
   /** Train a symbol table on sample text via iterative pair merging: start
     * from frequent single bytes, repeatedly count adjacent (symbol, symbol)
@@ -113,15 +114,16 @@ object FsstCodec {
   }
 
   @inline private def matchLen(t: SymbolTable, a: Array[Byte], pos: Int): Int = {
-    val code = matchCode(t, a, pos)
+    val code = matchCode(t, a, pos, a.length)
     if (code >= 0) t.symLen(code) else 0
   }
 
-  @inline private def matchCode(t: SymbolTable, a: Array[Byte], pos: Int): Int = {
+  @inline private def matchCode(t: SymbolTable, a: Array[Byte], pos: Int,
+      end: Int): Int = {
     val cands = t.byFirst(a(pos) & 0xFF)
     if (cands.length == 0) return -1
-    val word = loadWord(a, pos)
-    val avail = a.length - pos
+    val word = loadWord(a, pos, end)
+    val avail = end - pos
     var ci = 0
     while (ci < cands.length) {
       val code = cands(ci)
@@ -132,15 +134,16 @@ object FsstCodec {
     -1
   }
 
-  /** Compress `a` into `out` starting at `outPos`; returns new outPos.
-    * `out` must have ≥ 2*a.length headroom (worst case all escapes). */
-  private def compressInto(t: SymbolTable, a: Array[Byte],
+  /** Compress a[from, from+len) into `out` starting at `outPos`; returns
+    * new outPos. `out` must have >= 2*len headroom (worst case all
+    * escapes). Symbol matches never cross the value's end boundary. */
+  private def compressInto(t: SymbolTable, a: Array[Byte], from: Int, len: Int,
       out: Array[Byte], outPos0: Int): Int = {
     var outPos = outPos0
-    var pos = 0
-    val n = a.length
-    while (pos < n) {
-      val code = matchCode(t, a, pos)
+    var pos = from
+    val end = from + len
+    while (pos < end) {
+      val code = matchCode(t, a, pos, end)
       if (code >= 0) {
         out(outPos) = code.toByte; outPos += 1
         pos += t.symLen(code)
@@ -154,35 +157,30 @@ object FsstCodec {
     outPos
   }
 
-  def encode(values: Array[Array[Byte]], sampleBytes: Int = 1 << 14): Array[Byte] = {
-    // deterministic sample: prefix of the concatenated values
-    val sample = new java.io.ByteArrayOutputStream(math.min(sampleBytes, 1 << 14))
-    var i = 0
-    while (i < values.length && sample.size < sampleBytes) {
-      val v = values(i)
-      sample.write(v, 0, math.min(v.length, sampleBytes - sample.size))
-      i += 1
-    }
-    val table = train(sample.toByteArray)
+  def encode(vec: BytesVec, sampleBytes: Int = 1 << 14): Array[Byte] = {
+    val n = vec.length
+    // deterministic sample: prefix of the concatenated values (the arena is
+    // already that concatenation)
+    val sampleLen = math.min(sampleBytes, vec.totalBytes)
+    val sample = java.util.Arrays.copyOfRange(vec.data, vec.offsets(0),
+      vec.offsets(0) + sampleLen)
+    val table = train(sample)
     val w = new BitWriter(1024)
     w.putVlq(table.symbols.length.toLong)
-    i = 0
+    var i = 0
     while (i < table.symbols.length) {
       w.putAligned(table.symbols(i).length.toLong, 1)
       w.putBytes(table.symbols(i))
       i += 1
     }
-    w.putVlq(values.length.toLong)
+    w.putVlq(n.toLong)
     // single shared output buffer: worst case 2x raw (all escapes)
-    var rawTotal = 0L
-    i = 0
-    while (i < values.length) { rawTotal += values(i).length; i += 1 }
-    val body = new Array[Byte](math.toIntExact(2L * rawTotal + 8))
-    val lens = new Array[Long](values.length)
+    val body = new Array[Byte](math.toIntExact(2L * vec.totalBytes + 8))
+    val lens = new Array[Long](n)
     var bodyPos = 0
     i = 0
-    while (i < values.length) {
-      val next = compressInto(table, values(i), body, bodyPos)
+    while (i < n) {
+      val next = compressInto(table, vec.data, vec.start(i), vec.len(i), body, bodyPos)
       lens(i) = (next - bodyPos).toLong
       bodyPos = next
       i += 1
@@ -194,7 +192,7 @@ object FsstCodec {
     w.result()
   }
 
-  def decode(buf: Array[Byte]): Array[Array[Byte]] = {
+  def decode(buf: Array[Byte]): BytesVec = {
     val r = new BitReader(buf)
     val nSyms = r.getVlq().toInt
     val symbols = new Array[Array[Byte]](nSyms)
@@ -211,16 +209,28 @@ object FsstCodec {
       .decode(java.util.Arrays.copyOfRange(buf, lensStart, buf.length), int32 = true)
     // advance the reader past the length stream
     skipDeltaStream(r)
-    val out = new Array[Array[Byte]](nValues)
+    // pass 1: exact decompressed sizes -> arena offsets
+    val offsets = new Array[Int](nValues + 1)
+    var acc = 0
     var pos = r.position
     i = 0
     while (i < nValues) {
-      val clen = lens(i).toInt
-      out(i) = decompressOne(symbols, buf, pos, clen)
-      pos += clen
+      offsets(i) = acc
+      acc += decompressedSize(symbols, buf, pos, lens(i).toInt)
+      pos += lens(i).toInt
       i += 1
     }
-    out
+    offsets(nValues) = acc
+    // pass 2: fill the arena
+    val data = new Array[Byte](acc)
+    pos = r.position
+    i = 0
+    while (i < nValues) {
+      decompressInto(symbols, buf, pos, lens(i).toInt, data, offsets(i))
+      pos += lens(i).toInt
+      i += 1
+    }
+    BytesVec(data, offsets)
   }
 
   private def skipDeltaStream(r: BitReader): Unit = {
@@ -246,9 +256,8 @@ object FsstCodec {
     r.alignToByte()
   }
 
-  private def decompressOne(symbols: Array[Array[Byte]], buf: Array[Byte],
-      off: Int, len: Int): Array[Byte] = {
-    // pass 1: exact output size
+  private def decompressedSize(symbols: Array[Array[Byte]], buf: Array[Byte],
+      off: Int, len: Int): Int = {
     var outLen = 0
     var pos = off
     val end = off + len
@@ -257,10 +266,14 @@ object FsstCodec {
       if (code == Escape) { outLen += 1; pos += 2 }
       else { outLen += symbols(code).length; pos += 1 }
     }
-    // pass 2: fill
-    val out = new Array[Byte](outLen)
-    var o = 0
-    pos = off
+    outLen
+  }
+
+  private def decompressInto(symbols: Array[Array[Byte]], buf: Array[Byte],
+      off: Int, len: Int, out: Array[Byte], outOff: Int): Unit = {
+    var o = outOff
+    var pos = off
+    val end = off + len
     while (pos < end) {
       val code = buf(pos) & 0xFF
       if (code == Escape) {
@@ -272,6 +285,5 @@ object FsstCodec {
         pos += 1
       }
     }
-    out
   }
 }

@@ -39,14 +39,17 @@ object PlainCodec {
       var i = 0
       while (i < vs.length) { bb.putDouble(vs(i)); i += 1 }
       out
-    case BytesVec(vs) =>
-      var total = 0L
-      var i = 0
-      while (i < vs.length) { total += 4L + vs(i).length; i += 1 }
-      val out = new Array[Byte](total.toInt)
+    case v: BytesVec =>
+      val n = v.length
+      val out = new Array[Byte](math.toIntExact(v.rawSize))
       val bb = java.nio.ByteBuffer.wrap(out).order(java.nio.ByteOrder.LITTLE_ENDIAN)
-      i = 0
-      while (i < vs.length) { bb.putInt(vs(i).length); bb.put(vs(i)); i += 1 }
+      var i = 0
+      while (i < n) {
+        val len = v.len(i)
+        bb.putInt(len)
+        bb.put(v.data, v.start(i), len)
+        i += 1
+      }
       out
   }
 
@@ -86,16 +89,27 @@ object PlainCodec {
       while (i < numValues) { out(i) = bb.getDouble(); i += 1 }
       DoubleVec(out)
     case PhysicalType.Bytes =>
+      // one pass for offsets, then per-value copies into a single arena
       val bb = java.nio.ByteBuffer.wrap(buf, off, len).order(java.nio.ByteOrder.LITTLE_ENDIAN)
-      val out = new Array[Array[Byte]](numValues)
+      val offsets = new Array[Int](numValues + 1)
+      var total = 0
       var i = 0
       while (i < numValues) {
         val n = bb.getInt()
-        val a = new Array[Byte](n)
-        bb.get(a)
-        out(i) = a
+        offsets(i) = total
+        total += n
+        bb.position(bb.position() + n)
         i += 1
       }
-      BytesVec(out)
+      offsets(numValues) = total
+      val data = new Array[Byte](total)
+      val bb2 = java.nio.ByteBuffer.wrap(buf, off, len).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      i = 0
+      while (i < numValues) {
+        val n = bb2.getInt()
+        bb2.get(data, offsets(i), n)
+        i += 1
+      }
+      BytesVec(data, offsets)
   }
 }

@@ -24,10 +24,23 @@ object DecodeJob {
         val byCol = it.toArray.sortBy(_.colIdx)
         require(byCol.length == fields.length,
           s"expected ${fields.length} column chunks, got ${byCol.length}")
-        val vecs = byCol.map(c => ChunkCodec.decode(c.blob))
-        val n = vecs.head.length
-        val cols: Array[Int => Any] = vecs.zipWithIndex.map { case (v, ci) =>
-          materialize(fields(ci).dataType, v)
+        val decoded = byCol.map(c =>
+          ChunkCodec.decodeWithLevels(BlockCodec.maybeUnwrap(c.blob)))
+        val n = decoded.head.numRows
+        val cols: Array[Int => Any] = decoded.zipWithIndex.map { case (d, ci) =>
+          val values = materialize(fields(ci).dataType, d.vec)
+          if (d.defLevels == null) values
+          else {
+            // row -> value index (nulls hold -1); values are null-suppressed
+            val idx = new Array[Int](n)
+            var vi = 0
+            var i = 0
+            while (i < n) {
+              if (d.defLevels(i) != 0) { idx(i) = vi; vi += 1 } else idx(i) = -1
+              i += 1
+            }
+            (i: Int) => if (idx(i) < 0) null else values(idx(i))
+          }
         }
         (0 until n).iterator.map { i =>
           Row.fromSeq(cols.indices.map(c => cols(c)(i)))
@@ -36,9 +49,10 @@ object DecodeJob {
   }
 
   private def materialize(dt: DataType, vec: ColVec): Int => Any = (dt, vec) match {
-    case (StringType, BytesVec(vs)) =>
-      i => new String(vs(i), java.nio.charset.StandardCharsets.UTF_8)
-    case (BinaryType, BytesVec(vs)) => i => vs(i)
+    case (StringType, v: BytesVec) =>
+      i => new String(v.data, v.start(i), v.len(i),
+        java.nio.charset.StandardCharsets.UTF_8)
+    case (BinaryType, v: BytesVec) => i => v.valueBytes(i)
     case (IntegerType, IntVec(vs)) => i => vs(i)
     case (DateType, IntVec(vs)) => i => java.sql.Date.valueOf(
       java.time.LocalDate.ofEpochDay(vs(i).toLong))

@@ -19,6 +19,7 @@ final case class ChunkRow(
     physicalType: Int,
     codec: String,
     numValues: Long,
+    numNulls: Long,
     rawBytes: Long,
     encodedBytes: Long,
     refPolicyBytes: Long,
@@ -79,7 +80,8 @@ object EncodeJob {
       chunkRows: Int = DefaultChunkRows,
       chunkRawBytes: Long = DefaultChunkRawBytes,
       skipPartitions: Set[Int] = Set.empty,
-      forcedCodecs: Map[String, Int] = Map.empty): Dataset[ChunkRow] = {
+      forcedCodecs: Map[String, Int] = Map.empty,
+      blockCodec: Int = BlockCodec.None): Dataset[ChunkRow] = {
     val spark = df.sparkSession
     import spark.implicits._
     val schema = df.schema
@@ -106,7 +108,8 @@ object EncodeJob {
     sorted.mapPartitions { rows =>
       val partId = TaskContext.getPartitionId()
       if (skip.value.contains(partId)) Iterator.empty
-      else encodePartition(partId, binarySchema, rows, chunkRows, chunkRawBytes, forcedCodecs)
+      else encodePartition(partId, binarySchema, rows, chunkRows, chunkRawBytes,
+        forcedCodecs, blockCodec)
     }
   }
 
@@ -115,7 +118,8 @@ object EncodeJob {
     * keep the buffering boxing-free (primitive arrays end to end). */
   def encodePartition(partId: Int, schema: StructType, rows: Iterator[Row],
       chunkRows: Int, chunkRawBytes: Long,
-      forcedCodecs: Map[String, Int] = Map.empty): Iterator[ChunkRow] = {
+      forcedCodecs: Map[String, Int] = Map.empty,
+      blockCodec: Int = BlockCodec.None): Iterator[ChunkRow] = {
     val fields = schema.fields
     val nCols = fields.length
     val out = ArrayBuffer.empty[ChunkRow]
@@ -130,18 +134,30 @@ object EncodeJob {
       var c = 0
       while (c < nCols) {
         val vec = builders(c).build()
+        val levels = builders(c).defLevels
+        val nRows = builders(c).rowCount
+        val nNulls = builders(c).numNulls
         builders(c).clear()
         val chunk = forcedCodecs.get(fields(c).name) match {
           case Some(codec) =>
-            val blob = ChunkCodec.encodeWith(vec, codec)
+            val blob = ChunkCodec.encodeWith(vec, codec, levels)
             EncodedChunk(blob, codec, vec.length, vec.rawSize,
               blob.length.toLong, blob.length.toLong, 0)
-          case None => ChunkCodec.encodeAuto(vec)
+          case None => ChunkCodec.encodeAuto(vec, defLevels = levels)
         }
+        // optional general-purpose block compression on top of the chunk
+        // encoding (reference compression.rs); kept only when it shrinks,
+        // so the <= reference-policy ceiling is never violated
+        val blob =
+          if (blockCodec == BlockCodec.None) chunk.blob
+          else {
+            val wrapped = BlockCodec.wrap(chunk.blob, blockCodec)
+            if (wrapped.length < chunk.blob.length) wrapped else chunk.blob
+          }
         out += ChunkRow(partId, chunkIdx, c, fields(c).name, vec.physicalType,
-          chunk.codecName, chunk.numValues.toLong, chunk.rawSize,
-          chunk.encodedSize, chunk.refPolicySize, chunk.dictEntries,
-          ColVecHash.sha256Hex(vec), chunk.blob)
+          chunk.codecName, nRows.toLong, nNulls.toLong, chunk.rawSize,
+          blob.length.toLong, chunk.refPolicySize, chunk.dictEntries,
+          ColVecHash.sha256Hex(vec, levels), blob)
         c += 1
       }
       chunkIdx += 1
@@ -221,11 +237,37 @@ object EncodeJob {
 
 /** Boxing-free per-column row buffer: `add` pulls the typed value straight
   * off the Row into a primitive array (strings decode to UTF-8 bytes once)
-  * and returns the raw-size delta used for chunk-cut accounting. */
-sealed trait ColBuilder {
-  def add(row: Row, i: Int): Long
+  * and returns the raw-size delta used for chunk-cut accounting. Nulls are
+  * tracked as definition levels (0 = null, 1 = present); the value buffer
+  * holds only non-null values, mirroring Parquet page semantics. */
+sealed abstract class ColBuilder {
+  private var levels = new Array[Byte](1024)
+  private var nRows = 0
+  private var nNulls = 0
+
+  final def add(row: Row, i: Int): Long = {
+    if (nRows == levels.length) levels = java.util.Arrays.copyOf(levels, nRows << 1)
+    if (row.isNullAt(i)) {
+      levels(nRows) = 0; nRows += 1; nNulls += 1
+      0L
+    } else {
+      levels(nRows) = 1; nRows += 1
+      addValue(row, i)
+    }
+  }
+
+  /** Number of buffered rows (incl. nulls). */
+  final def rowCount: Int = nRows
+  final def numNulls: Int = nNulls
+  /** One 0/1 byte per row, or null when the buffer has no nulls. */
+  final def defLevels: Array[Byte] =
+    if (nNulls == 0) null else java.util.Arrays.copyOf(levels, nRows)
+
+  final def clear(): Unit = { nRows = 0; nNulls = 0; clearValues() }
+
+  protected def addValue(row: Row, i: Int): Long
+  protected def clearValues(): Unit
   def build(): ColVec
-  def clear(): Unit
 }
 
 object ColBuilder {
@@ -252,93 +294,107 @@ object ColBuilder {
   }
 
   private final class BytesBuilder(fromString: Boolean) extends ColBuilder {
-    private var a = new Array[Array[Byte]](1024)
+    // arena: the row-boundary copy lands directly in one contiguous buffer;
+    // the small per-row array Spark hands us dies young
+    private var data = new Array[Byte](1 << 16)
+    private var offsets = new Array[Int](1024)
     private var n = 0
-    def add(row: Row, i: Int): Long = {
-      if (n == a.length) a = java.util.Arrays.copyOf(a, a.length << 1)
+    offsets(0) = 0
+    protected def addValue(row: Row, i: Int): Long = {
+      if (n + 1 == offsets.length) offsets = java.util.Arrays.copyOf(offsets, offsets.length << 1)
       val v =
         if (fromString) row.getString(i).getBytes(java.nio.charset.StandardCharsets.UTF_8)
         else row.getAs[Array[Byte]](i)
-      a(n) = v
+      val end = offsets(n)
+      if (end + v.length > data.length) {
+        var cap = data.length << 1
+        while (cap < end + v.length) cap <<= 1
+        data = java.util.Arrays.copyOf(data, cap)
+      }
+      System.arraycopy(v, 0, data, end, v.length)
       n += 1
+      offsets(n) = end + v.length
       4L + v.length
     }
-    def build(): ColVec = BytesVec(java.util.Arrays.copyOf(a, n))
-    def clear(): Unit = n = 0
+    def build(): ColVec = BytesVec(java.util.Arrays.copyOf(data, offsets(n)),
+      java.util.Arrays.copyOf(offsets, n + 1))
+    protected def clearValues(): Unit = { n = 0; offsets(0) = 0 }
   }
 
   private class IntBuilder(get: (Row, Int) => Int) extends ColBuilder {
     private var a = new Array[Int](1024)
     private var n = 0
-    def add(row: Row, i: Int): Long = {
+    protected def addValue(row: Row, i: Int): Long = {
       if (n == a.length) a = java.util.Arrays.copyOf(a, a.length << 1)
       a(n) = if (get == null) row.getInt(i) else get(row, i)
       n += 1
       4L
     }
     def build(): ColVec = IntVec(java.util.Arrays.copyOf(a, n))
-    def clear(): Unit = n = 0
+    protected def clearValues(): Unit = n = 0
   }
 
   private class LongBuilder(get: (Row, Int) => Long) extends ColBuilder {
     private var a = new Array[Long](1024)
     private var n = 0
-    def add(row: Row, i: Int): Long = {
+    protected def addValue(row: Row, i: Int): Long = {
       if (n == a.length) a = java.util.Arrays.copyOf(a, a.length << 1)
       a(n) = if (get == null) row.getLong(i) else get(row, i)
       n += 1
       8L
     }
     def build(): ColVec = LongVec(java.util.Arrays.copyOf(a, n))
-    def clear(): Unit = n = 0
+    protected def clearValues(): Unit = n = 0
   }
 
   private final class FloatBuilder extends ColBuilder {
     private var a = new Array[Float](1024)
     private var n = 0
-    def add(row: Row, i: Int): Long = {
+    protected def addValue(row: Row, i: Int): Long = {
       if (n == a.length) a = java.util.Arrays.copyOf(a, a.length << 1)
       a(n) = row.getFloat(i)
       n += 1
       4L
     }
     def build(): ColVec = FloatVec(java.util.Arrays.copyOf(a, n))
-    def clear(): Unit = n = 0
+    protected def clearValues(): Unit = n = 0
   }
 
   private final class DoubleBuilder extends ColBuilder {
     private var a = new Array[Double](1024)
     private var n = 0
-    def add(row: Row, i: Int): Long = {
+    protected def addValue(row: Row, i: Int): Long = {
       if (n == a.length) a = java.util.Arrays.copyOf(a, a.length << 1)
       a(n) = row.getDouble(i)
       n += 1
       8L
     }
     def build(): ColVec = DoubleVec(java.util.Arrays.copyOf(a, n))
-    def clear(): Unit = n = 0
+    protected def clearValues(): Unit = n = 0
   }
 
   private final class BoolBuilder extends ColBuilder {
     private var a = new Array[Boolean](1024)
     private var n = 0
-    def add(row: Row, i: Int): Long = {
+    protected def addValue(row: Row, i: Int): Long = {
       if (n == a.length) a = java.util.Arrays.copyOf(a, a.length << 1)
       a(n) = row.getBoolean(i)
       n += 1
       1L
     }
     def build(): ColVec = BoolVec(java.util.Arrays.copyOf(a, n))
-    def clear(): Unit = n = 0
+    protected def clearValues(): Unit = n = 0
   }
 }
 
 /** Incremental sha256 of a column vector's canonical value bytes
   * (4-byte LE length + bytes per value — PLAIN-equivalent, so the manifest
-  * is decodable-side reproducible). */
+  * is decodable-side reproducible). For chunks with nulls the 0/1 def-level
+  * bytes are hashed before the values, so validity is part of identity. */
 object ColVecHash {
-  def sha256Hex(vec: ColVec): String = {
+  def sha256Hex(vec: ColVec, defLevels: Array[Byte] = null): String = {
     val md = java.security.MessageDigest.getInstance("SHA-256")
+    if (defLevels != null) md.update(defLevels)
     val lenBuf = new Array[Byte](4)
     def putLen(n: Int): Unit = {
       lenBuf(0) = n.toByte; lenBuf(1) = (n >>> 8).toByte
@@ -346,7 +402,14 @@ object ColVecHash {
       md.update(lenBuf)
     }
     vec match {
-      case BytesVec(vs) => vs.foreach { v => putLen(v.length); md.update(v) }
+      case v: BytesVec =>
+        var i = 0
+        while (i < v.length) {
+          val len = v.len(i)
+          putLen(len)
+          md.update(v.data, v.start(i), len)
+          i += 1
+        }
       case other => md.update(PlainCodec.encode(other))
     }
     other2hex(md.digest())

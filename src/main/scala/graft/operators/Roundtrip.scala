@@ -9,9 +9,11 @@ import org.apache.spark.sql.DataFrame
   * value mismatch against the SQL oracle run on the raw table. */
 object Roundtrip {
   def through(df: DataFrame, sortKeys: Seq[String] = Seq.empty,
-      forced: Map[String, Int] = Map.empty, parts: Int = 8): DataFrame = {
+      forced: Map[String, Int] = Map.empty, parts: Int = 8,
+      blockCodec: Int = graft.core.BlockCodec.None): DataFrame = {
     val chunks = EncodeJob.encode(df, parts, partitionKeys = Seq.empty,
-      sortKeys = sortKeys, saltBuckets = 64, forcedCodecs = forced)
+      sortKeys = sortKeys, saltBuckets = 64, forcedCodecs = forced,
+      blockCodec = blockCodec)
     DecodeJob.decode(chunks, df.schema)
   }
 }

@@ -107,6 +107,35 @@ class SparkE2ESpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(src == dec)
   }
 
+  test("nullable columns roundtrip via def-level streams (all types)") {
+    val df = code(900L, 3)
+      .withColumn("s_n", when(col("content_len") % 3 === 0, lit(null))
+        .otherwise(col("lang")))
+      .withColumn("i_n", when(col("content_len") % 5 === 0, lit(null))
+        .otherwise(col("content_len")))
+      .withColumn("l_n", when(col("content_len") % 7 === 0, lit(null))
+        .otherwise(col("content_len").cast("long") * 3))
+      .withColumn("d_n", when(col("content_len") % 2 === 0, lit(null))
+        .otherwise(col("content_len").cast("double") / 7.0))
+      .withColumn("b_n", when(col("content_len") % 11 === 0, lit(null))
+        .otherwise(col("content_len") % 2 === 0))
+      .select("repo", "path", "commit", "s_n", "i_n", "l_n", "d_n", "b_n")
+    val back = Roundtrip.through(df, sortKeys = Seq("repo", "path", "commit"))
+    def canon(x: org.apache.spark.sql.DataFrame) =
+      x.orderBy("repo", "path", "commit").collect().toSeq
+    assert(canon(back) == canon(df))
+    // an all-null chunk column also survives
+    val allNull = code(200L, 1).select(col("repo"), col("path"), col("commit"),
+      lit(null).cast("string").as("gone"))
+    assert(Roundtrip.through(allNull, sortKeys = Seq("repo", "path", "commit"))
+      .where(col("gone").isNull).count() == 200L)
+    // chunks with nulls report them and keep the ceiling invariant
+    val chunks = EncodeJob.encode(df, 4, Seq.empty,
+      Seq("repo", "path", "commit")).collect()
+    assert(chunks.filter(_.column == "s_n").map(_.numNulls).sum > 0)
+    chunks.foreach(c => assert(c.encodedBytes <= c.refPolicyBytes))
+  }
+
   test("flagship entry returns lineage rows") {
     val df = SparkEntry.entry(spark)
     assert(df.count() > 0)

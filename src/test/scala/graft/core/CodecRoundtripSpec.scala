@@ -15,9 +15,10 @@ class CodecRoundtripSpec extends AnyFunSuite {
   }
 
   private def assertVecEqual(a: ColVec, b: ColVec): Unit = (a, b) match {
-    case (BytesVec(x), BytesVec(y)) =>
+    case (x: BytesVec, y: BytesVec) =>
       assert(x.length == y.length)
-      x.indices.foreach(i => assert(java.util.Arrays.equals(x(i), y(i)), s"at $i"))
+      (0 until x.length).foreach(i =>
+        assert(java.util.Arrays.equals(x.valueBytes(i), y.valueBytes(i)), s"at $i"))
     case (BoolVec(x), BoolVec(y)) => assert(x.toSeq == y.toSeq)
     case (IntVec(x), IntVec(y)) => assert(x.toSeq == y.toSeq)
     case (LongVec(x), LongVec(y)) => assert(x.toSeq == y.toSeq)
@@ -41,15 +42,15 @@ class CodecRoundtripSpec extends AnyFunSuite {
         Seq(CodecId.Plain, CodecId.Dict, CodecId.DeltaBinaryPacked)),
       ("float", FloatVec(Array.fill(1024)(r.nextFloat())), Seq(CodecId.Plain, CodecId.Dict)),
       ("double", DoubleVec(Array.fill(1024)(r.nextDouble())), Seq(CodecId.Plain, CodecId.Dict)),
-      ("bytes", BytesVec(Array.fill(1024)(randBytes(r, 127))),
+      ("bytes", BytesVec.of(Array.fill(1024)(randBytes(r, 127))),
         Seq(CodecId.Plain, CodecId.Dict, CodecId.DeltaLengthByteArray,
           CodecId.DeltaByteArray, CodecId.Fsst)),
-      ("bytes-lowcard", BytesVec {
+      ("bytes-lowcard", BytesVec.of {
         val pool = Array.fill(12)(randBytes(r, 40))
         Array.fill(1024)(pool(r.nextInt(pool.length)))
       }, Seq(CodecId.Plain, CodecId.Dict, CodecId.DeltaLengthByteArray,
           CodecId.DeltaByteArray, CodecId.Fsst)),
-      ("bytes-sorted-prefixes", BytesVec(
+      ("bytes-sorted-prefixes", BytesVec.of(
         Array.tabulate(1024)(i => s"org/example/pkg${i / 64}/File${i}.scala".getBytes)),
         Seq(CodecId.Plain, CodecId.Dict, CodecId.DeltaLengthByteArray,
           CodecId.DeltaByteArray, CodecId.Fsst)),
@@ -78,8 +79,8 @@ class CodecRoundtripSpec extends AnyFunSuite {
   test("empty vectors roundtrip for every codec") {
     assertVecEqual(IntVec(Array.empty),
       ChunkCodec.decode(ChunkCodec.encodeWith(IntVec(Array.empty), CodecId.Dict)))
-    assertVecEqual(BytesVec(Array.empty),
-      ChunkCodec.decode(ChunkCodec.encodeWith(BytesVec(Array.empty), CodecId.Fsst)))
+    assertVecEqual(BytesVec.empty,
+      ChunkCodec.decode(ChunkCodec.encodeWith(BytesVec.empty, CodecId.Fsst)))
     assertVecEqual(BoolVec(Array.empty),
       ChunkCodec.decode(ChunkCodec.encodeWith(BoolVec(Array.empty), CodecId.RleBool)))
   }
@@ -87,7 +88,7 @@ class CodecRoundtripSpec extends AnyFunSuite {
   test("single-value and two-value chunks roundtrip") {
     for (codec <- Seq(CodecId.Plain, CodecId.Dict, CodecId.DeltaByteArray,
         CodecId.DeltaLengthByteArray, CodecId.Fsst)) {
-      val one = BytesVec(Array("x".getBytes))
+      val one = BytesVec.of(Array("x".getBytes))
       assertVecEqual(one, ChunkCodec.decode(ChunkCodec.encodeWith(one, codec)))
     }
     for (codec <- Seq(CodecId.Plain, CodecId.Dict, CodecId.DeltaBinaryPacked)) {
@@ -110,7 +111,7 @@ class CodecRoundtripSpec extends AnyFunSuite {
     // ~1.3 MiB of distinct 24-byte strings -> fallback triggers mid-chunk
     val r = new Random(11L)
     val vs = Array.fill(60000)(f"value-${r.nextLong()}%020d".getBytes)
-    val vec = BytesVec(vs.map(identity))
+    val vec = BytesVec.of(vs.map(identity))
     val blob = ChunkCodec.encodeWith(vec, CodecId.Dict)
     assertVecEqual(vec, ChunkCodec.decode(blob))
   }
@@ -118,11 +119,30 @@ class CodecRoundtripSpec extends AnyFunSuite {
   test("multi-page chunks (values > 1 MiB) roundtrip for paged codecs") {
     val r = new Random(13L)
     val vs = Array.fill(3000)(randBytes(r, 1200)) // ~1.8 MiB raw
-    val vec = BytesVec(vs)
+    val vec = BytesVec.of(vs)
     for (codec <- Seq(CodecId.Plain, CodecId.DeltaLengthByteArray,
         CodecId.DeltaByteArray, CodecId.Fsst)) {
       assertVecEqual(vec, ChunkCodec.decode(ChunkCodec.encodeWith(vec, codec)))
     }
+  }
+
+  test("block codecs (snappy/zstd/lz4) wrap+unwrap composes with chunk codecs") {
+    val r = new Random(19L)
+    val vec = BytesVec.of(Array.fill(2000)(randBytes(r, 200)))
+    val blob = ChunkCodec.encodeWith(vec, CodecId.DeltaLengthByteArray)
+    for (bc <- Seq(BlockCodec.Snappy, BlockCodec.Zstd, BlockCodec.Lz4)) {
+      val wrapped = BlockCodec.wrap(blob, bc)
+      assert(java.util.Arrays.equals(BlockCodec.maybeUnwrap(wrapped), blob),
+        BlockCodec.names(bc))
+      assertVecEqual(vec, ChunkCodec.decode(BlockCodec.maybeUnwrap(wrapped)))
+    }
+    // pass-through: unwrapped blobs come back untouched
+    assert(BlockCodec.maybeUnwrap(blob) eq blob)
+    // compressible text shrinks under zstd
+    val text = BytesVec.of(Array.fill(500)(
+      "val result = compute(input); return result + 1\n".getBytes))
+    val tBlob = ChunkCodec.encodeWith(text, CodecId.Plain)
+    assert(BlockCodec.wrap(tBlob, BlockCodec.Zstd).length < tBlob.length / 2)
   }
 
   test("fsst compresses token-pool text well below plain") {
@@ -131,7 +151,7 @@ class CodecRoundtripSpec extends AnyFunSuite {
       "return ", "match ", "case ", "extends ", "override def ")
     val vs = Array.fill(512)(
       (0 until 60).map(_ => tokens(r.nextInt(tokens.length))).mkString.getBytes)
-    val vec = BytesVec(vs)
+    val vec = BytesVec.of(vs)
     val fsst = ChunkCodec.encodeWith(vec, CodecId.Fsst)
     assert(fsst.length < vec.rawSize / 2, s"fsst ${fsst.length} vs raw ${vec.rawSize}")
     assertVecEqual(vec, ChunkCodec.decode(fsst))

@@ -53,7 +53,7 @@ class GoldenBytesSpec extends AnyFunSuite {
     di.put(IntVec(Array(1, 2, 3, 4, 5, 1, 2)))
     assert(di.dictEncodedSize == 20L)
     val ds = new DictCodec.Encoder(PhysicalType.Bytes)
-    ds.put(BytesVec(Array("abcd".getBytes, "efj".getBytes, "abcd".getBytes)))
+    ds.put(BytesVec.of(Array("abcd".getBytes, "efj".getBytes, "abcd".getBytes)))
     assert(ds.dictEncodedSize == (4 + 4) + (4 + 3))
   }
 
@@ -69,10 +69,11 @@ class GoldenBytesSpec extends AnyFunSuite {
 
   test("delta-byte-array encoder state resets across flushes (reference issue 47)") {
     val e = new DeltaByteArrayEncoder
-    e.put(Array("aa".getBytes, "aaa".getBytes))
+    e.put(BytesVec.of(Array("aa".getBytes, "aaa".getBytes)))
     val first = e.result()
-    assert(DeltaByteArrayCodec.decode(first).map(new String(_)).toSeq == Seq("aa", "aaa"))
-    e.put(Array("aa".getBytes, "aaa".getBytes))
+    assert({ val v = DeltaByteArrayCodec.decode(first)
+      (0 until v.length).map(i => new String(v.valueBytes(i))) } == Seq("aa", "aaa"))
+    e.put(BytesVec.of(Array("aa".getBytes, "aaa".getBytes)))
     val second = e.result()
     assert(second.toSeq == first.toSeq, "state must reset at flush")
   }
@@ -90,7 +91,7 @@ class GoldenBytesSpec extends AnyFunSuite {
   }
 
   test("plain byte-array layout: u32 LE length prefix + bytes") {
-    val enc = PlainCodec.encode(BytesVec(Array("hi".getBytes)))
+    val enc = PlainCodec.encode(BytesVec.of(Array("hi".getBytes)))
     assert(enc.toSeq == Seq(2, 0, 0, 0, 'h'.toInt, 'i'.toInt).map(_.toByte))
   }
 

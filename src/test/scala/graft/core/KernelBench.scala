@@ -16,11 +16,11 @@ object KernelBench {
   def main(args: Array[String]): Unit = {
     val n = 16384
     val rows = (0 until n).map(i => CodeTableGen.genRow(42L, i.toLong, 1024, 1536))
-    val content = BytesVec(rows.map(_.content.getBytes("UTF-8")).toArray)
-    val path = BytesVec(rows.map(_.path.getBytes("UTF-8")).toArray)
-    val commit = BytesVec(rows.map(_.commit.getBytes("UTF-8")).toArray)
-    val lang = BytesVec(rows.map(_.lang.getBytes("UTF-8")).toArray)
-    val repo = BytesVec(rows.map(_.repo.getBytes("UTF-8")).toArray)
+    val content = BytesVec.of(rows.map(_.content.getBytes("UTF-8")).toArray)
+    val path = BytesVec.of(rows.map(_.path.getBytes("UTF-8")).toArray)
+    val commit = BytesVec.of(rows.map(_.commit.getBytes("UTF-8")).toArray)
+    val lang = BytesVec.of(rows.map(_.lang.getBytes("UTF-8")).toArray)
+    val repo = BytesVec.of(rows.map(_.repo.getBytes("UTF-8")).toArray)
     val lens = IntVec(rows.map(_.content.length).toArray)
 
     (1 to 3).foreach { round =>
