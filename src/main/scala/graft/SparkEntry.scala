@@ -130,6 +130,22 @@ object SparkEntry {
           sum(col("chars_n")).as("sum_chars"),
           countDistinct(col("source_n")).as("nd_source"))
     }),
+    "q_prune_decode" -> ((s, dir) => {
+      // chunk min/max statistics prune row ranges BEFORE any decode work:
+      // range-cluster on the predicate column, encode, then decodeWhere
+      // filters on chunk metadata only (the broadcast semi-join shape that
+      // works at any scale)
+      val in = lineitem(s, dir)
+        .select("l_orderkey", "l_linenumber", "l_quantity")
+        .repartitionByRange(16, col("l_orderkey"))
+      val chunks = EncodeJob.encode(in, numPartitions = 0,
+        partitionKeys = Seq.empty, sortKeys = Seq("l_orderkey", "l_linenumber"),
+        chunkRows = 4096)
+      DecodeJob.decodeWhere(chunks, in.schema, "l_orderkey", 1000L, 3000L)
+        .where(col("l_orderkey").between(1000, 3000))
+        .agg(count(lit(1)).as("n"), sum(col("l_orderkey")).as("s"),
+          round(sum(col("l_quantity")), 2).as("sq"))
+    }),
     // ---- encoder lineage + selector (oracle checks the byte accounting)
     "q_enc_lineage_bytes" -> ((s, dir) => {
       val chunks = EncodeJob.encode(docs(s, dir), numPartitions = 8,
@@ -269,6 +285,10 @@ object SparkEntry {
         "CAST(sum(CASE WHEN n_chars % 5 = 0 THEN NULL ELSE n_chars END) AS BIGINT) AS sum_chars, " +
         "count(DISTINCT CASE WHEN n_chars % 7 = 0 THEN NULL ELSE source END) AS nd_source " +
         "FROM documents"),
+    "q_prune_decode" ->
+      ("SELECT count(*) AS n, CAST(sum(l_orderkey) AS BIGINT) AS s, " +
+        "round(sum(l_quantity), 2) AS sq FROM lineitem " +
+        "WHERE l_orderkey BETWEEN 1000 AND 3000"),
     "q_enc_lineage_bytes" ->
       ("SELECT 'doc_id' AS col_name, CAST(8*count(*) AS BIGINT) AS input_bytes FROM documents " +
         "UNION ALL SELECT 'lang', CAST(sum(4 + strlen(lang)) AS BIGINT) FROM documents " +

@@ -48,6 +48,65 @@ object DecodeJob {
       }(rowEnc)
   }
 
+  /** Decode only the row ranges whose `column` chunk statistics overlap
+    * [lower, upper] — metadata-level pruning, the read-side counterpart of
+    * the reference's (unrealized) row-group filtering TODO
+    * (`/root/reference/src/file/reader.rs:198`). Pruned chunks are never
+    * deserialized or decoded; the surviving set is found with one
+    * metadata-only filter and a broadcast semi-join on (partId, chunkIdx).
+    * Bounds are inclusive; pass `null` for an open end. The caller still
+    * applies the exact row predicate afterwards (stats are range-level).
+    *
+    * Numeric bounds: java.lang.Number; string/binary bounds: String or
+    * Array[Byte]. Chunks with absent stats are kept (never wrong, only
+    * less pruning).
+    */
+  def decodeWhere(chunks: Dataset[ChunkRow], schema: StructType,
+      column: String, lower: Any, upper: Any): DataFrame = {
+    val spark = chunks.sparkSession
+    import spark.implicits._
+    val keep = chunks
+      .filter(c => c.column == column && statsOverlap(c, lower, upper))
+      .select($"partId", $"chunkIdx")
+      .distinct()
+    val pruned = chunks.join(broadcast(keep), Seq("partId", "chunkIdx"))
+      .as[ChunkRow]
+    decode(pruned, schema)
+  }
+
+  /** Does [chunk.minStat, chunk.maxStat] intersect [lower, upper]? */
+  private[graft] def statsOverlap(c: ChunkRow, lower: Any, upper: Any): Boolean = {
+    if (c.numValues == c.numNulls) return false // all-null chunk has no values in range
+    def boundBytes(b: Any): Array[Byte] = b match {
+      case s: String => s.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+      case a: Array[Byte] => a
+      case other => throw new IllegalArgumentException(s"bad byte bound $other")
+    }
+    c.physicalType match {
+      case PhysicalType.Bytes =>
+        val loOk = upper == null || c.minStat.isEmpty ||
+          MinMax.compareBytes(c.minStat, boundBytes(upper)) <= 0
+        val hiOk = lower == null || c.maxStat.isEmpty ||
+          MinMax.compareBytes(c.maxStat, boundBytes(lower)) >= 0
+        loOk && hiOk
+      case PhysicalType.Float | PhysicalType.Double =>
+        def toD(a: Array[Byte]): Double =
+          if (a.length == 4) java.lang.Float.intBitsToFloat(MinMax.leToLong(a).toInt).toDouble
+          else java.lang.Double.longBitsToDouble(MinMax.leToLong(a))
+        val loOk = upper == null || c.minStat.isEmpty ||
+          toD(c.minStat) <= upper.asInstanceOf[Number].doubleValue()
+        val hiOk = lower == null || c.maxStat.isEmpty ||
+          toD(c.maxStat) >= lower.asInstanceOf[Number].doubleValue()
+        loOk && hiOk
+      case _ => // Bool / Int32 / Int64
+        val loOk = upper == null || c.minStat.isEmpty ||
+          MinMax.leToLong(c.minStat) <= upper.asInstanceOf[Number].longValue()
+        val hiOk = lower == null || c.maxStat.isEmpty ||
+          MinMax.leToLong(c.maxStat) >= lower.asInstanceOf[Number].longValue()
+        loOk && hiOk
+    }
+  }
+
   private def materialize(dt: DataType, vec: ColVec): Int => Any = (dt, vec) match {
     case (StringType, v: BytesVec) =>
       i => new String(v.data, v.start(i), v.len(i),

@@ -24,6 +24,15 @@ final case class ChunkRow(
     encodedBytes: Long,
     refPolicyBytes: Long,
     dictEntries: Int,
+    /** min/max statistics over the chunk's non-null values, PLAIN-encoded
+      * without length prefix (the reference's Statistics byte convention,
+      * `/root/reference/src/file/statistics.rs:116-119`); byte values are
+      * truncated to 64 bytes (min stays a valid lower bound, max is padded
+      * 0xFF so it stays an upper bound). Empty arrays when numValues ==
+      * numNulls. Drives metadata-level chunk pruning in
+      * [[DecodeJob.decodeWhere]]. */
+    minStat: Array[Byte],
+    maxStat: Array[Byte],
     sha256: String,
     blob: Array[Byte])
 
@@ -98,8 +107,11 @@ object EncodeJob {
       else col(f.name)
     }.toSeq: _*)
     val binarySchema = asBinary.schema
+    // numPartitions <= 0 keeps the caller's partitioning (e.g. a
+    // repartitionByRange whose clustering makes min/max chunk stats tight)
     val keyed =
-      if (partitionKeys.isEmpty) asBinary.repartition(numPartitions, salt)
+      if (numPartitions <= 0) asBinary
+      else if (partitionKeys.isEmpty) asBinary.repartition(numPartitions, salt)
       else asBinary.repartition(numPartitions, (partitionKeys.map(col) :+ salt): _*)
     val sorted =
       if (sortKeys.isEmpty) keyed
@@ -154,10 +166,11 @@ object EncodeJob {
             val wrapped = BlockCodec.wrap(chunk.blob, blockCodec)
             if (wrapped.length < chunk.blob.length) wrapped else chunk.blob
           }
+        val (mnStat, mxStat) = MinMax.compute(vec)
         out += ChunkRow(partId, chunkIdx, c, fields(c).name, vec.physicalType,
           chunk.codecName, nRows.toLong, nNulls.toLong, chunk.rawSize,
           blob.length.toLong, chunk.refPolicySize, chunk.dictEntries,
-          ColVecHash.sha256Hex(vec, levels), blob)
+          mnStat, mxStat, ColVecHash.sha256Hex(vec, levels), blob)
         c += 1
       }
       chunkIdx += 1

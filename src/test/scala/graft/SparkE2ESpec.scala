@@ -136,6 +136,72 @@ class SparkE2ESpec extends AnyFunSuite with BeforeAndAfterAll {
     chunks.foreach(c => assert(c.encodedBytes <= c.refPolicyBytes))
   }
 
+  test("chunk min/max stats prune decode work without changing results") {
+    val li = spark.read.parquet(s"$sfDir/lineitem.parquet")
+      .select("l_orderkey", "l_linenumber")
+      .repartitionByRange(8, col("l_orderkey"))
+    val chunks = EncodeJob.encode(li, numPartitions = 0,
+      partitionKeys = Seq.empty, sortKeys = Seq("l_orderkey", "l_linenumber"),
+      chunkRows = 512).cache()
+    val (lo, hi) = (50L, 300L)
+    // pruning keeps strictly fewer chunk groups than exist
+    val total = chunks.toDF().select("partId", "chunkIdx").distinct().count()
+    val kept = chunks.filter(c => c.column == "l_orderkey" &&
+      DecodeJob.statsOverlap(c, lo, hi)).count()
+    assert(kept < total, s"pruning kept $kept of $total groups")
+    assert(kept > 0)
+    // and results are identical to the unpruned path
+    val pruned = DecodeJob.decodeWhere(chunks, li.schema, "l_orderkey", lo, hi)
+      .where(col("l_orderkey").between(lo, hi))
+      .agg(count(lit(1)), sum(col("l_orderkey"))).collect()(0)
+    val full = li.where(col("l_orderkey").between(lo, hi))
+      .agg(count(lit(1)), sum(col("l_orderkey"))).collect()(0)
+    assert(pruned == full)
+    // string stats: range on a byte column also prunes safely
+    val d = spark.read.parquet(s"$sfDir/documents.parquet")
+      .select("doc_id", "source").repartitionByRange(4, col("source"))
+    val dc = EncodeJob.encode(d, 0, Seq.empty, Seq("source", "doc_id"),
+      chunkRows = 64)
+    val prunedS = DecodeJob.decodeWhere(dc, d.schema, "source", "a", "m")
+      .where(col("source").between("a", "m")).count()
+    val fullS = d.where(col("source").between("a", "m")).count()
+    assert(prunedS == fullS)
+    chunks.unpersist()
+  }
+
+  test("streaming encode: micro-batches land as decodable chunks with lineage") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+    val out = java.nio.file.Files.createTempDirectory("graft-stream").toString
+    val mem = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[graft.sources.CodeRow]
+    val rows1 = (0 until 300).map(i => graft.sources.CodeTableGen.genRow(7L, i.toLong, 64, 400))
+    val rows2 = (300 until 500).map(i => graft.sources.CodeTableGen.genRow(7L, i.toLong, 64, 400))
+    mem.addData(rows1)
+    val q = graft.streaming.StreamingEncode.start(mem.toDF(), out,
+      numPartitions = 4, partitionKeys = Seq("repo", "lang"),
+      sortKeys = Seq("repo", "path", "commit"),
+      trigger = org.apache.spark.sql.streaming.Trigger.ProcessingTime(100))
+    try {
+      q.processAllAvailable()
+      mem.addData(rows2)
+      q.processAllAvailable()
+    } finally q.stop()
+    val chunks = s.read.parquet(s"$out/chunks").as[graft.operators.ChunkRow]
+    val decoded = DecodeJob.decode(chunks,
+      org.apache.spark.sql.Encoders.product[graft.sources.CodeRow].schema)
+    assert(decoded.count() == 500L)
+    // bit-identity across the streaming path too
+    val src = s.createDataFrame(rows1 ++ rows2)
+    val (nS, nD, bad) = Verifier.verify(src, decoded,
+      keyCols = Seq("repo", "path", "commit"), contentCol = "content")
+    assert(nS == 500L && nD == 500L && bad == 0L)
+    // lineage written per batch, partIds globally unique
+    val lineage = s.read.parquet(s"$out/lineage")
+    assert(lineage.select("partId").distinct().count() ==
+      chunks.map(_.partId).distinct().count())
+  }
+
   test("flagship entry returns lineage rows") {
     val df = SparkEntry.entry(spark)
     assert(df.count() > 0)
