@@ -65,8 +65,15 @@ object DecodeJob {
       column: String, lower: Any, upper: Any): DataFrame = {
     val spark = chunks.sparkSession
     import spark.implicits._
-    val keep = chunks
-      .filter(c => c.column == column && statsOverlap(c, lower, upper))
+    // column-level stats predicate (NOT a typed lambda): the metadata scan
+    // then prunes to the stats columns and never reads chunk blobs
+    val overlap = udf((physicalType: Int, numValues: Long, numNulls: Long,
+        minStat: Array[Byte], maxStat: Array[Byte]) =>
+      statsOverlap(physicalType, numValues, numNulls, minStat, maxStat,
+        lower, upper))
+    val keep = chunks.toDF()
+      .where($"column" === column && overlap($"physicalType", $"numValues",
+        $"numNulls", $"minStat", $"maxStat"))
       .select($"partId", $"chunkIdx")
       .distinct()
     val pruned = chunks.join(broadcast(keep), Seq("partId", "chunkIdx"))
@@ -74,8 +81,15 @@ object DecodeJob {
     decode(pruned, schema)
   }
 
-  /** Does [chunk.minStat, chunk.maxStat] intersect [lower, upper]? */
-  private[graft] def statsOverlap(c: ChunkRow, lower: Any, upper: Any): Boolean = {
+  private[graft] def statsOverlap(c: ChunkRow, lower: Any, upper: Any): Boolean =
+    statsOverlap(c.physicalType, c.numValues, c.numNulls, c.minStat, c.maxStat,
+      lower, upper)
+
+  /** Does [minStat, maxStat] intersect [lower, upper]? */
+  private[graft] def statsOverlap(physicalType: Int, numValues: Long,
+      numNulls: Long, minStat: Array[Byte], maxStat: Array[Byte],
+      lower: Any, upper: Any): Boolean = {
+    val c = StatsView(physicalType, numValues, numNulls, minStat, maxStat)
     if (c.numValues == c.numNulls) return false // all-null chunk has no values in range
     def boundBytes(b: Any): Array[Byte] = b match {
       case s: String => s.getBytes(java.nio.charset.StandardCharsets.UTF_8)
@@ -106,6 +120,9 @@ object DecodeJob {
         loOk && hiOk
     }
   }
+
+  private final case class StatsView(physicalType: Int, numValues: Long,
+      numNulls: Long, minStat: Array[Byte], maxStat: Array[Byte])
 
   private def materialize(dt: DataType, vec: ColVec): Int => Any = (dt, vec) match {
     case (StringType, v: BytesVec) =>

@@ -1,0 +1,84 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.BeforeAndAfterAll
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.functions.TextOps
+import graft.operators._
+
+/** Physical-plan quality gates: the properties that make these operators
+  * viable at 100 TB — scan-level column pruning, predicate pushdown, and
+  * broadcast (not shuffle) joins for metadata-sized sides — asserted on
+  * the optimizer's output so they cannot silently regress. */
+class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  @transient private var spark: SparkSession = _
+  private val sfDir = "/root/testdata/sf0.001"
+
+  override def beforeAll(): Unit = {
+    spark = SparkSession.builder()
+      .master("local[2]")
+      .config("spark.sql.shuffle.partitions", "2")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+  }
+
+  override def afterAll(): Unit = if (spark != null) spark.stop()
+
+  private def planOf(df: org.apache.spark.sql.DataFrame): String =
+    df.queryExecution.executedPlan.toString
+
+  test("aggregations prune the parquet scan to referenced columns only") {
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+    val plan = planOf(docs.groupBy("lang")
+      .agg(sum(TextOps.wsTokenCount(col("text")))))
+    assert(plan.contains("ReadSchema: struct<text:string,lang:string>"), plan)
+  }
+
+  test("filters push down to the parquet scan") {
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+    val plan = planOf(docs.where(col("n_chars") > 500).select("doc_id"))
+    assert(plan.contains("GreaterThan(n_chars,500)"), plan)
+  }
+
+  test("decodeWhere prunes with a broadcast join and a blob-free stats scan") {
+    val li = spark.read.parquet(s"$sfDir/lineitem.parquet")
+      .select("l_orderkey", "l_linenumber")
+      .repartitionByRange(2, col("l_orderkey"))
+    val out = java.nio.file.Files.createTempDirectory("graft-plan").toString
+    EncodeJob.encode(li, 0, Seq.empty, Seq("l_orderkey"))
+      .write.parquet(s"$out/chunks")
+    val stored = spark.read.parquet(s"$out/chunks").as[ChunkRow](
+      org.apache.spark.sql.Encoders.product[ChunkRow])
+    val pruned = DecodeJob.decodeWhere(stored, li.schema, "l_orderkey", 10L, 50L)
+    val plan = planOf(pruned)
+    // the metadata side must broadcast, never shuffle
+    assert(plan.contains("BroadcastHashJoin") || plan.contains("BroadcastExchange"), plan)
+    // the stats-filter scan of the stored chunk table must NOT read blobs
+    val statsScans = plan.split("Scan parquet").count(_.contains("minStat"))
+    assert(statsScans >= 1, plan)
+    assert(plan.split("\n").exists(l =>
+      l.contains("ReadSchema") && l.contains("minStat") && !l.contains("blob")), plan)
+    // and it still returns the right rows
+    assert(pruned.where(col("l_orderkey").between(10, 50)).count() ==
+      li.where(col("l_orderkey").between(10, 50)).count())
+  }
+
+  test("encode pipeline has exactly one exchange (the salted repartition)") {
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+    val chunks = EncodeJob.encode(docs, 4, Seq("lang"), Seq("doc_id"))
+    val plan = planOf(chunks.toDF())
+    val exchanges = "(?m)^.*Exchange".r.findAllIn(plan).size
+    assert(exchanges == 1, s"expected 1 exchange, plan:\n$plan")
+  }
+
+  test("brute-force ANN plan is shuffle-free (broadcast corpus + map)") {
+    val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
+    val bf = Similarity.bruteForceTopK(emb, "vec_id", "embedding", k = 2)
+    val plan = planOf(bf)
+    assert(!plan.contains("Exchange"), plan)
+  }
+}
