@@ -153,7 +153,9 @@ object Bench {
     chunks.count() // materialize cache so decode timing excludes encode
     progress("decode bench")
     val (_, decSecs) = time {
-      DecodeJob.decode(chunks, df.schema).count()
+      // chunks are cached straight off EncodeJob -> co-partitioned -> the
+      // shuffle-free local decode path applies
+      DecodeJob.decodeLocal(chunks, df.schema).count()
     }
     val decGbps = decRaw / decSecs / 1e9
     chunks.unpersist()

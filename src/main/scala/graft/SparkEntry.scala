@@ -285,6 +285,18 @@ object SparkEntry {
         "CAST(sum(CASE WHEN n_chars % 5 = 0 THEN NULL ELSE n_chars END) AS BIGINT) AS sum_chars, " +
         "count(DISTINCT CASE WHEN n_chars % 7 = 0 THEN NULL ELSE source END) AS nd_source " +
         "FROM documents"),
+    "q_lang_id" -> {
+      // same stopword table as TextOps.langId; DuckDB list_max over
+      // (hits, lang) structs mirrors Spark's greatest(struct(hits, lang))
+      val structs = TextOps.stopwords.toSeq.sortBy(_._1).map { case (l, ws) =>
+        val in = ws.map(w => s"'$w'").mkString(",")
+        s"{'h': len(list_filter(toks, x -> x IN ($in))), 'l': '$l'}"
+      }.mkString(", ")
+      "WITH t AS (SELECT lang, string_split_regex(lower(text), '\\W+') AS toks FROM documents), " +
+        s"b AS (SELECT lang, list_max([$structs]) AS best FROM t) " +
+        "SELECT lang, CASE WHEN best.h > 0 THEN best.l ELSE 'und' END AS predicted, " +
+        "count(*) AS cnt FROM b GROUP BY lang, predicted ORDER BY lang, predicted"
+    },
     "q_prune_decode" ->
       ("SELECT count(*) AS n, CAST(sum(l_orderkey) AS BIGINT) AS s, " +
         "round(sum(l_quantity), 2) AS sq FROM lineitem " +

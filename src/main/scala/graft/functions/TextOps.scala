@@ -48,7 +48,9 @@ object TextOps {
         when(spaceRatio > 0.6, lit(0.3)).otherwise(lit(1.0)))), 4)
   }
 
-  private val stopwords: Map[String, Seq[String]] = Map(
+  /** Stopword table shared with the DuckDB oracle (SparkEntry builds the
+    * oracle SQL from this map so the two can never drift). */
+  val stopwords: Map[String, Seq[String]] = Map(
     "en" -> Seq("the", "and", "of", "to", "in", "is", "that", "for", "with", "was"),
     "de" -> Seq("der", "die", "das", "und", "ist", "nicht", "mit", "ein", "zu", "von"),
     "fr" -> Seq("le", "la", "les", "et", "est", "pas", "pour", "que", "une", "dans"),

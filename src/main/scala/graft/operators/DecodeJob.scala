@@ -12,7 +12,8 @@ import graft.core._
 object DecodeJob {
 
   /** Decode chunk rows back into a DataFrame with the given flat schema.
-    * One shuffle: groupByKey on (partId, chunkIdx). */
+    * One shuffle: groupByKey on (partId, chunkIdx). Works for ANY chunk
+    * Dataset layout; see [[decodeLocal]] for the shuffle-free path. */
   def decode(chunks: Dataset[ChunkRow], schema: StructType): DataFrame = {
     val spark = chunks.sparkSession
     import spark.implicits._
@@ -20,32 +21,58 @@ object DecodeJob {
     val rowEnc = Encoders.row(schema)
     chunks
       .groupByKey(c => (c.partId, c.chunkIdx))
-      .flatMapGroups { (_, it) =>
-        val byCol = it.toArray.sortBy(_.colIdx)
-        require(byCol.length == fields.length,
-          s"expected ${fields.length} column chunks, got ${byCol.length}")
-        val decoded = byCol.map(c =>
-          ChunkCodec.decodeWithLevels(BlockCodec.maybeUnwrap(c.blob)))
-        val n = decoded.head.numRows
-        val cols: Array[Int => Any] = decoded.zipWithIndex.map { case (d, ci) =>
-          val values = materialize(fields(ci).dataType, d.vec)
-          if (d.defLevels == null) values
-          else {
-            // row -> value index (nulls hold -1); values are null-suppressed
-            val idx = new Array[Int](n)
-            var vi = 0
-            var i = 0
-            while (i < n) {
-              if (d.defLevels(i) != 0) { idx(i) = vi; vi += 1 } else idx(i) = -1
-              i += 1
-            }
-            (i: Int) => if (idx(i) < 0) null else values(idx(i))
-          }
+      .flatMapGroups((_, it) => decodeGroup(fields, it.toArray))(rowEnc)
+  }
+
+  /** Shuffle-free decode for chunk Datasets whose partitions already hold
+    * every column chunk of each (partId, chunkIdx) — true for EncodeJob
+    * output, caches of it, and per-partition-written chunk files. Groups
+    * rows locally inside each partition (ordering within the partition
+    * doesn't matter); fails fast if a row range's chunks are split across
+    * partitions. */
+  def decodeLocal(chunks: Dataset[ChunkRow], schema: StructType): DataFrame = {
+    val fields = schema.fields
+    val rowEnc = Encoders.row(schema)
+    chunks.mapPartitions { it =>
+      val groups = scala.collection.mutable.LinkedHashMap
+        .empty[(Int, Int), scala.collection.mutable.ArrayBuffer[ChunkRow]]
+      it.foreach { c =>
+        groups.getOrElseUpdate((c.partId, c.chunkIdx),
+          scala.collection.mutable.ArrayBuffer.empty[ChunkRow]) += c
+      }
+      groups.valuesIterator.flatMap(g => decodeGroup(fields, g.toArray))
+    }(rowEnc)
+  }
+
+  /** Re-assemble one (partId, chunkIdx) row range from its column chunks. */
+  private def decodeGroup(fields: Array[StructField],
+      group: Array[ChunkRow]): Iterator[Row] = {
+    val byCol = group.sortBy(_.colIdx)
+    require(byCol.length == fields.length,
+      s"expected ${fields.length} column chunks, got ${byCol.length} " +
+        s"(partId=${byCol.head.partId}, chunkIdx=${byCol.head.chunkIdx} — " +
+        "for decodeLocal all columns of a row range must share a partition)")
+    val decoded = byCol.map(c =>
+      ChunkCodec.decodeWithLevels(BlockCodec.maybeUnwrap(c.blob)))
+    val n = decoded.head.numRows
+    val cols: Array[Int => Any] = decoded.zipWithIndex.map { case (d, ci) =>
+      val values = materialize(fields(ci).dataType, d.vec)
+      if (d.defLevels == null) values
+      else {
+        // row -> value index (nulls hold -1); values are null-suppressed
+        val idx = new Array[Int](n)
+        var vi = 0
+        var i = 0
+        while (i < n) {
+          if (d.defLevels(i) != 0) { idx(i) = vi; vi += 1 } else idx(i) = -1
+          i += 1
         }
-        (0 until n).iterator.map { i =>
-          Row.fromSeq(cols.indices.map(c => cols(c)(i)))
-        }
-      }(rowEnc)
+        (i: Int) => if (idx(i) < 0) null else values(idx(i))
+      }
+    }
+    (0 until n).iterator.map { i =>
+      Row.fromSeq(cols.indices.map(c => cols(c)(i)))
+    }
   }
 
   /** Decode only the row ranges whose `column` chunk statistics overlap

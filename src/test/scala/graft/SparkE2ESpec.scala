@@ -49,6 +49,12 @@ class SparkE2ESpec extends AnyFunSuite with BeforeAndAfterAll {
     val (nSrc, nDec, bad) = Verifier.verify(df, decoded,
       keyCols = Seq("repo", "path", "commit"), contentCol = "content")
     assert(nSrc == 1500L && nDec == 1500L && bad == 0L)
+    // the shuffle-free local path (chunks straight off encode are
+    // co-partitioned) returns the same rows
+    val local = DecodeJob.decodeLocal(chunks, df.schema)
+    val (_, nL, badL) = Verifier.verify(df, local,
+      keyCols = Seq("repo", "path", "commit"), contentCol = "content")
+    assert(nL == 1500L && badL == 0L)
   }
 
   test("selector never exceeds the reference-policy ceiling and picks cheap codecs") {
