@@ -24,6 +24,16 @@ object DecodeJob {
       .flatMapGroups((_, it) => decodeGroup(fields, it.toArray))(rowEnc)
   }
 
+  /** Typed decode — the counterpart of the reference's compile-time-typed
+    * `RowIter<T>` (`/root/reference/src/record/reader.rs:751-774`): Spark's
+    * Encoder resolution performs the same schema-vs-type check the
+    * reference does with `T::parse`. */
+  def decodeAs[T <: Product : org.apache.spark.sql.Encoder](
+      chunks: Dataset[ChunkRow]): Dataset[T] = {
+    val enc = implicitly[org.apache.spark.sql.Encoder[T]]
+    decode(chunks, enc.schema).as[T](enc)
+  }
+
   /** Shuffle-free decode for chunk Datasets whose partitions already hold
     * every column chunk of each (partId, chunkIdx) — true for EncodeJob
     * output, caches of it, and per-partition-written chunk files. Groups

@@ -208,6 +208,36 @@ class SparkE2ESpec extends AnyFunSuite with BeforeAndAfterAll {
       chunks.map(_.partId).distinct().count())
   }
 
+  test("salted repartition defuses mega-repo skew; typed decode round-trips") {
+    val s = spark
+    import s.implicits._
+    val df = code(4000L, 4) // Zipf repos: top repo holds a few % of all rows
+    val topRepo = df.groupBy("repo").count().orderBy(col("count").desc)
+      .select("repo").as[String].first()
+    val chunks = EncodeJob.encode(df.select("repo", "path", "commit", "lang", "content"),
+      numPartitions = 16, partitionKeys = Seq("repo", "lang"),
+      sortKeys = Seq("repo", "path", "commit"), saltBuckets = 16).cache()
+    // the hottest repo's rows must land on several partitions, not one
+    val decoded = DecodeJob.decodeAs[graft.sources.CodeRow](chunks)
+    assert(decoded.count() == 4000L)
+    val typedBack = decoded.filter(_.repo == topRepo).count()
+    assert(typedBack == df.where(col("repo") === topRepo).count())
+    val partsOfTop = chunks.toDF().where(col("column") === "repo")
+      .select("partId").distinct().count()
+    // repo is a partition KEY, so every partition holds some repos; the
+    // skew claim is about the salt: verify by re-encoding WITHOUT salt info
+    // is impossible post-hoc, so assert the positive property instead —
+    // with 16 salt buckets the top repo's chunk groups span > 1 partition
+    val li = df.where(col("repo") === topRepo)
+      .select("repo", "path", "commit", "lang", "content")
+    val topChunks = EncodeJob.encode(li, 8, Seq("repo", "lang"),
+      Seq("repo", "path", "commit"), saltBuckets = 16)
+    val topParts = topChunks.toDF().select("partId").distinct().count()
+    assert(topParts > 1, s"one hot repo stayed on $topParts partition(s)")
+    assert(partsOfTop > 1)
+    chunks.unpersist()
+  }
+
   test("flagship entry returns lineage rows") {
     val df = SparkEntry.entry(spark)
     assert(df.count() > 0)
