@@ -297,11 +297,11 @@ object ChunkCodec {
     require(version == 1L || version == 2L, s"bad chunk version $version")
     val physicalType = r.getAligned(1).toInt
     r.getAligned(1) // primary codec (informational)
-    val numRows = r.getVlq().toInt
+    val numRows = checkedCount(r.getVlq(), "row count")
     var defLevels: Array[Byte] = null
     var numValues = numRows
     if (version == 2L) {
-      val levelLen = r.getVlq().toInt
+      val levelLen = checkedLen(r.getVlq(), r, "level bytes")
       val levelBytes = r.getBytes(levelLen)
       val dec = new RleHybridDecoder(1, levelBytes, 0, levelBytes.length)
       val tmp = new Array[Long](numRows)
@@ -318,18 +318,18 @@ object ChunkCodec {
     val hasDict = r.getAligned(1) == 1L
     var dict: ColVec = null
     if (hasDict) {
-      val entries = r.getVlq().toInt
-      val len = r.getVlq().toInt
+      val entries = checkedCount(r.getVlq(), "dict entries")
+      val len = checkedLen(r.getVlq(), r, "dict bytes")
       val bytes = r.getBytes(len)
       dict = PlainCodec.decode(physicalType, bytes, entries)
     }
-    val numPages = r.getVlq().toInt
+    val numPages = checkedCount(r.getVlq(), "page count")
     val parts = new ArrayBuffer[ColVec](numPages)
     var p = 0
     while (p < numPages) {
       val codec = r.getAligned(1).toInt
-      val nv = r.getVlq().toInt
-      val len = r.getVlq().toInt
+      val nv = checkedCount(r.getVlq(), "page values")
+      val len = checkedLen(r.getVlq(), r, "page bytes")
       val bytes = r.getBytes(len)
       parts += decodePage(physicalType, codec, bytes, nv, dict)
       p += 1
@@ -337,6 +337,18 @@ object ChunkCodec {
     val out = if (parts.isEmpty) emptyVec(physicalType) else concat(parts.toSeq)
     require(out.length == numValues, s"chunk decode: ${out.length} != $numValues")
     Decoded(out, defLevels)
+  }
+
+  /** Fuzz guards (cf. the reference's AFL target, fuzz/src/main.rs): a
+    * corrupted vlq must raise, never drive a huge allocation or a hang. */
+  @inline private def checkedCount(v: Long, what: String): Int = {
+    require(v >= 0 && v <= Int.MaxValue, s"corrupt chunk: $what = $v")
+    v.toInt
+  }
+
+  @inline private def checkedLen(v: Long, r: BitReader, what: String): Int = {
+    require(v >= 0 && v <= r.bytesLeft, s"corrupt chunk: $what = $v > ${r.bytesLeft} left")
+    v.toInt
   }
 
   private def emptyVec(physicalType: Int): ColVec = physicalType match {

@@ -1,0 +1,110 @@
+package graft.core
+
+import org.scalacheck.Gen
+import org.scalacheck.rng.Seed
+import org.scalatest.funsuite.AnyFunSuite
+
+/** ScalaCheck property layer (SURVEY.md §5: "ScalaCheck roundtrip
+  * properties per codec", mirroring the reference's randomized
+  * `EncodingTester`, encoding.rs:1199-1285) plus corruption robustness in
+  * the spirit of its AFL fuzz target (fuzz/src/main.rs:14-37).
+  * Deterministic: generators are sampled with fixed seeds (the
+  * scalatest-scalacheck bridge is not on the offline classpath). */
+class CodecPropertySpec extends AnyFunSuite {
+
+  private def forAll[A](gen: Gen[A], cases: Int = 30)(body: A => Unit): Unit =
+    (0 until cases).foreach { i =>
+      val v = gen.pureApply(Gen.Parameters.default, Seed(42L + i), retries = 500)
+      try body(v)
+      catch {
+        case e: Throwable =>
+          throw new AssertionError(s"property failed at case $i: $e", e)
+      }
+    }
+
+  private val genBytesVec: Gen[BytesVec] = for {
+    n <- Gen.chooseNum(0, 400)
+    lens <- Gen.listOfN(n, Gen.chooseNum(0, 80))
+    pool <- Gen.chooseNum(2, 40) // small alphabets stress dict + fsst
+    vals <- Gen.sequence[List[Array[Byte]], Array[Byte]](lens.map(l =>
+      Gen.listOfN(l, Gen.chooseNum(0, pool).map(_.toByte)).map(_.toArray)))
+  } yield BytesVec.of(vals.toArray)
+
+  private val genLongVec: Gen[LongVec] = for {
+    n <- Gen.chooseNum(0, 600)
+    mode <- Gen.oneOf("any", "small", "monotone")
+    vs <- mode match {
+      case "any" => Gen.listOfN(n, Gen.chooseNum(Long.MinValue, Long.MaxValue))
+      case "small" => Gen.listOfN(n, Gen.chooseNum(-100L, 100L))
+      case _ => Gen.chooseNum(-1000L, 1000L).map(start =>
+        List.iterate(start, n)(_ + 7L))
+    }
+  } yield LongVec(vs.toArray)
+
+  private val genIntVec: Gen[IntVec] =
+    Gen.chooseNum(0, 600).flatMap(n =>
+      Gen.listOfN(n, Gen.chooseNum(Int.MinValue, Int.MaxValue)).map(l => IntVec(l.toArray)))
+
+  private def roundtrips(vec: ColVec, codec: Int): Unit = {
+    val back = ChunkCodec.decode(ChunkCodec.encodeWith(vec, codec))
+    (vec, back) match {
+      case (a: BytesVec, b: BytesVec) =>
+        assert(a.length == b.length)
+        (0 until a.length).foreach(i =>
+          assert(java.util.Arrays.equals(a.valueBytes(i), b.valueBytes(i))))
+      case (LongVec(a), LongVec(b)) => assert(a.toSeq == b.toSeq)
+      case (IntVec(a), IntVec(b)) => assert(a.toSeq == b.toSeq)
+      case other => fail(s"type changed: $other")
+    }
+  }
+
+  test("property: byte-array codecs roundtrip arbitrary values") {
+    forAll(genBytesVec) { vec =>
+      Seq(CodecId.Plain, CodecId.Dict, CodecId.DeltaLengthByteArray,
+        CodecId.DeltaByteArray, CodecId.Fsst).foreach(roundtrips(vec, _))
+    }
+  }
+
+  test("property: integer codecs roundtrip arbitrary values") {
+    forAll(genLongVec) { vec =>
+      Seq(CodecId.Plain, CodecId.Dict, CodecId.DeltaBinaryPacked)
+        .foreach(roundtrips(vec, _))
+    }
+    forAll(genIntVec) { vec =>
+      Seq(CodecId.Plain, CodecId.Dict, CodecId.DeltaBinaryPacked)
+        .foreach(roundtrips(vec, _))
+    }
+  }
+
+  test("property: encodeAuto respects the reference-policy ceiling") {
+    forAll(genBytesVec) { vec =>
+      val chunk = ChunkCodec.encodeAuto(vec)
+      assert(chunk.encodedSize <= chunk.refPolicySize)
+      roundtripsAuto(vec, chunk.blob)
+    }
+  }
+
+  private def roundtripsAuto(vec: BytesVec, blob: Array[Byte]): Unit = {
+    val back = ChunkCodec.decode(blob).asInstanceOf[BytesVec]
+    assert(back.length == vec.length)
+  }
+
+  test("property: corrupted blobs raise cleanly (no hangs, no huge allocs)") {
+    val base = ChunkCodec.encodeWith(
+      BytesVec.of(Array.fill(200)("some text value".getBytes)), CodecId.Dict)
+    forAll(Gen.zip(Gen.chooseNum(0, base.length - 1), Gen.chooseNum(1, 255)),
+        cases = 200) { case (pos, delta) =>
+        val corrupted = base.clone()
+        corrupted(pos) = (corrupted(pos) + delta).toByte
+        // must either decode to something or throw a normal exception —
+        // never OOM / negative-size / infinite loop
+        try { ChunkCodec.decode(corrupted); () }
+        catch {
+          case _: IllegalArgumentException | _: IndexOutOfBoundsException |
+               _: UnsupportedOperationException | _: ClassCastException |
+               _: NegativeArraySizeException | _: ArithmeticException |
+               _: java.nio.BufferUnderflowException => ()
+        }
+    }
+  }
+}
