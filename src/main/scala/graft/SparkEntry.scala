@@ -237,6 +237,12 @@ object SparkEntry {
         .select("query", "neighbor", "rank")
         .orderBy("query", "rank")
     }),
+    "q_ann_ivf" -> ((s, dir) => {
+      val ivf = Similarity.ivfTopK(embeddings(s, dir), "vec_id", "embedding",
+        k = 3, nLists = 8, nProbe = 2)
+      ivf.agg(count(lit(1)).as("pairs"),
+        countDistinct(col("query")).as("queries_covered"))
+    }),
     "q_ann_lsh" -> ((s, dir) => {
       val lsh = Similarity.lshTopK(embeddings(s, dir), "vec_id", "embedding",
         k = 3, planes = 6)

@@ -110,6 +110,96 @@ object Similarity {
     }.toDF("query", "neighbor", "cosine", "rank")
   }
 
+  /** IVF (inverted-file) ANN: `nLists` coarse centroids are seeded from a
+    * deterministic sample and refined with `iters` distributed Lloyd
+    * steps (a groupBy-mean per step — map-side combinable); every vector
+    * is assigned to its nearest centroid (broadcast, tiny); queries probe
+    * their `nProbe` nearest cells, so the candidate join is
+    * |cell| * nProbe per query instead of the full corpus. The 100 TB
+    * shape: centroids stay driver-side KBs, assignment is a map, the only
+    * shuffle is the cell-keyed candidate join. */
+  def ivfTopK(df: DataFrame, keyCol: String, vecCol: String,
+      k: Int = 5, nLists: Int = 16, nProbe: Int = 2, iters: Int = 2): DataFrame = {
+    val spark = df.sparkSession
+    val src = df.select(col(keyCol).as("__key"),
+      col(vecCol).cast("array<double>").as("__vec"))
+
+    // deterministic seed sample: smallest nLists keys by hash
+    var centroids: Array[Array[Double]] = src
+      .orderBy(xxhash64(col("__key")))
+      .limit(nLists)
+      .collect()
+      .map(_.getSeq[Double](1).toArray)
+
+    def assignUdf(cents: Array[Array[Double]]) =
+      udf((v: Seq[Double]) => nearestCell(cents, v.toArray))
+
+    // Lloyd refinement: assign -> mean per cell (distributed, 1 shuffle/step)
+    (0 until iters).foreach { _ =>
+      val bc = spark.sparkContext.broadcast(centroids)
+      val assigned = src.withColumn("__cell", assignUdf(bc.value)(col("__vec")))
+      val means = assigned.groupBy("__cell")
+        .agg(count(lit(1)).as("n"),
+          array((0 until centroids(0).length).map(d =>
+            avg(col("__vec").getItem(d))): _*).as("mean"))
+        .collect()
+      val next = centroids.clone()
+      means.foreach { r =>
+        next(r.getInt(0)) = r.getSeq[Double](2).toArray
+      }
+      centroids = next
+    }
+
+    val bc = spark.sparkContext.broadcast(centroids)
+    val probeUdf = udf((v: Seq[Double]) => nearestCells(bc.value, v.toArray, nProbe))
+    val assigned = src
+      .withColumn("__cell", assignUdf(bc.value)(col("__vec")))
+      .withColumn("__norm", norm(col("__vec")))
+      .withColumn("__unit", transform(col("__vec"), x =>
+        when(col("__norm") > 0, x / col("__norm")).otherwise(lit(0.0))))
+    val corpus = assigned.select(col("__cell"), col("__key").as("neighbor"),
+      col("__unit").as("unitB"))
+    val queries = assigned.select(col("__key").as("query"),
+      col("__unit").as("unitA"),
+      explode(probeUdf(col("__vec"))).as("__cell"))
+    val scored = queries.join(corpus, Seq("__cell"))
+      .where(col("query") =!= col("neighbor"))
+      .withColumn("cosine", dot(col("unitA"), col("unitB")))
+    val w = Window.partitionBy(col("query"))
+      .orderBy(col("cosine").desc, col("neighbor").asc)
+    scored.withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .dropDuplicates("query", "neighbor") // a pair can meet in 2 probed cells
+      .select("query", "neighbor", "cosine", "rank")
+  }
+
+  private def nearestCell(cents: Array[Array[Double]], v: Array[Double]): Int = {
+    var best = 0
+    var bestD = Double.MaxValue
+    var c = 0
+    while (c < cents.length) {
+      var d = 0.0
+      var i = 0
+      val cv = cents(c)
+      while (i < cv.length) { val x = cv(i) - v(i); d += x * x; i += 1 }
+      if (d < bestD) { bestD = d; best = c }
+      c += 1
+    }
+    best
+  }
+
+  private def nearestCells(cents: Array[Array[Double]], v: Array[Double],
+      nProbe: Int): Array[Int] = {
+    val ds = cents.indices.map { c =>
+      var d = 0.0
+      var i = 0
+      val cv = cents(c)
+      while (i < cv.length) { val x = cv(i) - v(i); d += x * x; i += 1 }
+      (d, c)
+    }
+    ds.sortBy(x => (x._1, x._2)).take(math.max(1, nProbe)).map(_._2).toArray
+  }
+
   /** Deterministic pseudo-random hyperplane component for (plane p, dim i):
     * a fixed hash mapped to [-1, 1] — seeded, identical on every executor
     * with zero driver state. */

@@ -270,6 +270,28 @@ class SparkE2ESpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(lsh.count() > 0)
   }
 
+  test("ANN: IVF covers every query and recalls a sane share of exact top-1") {
+    val s = spark
+    import s.implicits._
+    val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
+    val n = emb.count()
+    val ivf = Similarity.ivfTopK(emb, "vec_id", "embedding",
+      k = 1, nLists = 6, nProbe = 3).cache()
+    assert(ivf.select("query").distinct().count() == n)
+    // recall vs brute force: with 3 of 6 cells probed, expect a solid share
+    val bf = Similarity.bruteForceTopK(emb, "vec_id", "embedding", k = 1)
+      .select($"query", $"neighbor".as("exact"))
+    val matched = ivf.where($"rank" === 1).join(bf, "query")
+      .where($"neighbor" === $"exact").count()
+    assert(matched.toDouble / n > 0.4, s"IVF recall@1 = ${matched.toDouble / n}")
+    // determinism
+    val again = Similarity.ivfTopK(emb, "vec_id", "embedding",
+      k = 1, nLists = 6, nProbe = 3)
+    assert(again.orderBy("query").collect().toSeq ==
+      ivf.orderBy("query").collect().toSeq)
+    ivf.unpersist()
+  }
+
   test("multimodal stub plumbing: binary in, typed features out, no shuffle") {
     val bin = spark.read.parquet(s"$sfDir/documents.parquet")
       .select(col("doc_id"), col("text").cast("binary").as("payload"))
