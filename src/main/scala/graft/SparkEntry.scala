@@ -223,12 +223,10 @@ object SparkEntry {
         coalesce(min(col("dist")), lit(0)).as("min_dist"))
     }),
     "q_ngram_jaccard" -> ((s, dir) => {
-      // blocked exact jaccard: (lang, 128-char length band) — near-dups
-      // share length, so banding bounds the per-block quadratic cost
-      val banded = docs(s, dir)
-        .withColumn("len_band", floor(col("n_chars") / lit(128)))
-      val pairs = Dedup.ngramJaccardPairs(banded, "doc_id", "text",
-        blockCols = Seq("lang", "len_band"), n = 3, threshold = 0.4)
+      // exact jaccard join within lang via prefix filtering (PPJoin-style
+      // candidates -> exact verify; no quadratic block anywhere)
+      val pairs = Dedup.ngramJaccardPairs(docs(s, dir), "doc_id", "text",
+        blockCols = Seq("lang"), n = 3, threshold = 0.4)
       pairs.agg(count(lit(1)).as("sim_pairs"),
         coalesce(round(max(col("jaccard")), 3), lit(0.0)).as("max_jaccard"))
     }),
@@ -317,7 +315,14 @@ object SparkEntry {
     "q_verify_roundtrip" ->
       "SELECT count(*) AS rows_source, count(*) AS rows_decoded, CAST(0 AS BIGINT) AS mismatches FROM documents",
     "q_dedup_exact" ->
-      "SELECT lang, count(DISTINCT regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS distinct_texts FROM documents GROUP BY lang ORDER BY lang",
+      // keep-first-by-doc_id per GLOBAL fingerprint, then count per lang —
+      // exactly Dedup.exact's semantics (a text duplicated across langs
+      // survives once, in the lang of its smallest doc_id)
+      ("SELECT lang, count(*) AS distinct_texts FROM (" +
+        "SELECT lang, row_number() OVER (" +
+        "PARTITION BY regexp_replace(lower(trim(text)), '\\s+', ' ', 'g') " +
+        "ORDER BY doc_id) AS rn FROM documents) WHERE rn = 1 " +
+        "GROUP BY lang ORDER BY lang"),
     "q_token_count" ->
       "SELECT lang, CAST(sum(CASE WHEN length(trim(text)) = 0 THEN 0 ELSE length(string_split_regex(trim(text), '\\s+')) END) AS BIGINT) AS tokens, count(*) AS n FROM documents GROUP BY lang ORDER BY lang",
     "q_text_quality" ->

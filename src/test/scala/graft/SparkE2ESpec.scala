@@ -270,6 +270,33 @@ class SparkE2ESpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(lsh.count() > 0)
   }
 
+  test("prefix-filtered jaccard join is EXACT vs brute-force all-pairs") {
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+    val t = 0.3
+    val fast = Dedup.ngramJaccardPairs(docs, "doc_id", "text",
+      blockCols = Seq("lang"), n = 2, threshold = t)
+      .select("keyA", "keyB", "jaccard").collect()
+      .map(r => (r.getLong(0), r.getLong(1), math.round(r.getDouble(2) * 1e9)))
+      .toSet
+    // brute force: quadratic all-pairs on the same hashed shingle sets
+    val withSh = docs.select(col("lang"), col("doc_id").as("__key"),
+      array_sort(transform(TextOps.wordShingles(col("text"), 2),
+        s => xxhash64(s))).as("__sh"))
+    val a = withSh.select(col("lang"), col("__key").as("keyA"), col("__sh").as("shA"))
+    val b = withSh.select(col("lang"), col("__key").as("keyB"), col("__sh").as("shB"))
+    val brute = a.join(b, Seq("lang")).where(col("keyA") < col("keyB"))
+      .withColumn("__i", size(array_intersect(col("shA"), col("shB"))))
+      .withColumn("j", col("__i").cast("double") /
+        (size(col("shA")) + size(col("shB")) - col("__i")).cast("double"))
+      .where(col("j") >= t)
+      .select("keyA", "keyB", "j").collect()
+      .map(r => (r.getLong(0), r.getLong(1), math.round(r.getDouble(2) * 1e9)))
+      .toSet
+    assert(brute.nonEmpty, "test needs at least one qualifying pair")
+    assert(fast == brute,
+      s"missing=${(brute -- fast).take(5)} extra=${(fast -- brute).take(5)}")
+  }
+
   test("ANN: IVF covers every query and recalls a sane share of exact top-1") {
     val s = spark
     import s.implicits._
