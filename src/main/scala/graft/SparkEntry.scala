@@ -333,6 +333,22 @@ object SparkEntry {
         "FROM documents GROUP BY source ORDER BY source"),
     "q_fingerprint" ->
       "SELECT source, count(DISTINCT regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS distinct_fp FROM documents GROUP BY source ORDER BY source",
+    "q_ngram_jaccard" ->
+      // brute-force all-pairs within lang over the same word-3-gram shingle
+      // sets (set semantics; Spark's 64-bit shingle hashing is
+      // collision-free at oracle scale) — value-checks the exact
+      // prefix-filtered join end to end
+      ("WITH sh AS (SELECT lang, doc_id, " +
+        "list_distinct(list_transform(range(1, greatest(1, len(toks) - 2) + 1), " +
+        "i -> array_to_string(list_slice(toks, i, i + 2), ' '))) AS s " +
+        "FROM (SELECT lang, doc_id, " +
+        "string_split(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' ') AS toks " +
+        "FROM documents)), " +
+        "p AS (SELECT len(list_intersect(a.s, b.s)) AS inter, len(a.s) AS na, len(b.s) AS nb " +
+        "FROM sh a JOIN sh b ON a.lang = b.lang AND a.doc_id < b.doc_id), " +
+        "j AS (SELECT inter::DOUBLE / (na + nb - inter) AS jac FROM p WHERE inter > 0) " +
+        "SELECT count(*) AS sim_pairs, coalesce(round(max(jac), 3), 0.0) AS max_jaccard " +
+        "FROM j WHERE jac >= 0.4"),
     "q_ann_topk" ->
       ("WITH pairs AS (SELECT a.vec_id AS query, b.vec_id AS neighbor, " +
         "list_cosine_similarity(a.embedding, b.embedding) AS c " +

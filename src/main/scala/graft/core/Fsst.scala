@@ -24,28 +24,96 @@ object FsstCodec {
   private val MaxSymbols = 255
   private val MaxSymbolLen = 8
 
+  private val HashBits = 12
+  private val HashSize = 1 << HashBits // 4096 slots, 64 KiB of parallel arrays
+
   final class SymbolTable(val symbols: Array[Array[Byte]]) {
-    // fast path: symbol as little-endian long + length mask, so a candidate
-    // check is one masked 64-bit compare instead of a byte loop (the
-    // "longCodes" idea of the FSST paper, re-derived — no code consulted)
+    // O(1) match per position (the two-table idea of the FSST paper,
+    // re-derived — no code consulted): a 64K "short" table resolves 1/2-byte
+    // symbols by their 2-byte little-endian prefix in one load; symbols of
+    // length >= 3 live in a hash table keyed on their 3-byte prefix, one
+    // symbol per slot (collision losers simply never match — costs a little
+    // ratio, never correctness, and keeps the probe to one masked 64-bit
+    // compare)
     private[FsstCodec] val symWord: Array[Long] = symbols.map(wordOf)
     private[FsstCodec] val symMask: Array[Long] =
       symbols.map(s => if (s.length >= 8) -1L else (1L << (8 * s.length)) - 1)
     private[FsstCodec] val symLen: Array[Int] = symbols.map(_.length)
-    // index: first byte -> symbol codes sorted by length descending (256
-    // entries stays L1-resident; a 2-byte 64K index measured slower due to
-    // cache misses)
-    private[FsstCodec] val byFirst: Array[Array[Int]] = {
-      val tmp = Array.fill(256)(List.empty[Int])
+    // short(idx) = (len << 8) | code for the longest 1/2-byte symbol whose
+    // prefix matches idx; 0 = no match
+    private[FsstCodec] val short2: Array[Int] = new Array[Int](1 << 16)
+    // 1-byte-only variant used when just one input byte remains
+    private[FsstCodec] val short1: Array[Int] = new Array[Int](1 << 8)
+    // two probe tables: hash4 keyed on the 4-byte prefix (symbols of length
+    // >= 4, longest wins a slot), hash3 keyed on the 3-byte prefix (length-3
+    // symbols, plus hash4 slot losers so they stay matchable)
+    private[FsstCodec] val hash3Word: Array[Long] = new Array[Long](HashSize)
+    private[FsstCodec] val hash3Mask: Array[Long] = new Array[Long](HashSize)
+    private[FsstCodec] val hash3Packed: Array[Int] = Array.fill(HashSize)(-1)
+    private[FsstCodec] val hash4Word: Array[Long] = new Array[Long](HashSize)
+    private[FsstCodec] val hash4Mask: Array[Long] = new Array[Long](HashSize)
+    private[FsstCodec] val hash4Packed: Array[Int] = Array.fill(HashSize)(-1)
+
+    locally {
       var c = 0
-      while (c < symbols.length) {
-        val b = symbols(c)(0) & 0xFF
-        tmp(b) = c :: tmp(b)
+      while (c < symbols.length) { // pass 1: 1-byte symbols fill both tables
+        if (symLen(c) == 1) {
+          val b = symbols(c)(0) & 0xFF
+          if (short1(b) == 0) {
+            short1(b) = (1 << 8) | c
+            var hi = 0
+            while (hi < 256) {
+              val idx = b | (hi << 8)
+              if (short2(idx) == 0) short2(idx) = (1 << 8) | c
+              hi += 1
+            }
+          }
+        }
         c += 1
       }
-      tmp.map(_.sortBy(c => -symbols(c).length).toArray)
+      c = 0
+      while (c < symbols.length) { // pass 2: 2-byte symbols override (longer wins)
+        if (symLen(c) == 2) {
+          val idx = (symWord(c) & 0xFFFF).toInt
+          if ((short2(idx) >>> 8) < 2) short2(idx) = (2 << 8) | c
+        }
+        c += 1
+      }
+      // pass 3: length >= 3 symbols, longest first (so a slot loser can
+      // always fall back to hash3 without ever being evicted later)
+      val long3 = symbols.indices.filter(symLen(_) >= 3).sortBy(c => (-symLen(c), c))
+      long3.foreach { c =>
+        var placed = false
+        if (symLen(c) >= 4) {
+          val h = hashIdx4(symWord(c))
+          if (hash4Packed(h) < 0) {
+            hash4Word(h) = symWord(c)
+            hash4Mask(h) = symMask(c)
+            hash4Packed(h) = (symLen(c) << 8) | c
+            placed = true
+          }
+        }
+        if (!placed) {
+          val h = hashIdx(symWord(c))
+          if (hash3Packed(h) < 0) {
+            hash3Word(h) = symWord(c)
+            hash3Mask(h) = symMask(c)
+            hash3Packed(h) = (symLen(c) << 8) | c
+          }
+        }
+      }
     }
   }
+
+  @inline private def hashIdx(word: Long): Int =
+    ((((word & 0xFFFFFFL) * 2654435761L) >>> (32 - HashBits)).toInt) & (HashSize - 1)
+
+  @inline private def hashIdx4(word: Long): Int =
+    ((((word & 0xFFFFFFFFL) * 2654435761L) >>> (32 - HashBits)).toInt) & (HashSize - 1)
+
+  // lenMask(len) = low `len` bytes set; index by symbol length 0..8
+  private val lenMask: Array[Long] =
+    Array.tabulate(9)(l => if (l >= 8) -1L else (1L << (8 * l)) - 1)
 
   private val LongView = java.lang.invoke.MethodHandles.byteArrayViewVarHandle(
     classOf[Array[Long]], java.nio.ByteOrder.LITTLE_ENDIAN)
@@ -114,24 +182,35 @@ object FsstCodec {
   }
 
   @inline private def matchLen(t: SymbolTable, a: Array[Byte], pos: Int): Int = {
-    val code = matchCode(t, a, pos, a.length)
-    if (code >= 0) t.symLen(code) else 0
+    val packed = matchPacked(t, a, pos, a.length)
+    if (packed >= 0) packed >>> 8 else 0
   }
 
-  @inline private def matchCode(t: SymbolTable, a: Array[Byte], pos: Int,
+  /** Returns (len << 8) | code of the matched symbol at `pos`, or -1. */
+  @inline private def matchPacked(t: SymbolTable, a: Array[Byte], pos: Int,
       end: Int): Int = {
-    val cands = t.byFirst(a(pos) & 0xFF)
-    if (cands.length == 0) return -1
-    val word = loadWord(a, pos, end)
     val avail = end - pos
-    var ci = 0
-    while (ci < cands.length) {
-      val code = cands(ci)
-      if (t.symLen(code) <= avail &&
-          (word & t.symMask(code)) == t.symWord(code)) return code
-      ci += 1
+    val word = loadWord(a, pos, end)
+    if (avail >= 4) {
+      val h = hashIdx4(word)
+      val packed = t.hash4Packed(h)
+      if (packed >= 0 && (packed >>> 8) <= avail &&
+          (word & t.hash4Mask(h)) == t.hash4Word(h)) return packed
     }
-    -1
+    if (avail >= 3) {
+      val h = hashIdx(word)
+      val packed = t.hash3Packed(h)
+      if (packed >= 0 && (packed >>> 8) <= avail &&
+          (word & t.hash3Mask(h)) == t.hash3Word(h)) return packed
+    }
+    if (avail >= 2) {
+      val sc = t.short2((word & 0xFFFF).toInt)
+      if (sc != 0) return sc
+      -1
+    } else {
+      val sc = t.short1((word & 0xFF).toInt)
+      if (sc != 0) sc else -1
+    }
   }
 
   /** Compress a[from, from+len) into `out` starting at `outPos`; returns
@@ -142,11 +221,44 @@ object FsstCodec {
     var outPos = outPos0
     var pos = from
     val end = from + len
-    while (pos < end) {
-      val code = matchCode(t, a, pos, end)
-      if (code >= 0) {
-        out(outPos) = code.toByte; outPos += 1
-        pos += t.symLen(code)
+    val fastEnd = end - 8 // full 8-byte word available; no avail checks needed
+    val hash3Word = t.hash3Word
+    val hash3Packed = t.hash3Packed
+    val hash4Word = t.hash4Word
+    val hash4Packed = t.hash4Packed
+    val short2 = t.short2
+    while (pos <= fastEnd) {
+      val word = LongView.get(a, pos).asInstanceOf[Long]
+      val h4 = hashIdx4(word)
+      val p4 = hash4Packed(h4)
+      if (p4 >= 0 && (word & lenMask(p4 >>> 8)) == hash4Word(h4)) {
+        out(outPos) = (p4 & 0xFF).toByte; outPos += 1
+        pos += (p4 >>> 8)
+      } else {
+        val h3 = hashIdx(word)
+        val p3 = hash3Packed(h3)
+        if (p3 >= 0 && (word & lenMask(p3 >>> 8)) == hash3Word(h3)) {
+          out(outPos) = (p3 & 0xFF).toByte; outPos += 1
+          pos += (p3 >>> 8)
+        } else {
+          val sc = short2((word & 0xFFFF).toInt)
+          if (sc != 0) {
+            out(outPos) = (sc & 0xFF).toByte; outPos += 1
+            pos += (sc >>> 8)
+          } else {
+            out(outPos) = Escape.toByte
+            out(outPos + 1) = a(pos)
+            outPos += 2
+            pos += 1
+          }
+        }
+      }
+    }
+    while (pos < end) { // tail: within 8 bytes of the value end
+      val packed = matchPacked(t, a, pos, end)
+      if (packed >= 0) {
+        out(outPos) = (packed & 0xFF).toByte; outPos += 1
+        pos += (packed >>> 8)
       } else {
         out(outPos) = Escape.toByte
         out(outPos + 1) = a(pos)
