@@ -251,11 +251,16 @@ object ChunkCodec {
     val stats = if (statsIn == null) ChunkStats.compute(vec) else statsIn
     val refCodec = referencePolicyCodec(vec)
     val refBlob = encodeWith(vec, refCodec, defLevels)
-    val best = CodecSelector.choose(vec.physicalType, stats)
+    val best = CodecSelector.chooseScored(vec.physicalType, stats)
     var chosenId = refCodec
     var chosenBlob = refBlob
-    best.foreach { cand =>
-      if (cand != refCodec) {
+    // encode the top estimate always; runners-up only while their estimate
+    // is within 40% of the leader's — a decisive estimate gap means the
+    // extra full-chunk encode pass almost never pays for itself
+    val cutoff = if (best.isEmpty) Long.MaxValue
+      else math.min(Long.MaxValue / 2, best.head._1) * 7 / 5
+    best.zipWithIndex.foreach { case ((est, cand), rank) =>
+      if (cand != refCodec && (rank == 0 || est <= cutoff)) {
         val blob = encodeWith(vec, cand, defLevels)
         if (blob.length < chosenBlob.length) { chosenId = cand; chosenBlob = blob }
       }
@@ -367,13 +372,18 @@ object ChunkCodec {
   * preference order; the caller measures actual bytes and keeps the
   * reference policy as ceiling. */
 object CodecSelector {
-  def choose(physicalType: Int, s: ColumnStats): Seq[Int] = {
+  def choose(physicalType: Int, s: ColumnStats): Seq[Int] =
+    chooseScored(physicalType, s).map(_._2)
+
+  /** Candidates as (estimated bytes, codec id), best estimate first. */
+  def chooseScored(physicalType: Int, s: ColumnStats): Seq[(Long, Int)] = {
     val n = s.numValues.toDouble
     physicalType match {
       case PhysicalType.Bool =>
         val estRle = s.runs * 3 + 8
         val estPlain = (s.numValues + 7) / 8
-        if (estRle < estPlain) Seq(CodecId.RleBool) else Seq(CodecId.Plain)
+        if (estRle < estPlain) Seq((estRle, CodecId.RleBool))
+        else Seq((estPlain, CodecId.Plain))
 
       case PhysicalType.Int32 | PhysicalType.Int64 =>
         val w = BitUtil.dictBitWidth(s.distinct)
@@ -389,14 +399,15 @@ object CodecSelector {
         val estDelta = (n * math.min(deltaBits, 64) / 8).toLong + (n / 16).toLong + 16
         val estPlain = s.rawSize
         Seq((estDict, CodecId.Dict), (estDelta, CodecId.DeltaBinaryPacked),
-          (estPlain, CodecId.Plain)).sortBy(_._1).take(2).map(_._2)
+          (estPlain, CodecId.Plain)).sortBy(_._1).take(2)
 
       case PhysicalType.Float | PhysicalType.Double =>
         val w = BitUtil.dictBitWidth(s.distinct)
         val estDict =
           if (s.distinctCapped) Long.MaxValue
           else s.distinctRawSize + (n * w / 8).toLong + (n / 512).toLong + 8
-        if (estDict < s.rawSize) Seq(CodecId.Dict) else Seq(CodecId.Plain)
+        if (estDict < s.rawSize) Seq((estDict, CodecId.Dict))
+        else Seq((s.rawSize, CodecId.Plain))
 
       case PhysicalType.Bytes =>
         val avgLen = if (s.numValues == 0) 0.0 else s.rawSize / n - 4.0
@@ -419,7 +430,7 @@ object CodecSelector {
         val estPlain = s.rawSize
         Seq((estDict, CodecId.Dict), (estDeltaByte, CodecId.DeltaByteArray),
           (estFsst, CodecId.Fsst), (estDeltaLen, CodecId.DeltaLengthByteArray),
-          (estPlain, CodecId.Plain)).sortBy(_._1).take(2).map(_._2)
+          (estPlain, CodecId.Plain)).sortBy(_._1).take(2)
     }
   }
 }

@@ -93,9 +93,13 @@ object ChunkStats {
       val off = vec.start(i)
       val len = vec.len(i)
       if (!capped) {
-        var h = 1
+        // hash at most the first 64 bytes + the length: exact for short
+        // values (the only dict-viable ones — a 1 MiB dict page holds no
+        // long-string column anyway) and one bounded read for long ones,
+        // instead of a full second pass over e.g. multi-KB source files
+        var h = 1 + len * 31
         var k = off
-        val end = off + len
+        val end = off + math.min(len, 64)
         while (k < end) { h = 31 * h + data(k); k += 1 }
         if (seen.add(h)) distinctRaw += 4L + len
         if (seen.size >= DistinctCap) capped = true

@@ -115,6 +115,9 @@ object FsstCodec {
   private val lenMask: Array[Long] =
     Array.tabulate(9)(l => if (l >= 8) -1L else (1L << (8 * l)) - 1)
 
+  private val scratchBody: ThreadLocal[Array[Byte]] =
+    ThreadLocal.withInitial(() => new Array[Byte](1 << 16))
+
   private val LongView = java.lang.invoke.MethodHandles.byteArrayViewVarHandle(
     classOf[Array[Long]], java.nio.ByteOrder.LITTLE_ENDIAN)
 
@@ -277,7 +280,10 @@ object FsstCodec {
     val sample = java.util.Arrays.copyOfRange(vec.data, vec.offsets(0),
       vec.offsets(0) + sampleLen)
     val table = train(sample)
-    val w = new BitWriter(1024)
+    // pre-size near the typical compressed size so the doubling growth path
+    // never copies multi-MB buffers
+    val w = new BitWriter(math.toIntExact(
+      math.min(Int.MaxValue.toLong / 2, vec.totalBytes / 2 + 4096)))
     w.putVlq(table.symbols.length.toLong)
     var i = 0
     while (i < table.symbols.length) {
@@ -286,8 +292,12 @@ object FsstCodec {
       i += 1
     }
     w.putVlq(n.toLong)
-    // single shared output buffer: worst case 2x raw (all escapes)
-    val body = new Array[Byte](math.toIntExact(2L * vec.totalBytes + 8))
+    // single shared output buffer, worst case 2x raw (all escapes) — reused
+    // across chunks per thread: a fresh 2x-raw array per chunk would cost
+    // more memory-bus traffic in JVM zeroing than the compression itself
+    val need = math.toIntExact(2L * vec.totalBytes + 8)
+    var body = scratchBody.get()
+    if (body.length < need) { body = new Array[Byte](need); scratchBody.set(body) }
     val lens = new Array[Long](n)
     var bodyPos = 0
     i = 0
