@@ -199,6 +199,20 @@ object SparkEntry {
           sum(q(3)).as("alphas"), sum(q(4)).as("digits"))
         .orderBy("source")
     }),
+    "q_token_bpe" -> ((s, dir) => {
+      docs(s, dir)
+        .groupBy("lang")
+        .agg(sum(TextOps.tokenCount(col("text"))).as("bpe_tokens"),
+          count(lit(1)).as("n"))
+        .orderBy("lang")
+    }),
+    "q_quality_score" -> ((s, dir) => {
+      docs(s, dir)
+        .groupBy("source")
+        .agg(round(sum(TextOps.qualityScore(col("text"))), 3).as("sum_quality"),
+          count(lit(1)).as("n"))
+        .orderBy("source")
+    }),
     "q_lang_id" -> ((s, dir) => {
       docs(s, dir)
         .select(col("lang"), TextOps.langId(col("text")).as("predicted"))
@@ -333,6 +347,19 @@ object SparkEntry {
         "FROM documents GROUP BY source ORDER BY source"),
     "q_fingerprint" ->
       "SELECT source, count(DISTINCT regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS distinct_fp FROM documents GROUP BY source ORDER BY source",
+    "q_token_bpe" ->
+      "SELECT lang, CAST(sum(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]'))) AS BIGINT) AS bpe_tokens, count(*) AS n FROM documents GROUP BY lang ORDER BY lang",
+    "q_quality_score" ->
+      // identical double-arithmetic order to TextOps.qualityScore, so the
+      // per-row round(..., 4) agrees bit for bit
+      ("SELECT source, round(sum(" +
+        "round(least(1.0, greatest(0.0, " +
+        "(CASE WHEN length(text) < 20 THEN length(text)/20.0 " +
+        "WHEN length(text) > 20000 THEN 0.5 ELSE 1.0 END) " +
+        "* (0.5 + (CASE WHEN length(text) > 0 THEN (length(text) - length(regexp_replace(text, '[A-Za-z]', '', 'g')))::DOUBLE / length(text) ELSE 0.0 END) * 0.5) " +
+        "* (CASE WHEN (CASE WHEN length(text) > 0 THEN (length(text) - length(regexp_replace(text, '\\s', '', 'g')))::DOUBLE / length(text) ELSE 0.0 END) > 0.6 THEN 0.3 ELSE 1.0 END)" +
+        ")), 4)), 3) AS sum_quality, count(*) AS n " +
+        "FROM documents GROUP BY source ORDER BY source"),
     "q_ngram_jaccard" ->
       // brute-force all-pairs within lang over the same word-3-gram shingle
       // sets (set semantics; Spark's 64-bit shingle hashing is
