@@ -5,11 +5,19 @@ import graft.sources.CodeTableGen
 /** Scratch single-thread kernel profiler (not a ScalaTest suite; run via
   * `sbt "Test/runMain graft.core.KernelBench"`). */
 object KernelBench {
-  def time[A](label: String, rawBytes: Long)(f: => A): A = {
-    val t0 = System.nanoTime()
-    val a = f
-    val dt = (System.nanoTime() - t0) / 1e9
-    println(f"$label%-34s ${dt}%8.3fs  ${rawBytes / dt / 1e6}%10.1f MB/s")
+  /** Best-of-`reps` timing — single-shot numbers on this host are dominated
+    * by JIT warmup and GC pauses from earlier ops. */
+  def time[A](label: String, rawBytes: Long, reps: Int = 4)(f: => A): A = {
+    var best = Double.MaxValue
+    var a: A = null.asInstanceOf[A]
+    var r = 0
+    while (r < reps) {
+      val t0 = System.nanoTime()
+      a = f
+      best = math.min(best, (System.nanoTime() - t0) / 1e9)
+      r += 1
+    }
+    println(f"$label%-34s ${best}%8.3fs  ${rawBytes / best / 1e6}%10.1f MB/s")
     a
   }
 
@@ -23,7 +31,7 @@ object KernelBench {
     val repo = BytesVec.of(rows.map(_.repo.getBytes("UTF-8")).toArray)
     val lens = IntVec(rows.map(_.content.length).toArray)
 
-    (1 to 3).foreach { round =>
+    (1 to 2).foreach { round =>
       println(s"--- round $round")
       time("stats content", content.rawSize)(ChunkStats.compute(content))
       time("plain content", content.rawSize)(ChunkCodec.encodeWith(content, CodecId.Plain))
