@@ -331,6 +331,14 @@ object FsstCodec {
       .decode(java.util.Arrays.copyOfRange(buf, lensStart, buf.length), int32 = true)
     // advance the reader past the length stream
     skipDeltaStream(r)
+    val symLens = new Array[Int](nSyms)
+    val symWords = new Array[Long](nSyms)
+    i = 0
+    while (i < nSyms) {
+      symLens(i) = symbols(i).length
+      symWords(i) = wordOf(symbols(i))
+      i += 1
+    }
     // pass 1: exact decompressed sizes -> arena offsets
     val offsets = new Array[Int](nValues + 1)
     var acc = 0
@@ -338,7 +346,7 @@ object FsstCodec {
     i = 0
     while (i < nValues) {
       offsets(i) = acc
-      acc += decompressedSize(symbols, buf, pos, lens(i).toInt)
+      acc += decompressedSize(symLens, buf, pos, lens(i).toInt)
       pos += lens(i).toInt
       i += 1
     }
@@ -348,7 +356,7 @@ object FsstCodec {
     pos = r.position
     i = 0
     while (i < nValues) {
-      decompressInto(symbols, buf, pos, lens(i).toInt, data, offsets(i))
+      decompressInto(symWords, symLens, symbols, buf, pos, lens(i).toInt, data, offsets(i))
       pos += lens(i).toInt
       i += 1
     }
@@ -378,7 +386,7 @@ object FsstCodec {
     r.alignToByte()
   }
 
-  private def decompressedSize(symbols: Array[Array[Byte]], buf: Array[Byte],
+  private def decompressedSize(symLens: Array[Int], buf: Array[Byte],
       off: Int, len: Int): Int = {
     var outLen = 0
     var pos = off
@@ -386,20 +394,29 @@ object FsstCodec {
     while (pos < end) {
       val code = buf(pos) & 0xFF
       if (code == Escape) { outLen += 1; pos += 2 }
-      else { outLen += symbols(code).length; pos += 1 }
+      else { outLen += symLens(code); pos += 1 }
     }
     outLen
   }
 
-  private def decompressInto(symbols: Array[Array[Byte]], buf: Array[Byte],
+  /** Symbols are <= 8 bytes, so each expansion is one 8-byte little-endian
+    * word store (trailing garbage is overwritten by the next code); only
+    * within 8 bytes of the arena end does it drop to a byte loop. */
+  private def decompressInto(symWords: Array[Long], symLens: Array[Int],
+      symbols: Array[Array[Byte]], buf: Array[Byte],
       off: Int, len: Int, out: Array[Byte], outOff: Int): Unit = {
     var o = outOff
     var pos = off
     val end = off + len
+    val outLen = out.length
     while (pos < end) {
       val code = buf(pos) & 0xFF
       if (code == Escape) {
         out(o) = buf(pos + 1); o += 1; pos += 2
+      } else if (o + 8 <= outLen) {
+        LongView.set(out, o, symWords(code))
+        o += symLens(code)
+        pos += 1
       } else {
         val s = symbols(code)
         System.arraycopy(s, 0, out, o, s.length)
