@@ -153,11 +153,11 @@ object FsstCodec {
     var it = 0
     while (it < iterations) {
       // encode the sample with the current table, counting symbol usage and
-      // adjacent-pair concatenations
-      val gain = scala.collection.mutable.HashMap.empty[String, Long] // latin-1 keyed bytes
-      def keyOf(a: Array[Byte], from: Int, len: Int): String =
-        new String(a, from, len, java.nio.charset.StandardCharsets.ISO_8859_1)
-      def bump(k: String, v: Long): Unit = gain.update(k, gain.getOrElse(k, 0L) + v)
+      // adjacent-pair concatenations. Candidates are <= 8 bytes, so the
+      // counter is an open-addressing (word, len) -> gain map over primitive
+      // arrays — the boxed HashMap it replaces was the majority of training
+      // cost on small chunks.
+      val gain = new GainCounter(sample.length)
       var pos = 0
       var prevStart = -1
       var prevLen = 0
@@ -165,23 +165,72 @@ object FsstCodec {
         val len = matchLen(table, sample, pos)
         val symLen = math.max(len, 1)
         // gain of keeping this symbol: bytes covered per 1 code byte
-        bump(keyOf(sample, pos, symLen), symLen.toLong)
+        gain.bump(loadWord(sample, pos, math.min(pos + symLen, sample.length)),
+          symLen, symLen.toLong)
         // candidate: concat of previous symbol and this one (≤ 8 bytes)
         if (prevStart >= 0 && prevLen + symLen <= MaxSymbolLen) {
-          bump(keyOf(sample, prevStart, prevLen + symLen), (prevLen + symLen - 1).toLong)
+          val cLen = prevLen + symLen
+          gain.bump(loadWord(sample, prevStart, math.min(prevStart + cLen, sample.length)),
+            cLen, (cLen - 1).toLong)
         }
         prevStart = pos
         prevLen = symLen
         pos += symLen
       }
-      // deterministic: sort by gain desc, then key, and keep the top 255
-      val top = gain.toSeq.sortBy { case (k, g) => (-g, k) }.take(MaxSymbols)
-      table = new SymbolTable(top.map { case (k, _) =>
-        k.getBytes(java.nio.charset.StandardCharsets.ISO_8859_1)
-      }.toArray)
+      table = new SymbolTable(gain.top(MaxSymbols))
       it += 1
     }
     table
+  }
+
+  /** Open-addressing (symbol word, symbol length) -> gain counter. */
+  private final class GainCounter(sampleLen: Int) {
+    // <= 2 bumps per sample position; size to load factor <= 0.5
+    private val cap = java.lang.Integer.highestOneBit(
+      math.max(1024, 4 * math.min(sampleLen, 1 << 16))) << 1
+    private val mask = cap - 1
+    private val words = new Array[Long](cap)
+    private val lens = new Array[Byte](cap) // 0 = empty slot
+    private val gains = new Array[Long](cap)
+
+    def bump(word: Long, len: Int, v: Long): Unit = {
+      var h = (java.lang.Long.rotateLeft(word * -7046029254386353131L, 17).toInt ^ len) & mask
+      while (lens(h) != 0 && (words(h) != word || lens(h) != len)) h = (h + 1) & mask
+      words(h) = word
+      lens(h) = len.toByte
+      gains(h) += v
+    }
+
+    /** Top-k symbols by (gain desc, bytes lex asc) — the same deterministic
+      * order as sorting ISO-8859-1 keyed strings. */
+    def top(k: Int): Array[Array[Byte]] = {
+      val entries = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Int)]
+      var i = 0
+      while (i < cap) {
+        if (lens(i) != 0) entries += ((gains(i), words(i), lens(i).toInt))
+        i += 1
+      }
+      entries.sortInPlaceWith { case ((g1, w1, l1), (g2, w2, l2)) =>
+        if (g1 != g2) g1 > g2
+        else {
+          // unsigned lexicographic byte compare; equal prefix -> shorter first
+          val minLen = math.min(l1, l2)
+          var b = 0
+          var cmp = 0
+          while (b < minLen && cmp == 0) {
+            cmp = ((w1 >>> (8 * b)) & 0xFF).toInt - ((w2 >>> (8 * b)) & 0xFF).toInt
+            b += 1
+          }
+          if (cmp != 0) cmp < 0 else l1 < l2
+        }
+      }
+      entries.take(k).map { case (_, w, l) =>
+        val bytes = new Array[Byte](l)
+        var b = 0
+        while (b < l) { bytes(b) = ((w >>> (8 * b)) & 0xFF).toByte; b += 1 }
+        bytes
+      }.toArray
+    }
   }
 
   @inline private def matchLen(t: SymbolTable, a: Array[Byte], pos: Int): Int = {
