@@ -150,14 +150,16 @@ object FsstCodec {
         .map(b => Array(b.toByte))
         .toArray)
 
+    // encode the sample with the current table each iteration, counting
+    // symbol usage and adjacent-pair concatenations. Candidates are <= 8
+    // bytes, so the counter is an open-addressing (word, len) -> gain map
+    // over primitive arrays, allocated once and cleared per iteration — the
+    // boxed HashMap it replaces was the majority of training cost on small
+    // chunks.
+    val gain = new GainCounter(sample.length)
     var it = 0
     while (it < iterations) {
-      // encode the sample with the current table, counting symbol usage and
-      // adjacent-pair concatenations. Candidates are <= 8 bytes, so the
-      // counter is an open-addressing (word, len) -> gain map over primitive
-      // arrays — the boxed HashMap it replaces was the majority of training
-      // cost on small chunks.
-      val gain = new GainCounter(sample.length)
+      gain.clear()
       var pos = 0
       var prevStart = -1
       var prevLen = 0
@@ -193,12 +195,18 @@ object FsstCodec {
     private val lens = new Array[Byte](cap) // 0 = empty slot
     private val gains = new Array[Long](cap)
 
+    /** Empty slots are lens == 0; words/gains may hold stale values from a
+      * previous iteration, so a fresh insert assigns rather than adds. */
+    def clear(): Unit = java.util.Arrays.fill(lens, 0.toByte)
+
     def bump(word: Long, len: Int, v: Long): Unit = {
       var h = (java.lang.Long.rotateLeft(word * -7046029254386353131L, 17).toInt ^ len) & mask
       while (lens(h) != 0 && (words(h) != word || lens(h) != len)) h = (h + 1) & mask
-      words(h) = word
-      lens(h) = len.toByte
-      gains(h) += v
+      if (lens(h) == 0) {
+        words(h) = word
+        lens(h) = len.toByte
+        gains(h) = v
+      } else gains(h) += v
     }
 
     /** Top-k symbols by (gain desc, bytes lex asc) — the same deterministic

@@ -329,8 +329,12 @@ object ColBuilder {
       offsets(n) = end + v.length
       4L + v.length
     }
-    def build(): ColVec = BytesVec(java.util.Arrays.copyOf(data, offsets(n)),
-      java.util.Arrays.copyOf(offsets, n + 1))
+    // zero-copy: the returned vec shares the arena. Safe because flushChunk
+    // fully consumes the vec (encode + stats + hash) before the next add()
+    // can overwrite arena bytes; BytesVec reads are offset-bounded, so the
+    // arena's unused tail is never observed. Copying here would move 32 MB
+    // per content chunk for nothing.
+    def build(): ColVec = BytesVec(data, java.util.Arrays.copyOf(offsets, n + 1))
     protected def clearValues(): Unit = { n = 0; offsets(0) = 0 }
   }
 
