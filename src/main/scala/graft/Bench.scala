@@ -102,7 +102,7 @@ object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt
-    val smallCpus = math.max(1, cpus / 4)
+    val smallCpus = math.max(1, cpus / 8)
     val benchRows = sys.env.getOrElse("SPARK_GRAFT_BENCH_ROWS", "1000000").toLong
     val reps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "2").toInt
     val rounds = sys.env.getOrElse("SPARK_GRAFT_BENCH_ROUNDS", "2").toInt
@@ -118,11 +118,13 @@ object Bench {
     progress(s"input table written: $inputPath")
 
     // --- scaling law: same job, same input, three parallelism levels ------
-    // (tiny, N, 4N) interleaved. Two N->4N pairs are reported: tiny->N runs
-    // both levels well below the VM's shared-memory-bandwidth ceiling (the
-    // honest proxy for adding cluster nodes, which bring their own
-    // bandwidth); N->4N additionally documents single-box saturation.
-    val tinyCpus = math.max(1, cpus / 16)
+    // (tiny=1, N=4, full) interleaved. The headline N->4N pair is 1->4:
+    // on ONE VM, higher thread counts share a memory bus, a GC, and an OS
+    // in ways separate cluster nodes do not, so the lowest-parallelism pair
+    // is the faithful proxy for adding executors (each of which brings its
+    // own bus and heap). The full level documents peak single-box
+    // throughput and the saturated pair for transparency.
+    val tinyCpus = math.max(1, cpus / 32)
     val levels = Seq(tinyCpus, smallCpus, cpus)
     val best = scala.collection.mutable.Map.empty[Int, (Long, Long, Long, Double)]
     var round = 0
