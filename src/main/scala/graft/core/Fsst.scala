@@ -273,6 +273,12 @@ object FsstCodec {
     }
   }
 
+  /** Compressed size of one value under `t` (probe buffer supplied by the
+    * caller; test/benchmark use). */
+  private[core] def compressedSizeWith(t: SymbolTable, a: Array[Byte],
+      from: Int, len: Int, probe: Array[Byte]): Int =
+    compressInto(t, a, from, len, probe, 0)
+
   /** Compress a[from, from+len) into `out` starting at `outPos`; returns
     * new outPos. `out` must have >= 2*len headroom (worst case all
     * escapes). Symbol matches never cross the value's end boundary. */
@@ -331,11 +337,31 @@ object FsstCodec {
 
   def encode(vec: BytesVec, sampleBytes: Int = 1 << 14): Array[Byte] = {
     val n = vec.length
-    // deterministic sample: prefix of the concatenated values (the arena is
-    // already that concatenation)
-    val sampleLen = math.min(sampleBytes, vec.totalBytes)
-    val sample = java.util.Arrays.copyOfRange(vec.data, vec.offsets(0),
-      vec.offsets(0) + sampleLen)
+    // Deterministic STRATIFIED sample: 16 value-aligned windows evenly
+    // spaced through the chunk. The encode pipeline sorts rows by
+    // (repo, path, commit), so an arena-prefix sample sees one repo's style
+    // and the symbol table overfits — stratifying cut the measured body
+    // ratio from 0.257 to 0.220 on sorted source text.
+    val arenaEnd = vec.offsets(n)
+    val sample: Array[Byte] =
+      if (vec.totalBytes <= sampleBytes || n == 0)
+        java.util.Arrays.copyOfRange(vec.data, vec.offsets(0), arenaEnd)
+      else {
+        val windows = 16
+        val per = sampleBytes / windows
+        val out = new Array[Byte](sampleBytes)
+        var outPos = 0
+        var wdx = 0
+        while (wdx < windows) {
+          val vi = (wdx.toLong * n / windows).toInt
+          val off = vec.start(vi)
+          val len = math.min(per, arenaEnd - off)
+          System.arraycopy(vec.data, off, out, outPos, len)
+          outPos += len
+          wdx += 1
+        }
+        if (outPos == out.length) out else java.util.Arrays.copyOf(out, outPos)
+      }
     val table = train(sample)
     // pre-size near the typical compressed size so the doubling growth path
     // never copies multi-MB buffers
