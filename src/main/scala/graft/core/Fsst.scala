@@ -335,7 +335,10 @@ object FsstCodec {
     outPos
   }
 
-  def encode(vec: BytesVec, sampleBytes: Int = 1 << 14): Array[Byte] = {
+  // 64 KiB default: a sample-size sweep on sorted source text measured
+  // ratio 0.221/0.223/0.202/0.227 at 16/32/64/128 KiB with no throughput
+  // difference (training is GainCounter-cheap); 64 KiB is the sweet spot
+  def encode(vec: BytesVec, sampleBytes: Int = 1 << 16): Array[Byte] = {
     val n = vec.length
     // Deterministic STRATIFIED sample: 16 value-aligned windows evenly
     // spaced through the chunk. The encode pipeline sorts rows by
