@@ -99,4 +99,34 @@ class GoldenBytesSpec extends AnyFunSuite {
     val enc = PlainCodec.encode(BoolVec(Array(true, false, true, true)))
     assert(enc.length == 1 && enc(0) == 0x0D.toByte) // 0b1101
   }
+
+  test("fsst container layout: vlq(nSyms) {len,bytes}* vlq(n) deltaLens body") {
+    // single value, single distinct byte: training yields the one symbol
+    // "aaaaaaaa" (gain-merged to max length 8) plus shorter run prefixes;
+    // rather than pin the trained table (an implementation detail), pin the
+    // CONTAINER: parse it structurally and cross-check against decode()
+    val vec = BytesVec.of(Array("aaaaaaaaaaaaaaaa".getBytes)) // 16 x 'a'
+    val blob = FsstCodec.encode(vec)
+    val r = new BitReader(blob)
+    val nSyms = r.getVlq().toInt
+    assert(nSyms >= 1 && nSyms <= 255, s"symbol count $nSyms")
+    var i = 0
+    var sawAllA = false
+    while (i < nSyms) {
+      val len = (r.getAligned(1) & 0xFF).toInt
+      assert(len >= 1 && len <= 8, s"symbol length $len")
+      val bytes = r.getBytes(len)
+      assert(bytes.forall(_ == 'a'.toByte), "symbols trained on 'a's only")
+      if (len == 8) sawAllA = true
+      i += 1
+    }
+    assert(sawAllA, "pair merging must reach the max symbol length 8")
+    assert(r.getVlq() == 1L, "one value")
+    // the remainder is DELTA_BINARY_PACKED lengths + body; decode() is the
+    // authoritative parse — it must reproduce the value exactly
+    val dec = FsstCodec.decode(blob)
+    assert(dec.length == 1 && new String(dec.valueBytes(0)) == "a" * 16)
+    // 16 'a's under an 8-byte symbol: body is 2 code bytes
+    assert(blob.length < PlainCodec.encode(vec).length)
+  }
 }
