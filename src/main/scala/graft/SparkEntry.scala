@@ -360,6 +360,19 @@ object SparkEntry {
         "* (CASE WHEN (CASE WHEN length(text) > 0 THEN (length(text) - length(regexp_replace(text, '\\s', '', 'g')))::DOUBLE / length(text) ELSE 0.0 END) > 0.6 THEN 0.3 ELSE 1.0 END)" +
         ")), 4)), 3) AS sum_quality, count(*) AS n " +
         "FROM documents GROUP BY source ORDER BY source"),
+    "q_multimodal_stub" ->
+      // replays Multimodal.stubDecode's modular rolling hash byte for byte
+      // (ASCII corpus: ascii(char) == utf-8 byte); the stub's modulus keeps
+      // the arithmetic inside BIGINT on both engines
+      ("WITH h AS (SELECT doc_id, length(text) AS nb, " +
+        "list_reduce(list_prepend(CAST(1125899906842597 AS BIGINT), " +
+        "list_transform(range(0, CAST(length(text) AS BIGINT), " +
+        "CAST(greatest(1, length(text) // 256) AS BIGINT)), " +
+        "i -> CAST(ascii(text[CAST(i+1 AS INT)]) AS BIGINT))), " +
+        "(acc, x) -> (31*acc + x) % 144115188075855859) AS hv FROM documents) " +
+        "SELECT count(*) AS n, CAST(sum(nb) AS BIGINT) AS total_bytes, " +
+        "CAST(min(64 + hv % 960) AS INT) AS min_w, " +
+        "CAST(max(64 + (hv // 8192) % 960) AS INT) AS max_h FROM h"),
     "q_ngram_jaccard" ->
       // brute-force all-pairs within lang over the same word-3-gram shingle
       // sets (set semantics; Spark's 64-bit shingle hashing is

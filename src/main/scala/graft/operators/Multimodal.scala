@@ -22,20 +22,28 @@ object Multimodal {
       height: Int,
       features: Array[Float])
 
+  /** Modulus for the stub's rolling hash: keeps 31*h + b inside signed
+    * 64-bit range (h < 2^57, so 31*h < 2^62) WITHOUT wrapping, which makes
+    * the fake reproducible in ANSI SQL (the DuckDB oracle replays it). */
+  private[operators] val StubMod: Long = (1L << 57) - 13
+
   /** STUB decoder: a real implementation would parse the container header
     * and decode frames; this deterministic fake derives shape + a feature
     * vector purely from the bytes so tests are reproducible. */
   private[operators] def stubDecode(key: Long, mediaType: String,
       bytes: Array[Byte]): MediaMeta = {
     // ??? <- real image/audio decode goes here (not available in-container)
-    var h = 1125899906842597L
+    var h = 1125899906842597L % StubMod
     var i = 0
     val step = math.max(1, bytes.length / 256) // sample at most 256 bytes
-    while (i < bytes.length) { h = 31 * h + bytes(i); i += step }
-    val w0 = 64 + (Math.floorMod(h, 960L)).toInt
-    val h0 = 64 + (Math.floorMod(h >>> 13, 960L)).toInt
+    while (i < bytes.length) {
+      h = (31 * h + (bytes(i) & 0xFF)) % StubMod
+      i += step
+    }
+    val w0 = 64 + (h % 960L).toInt
+    val h0 = 64 + ((h / 8192L) % 960L).toInt
     val feats = Array.tabulate(16) { d =>
-      (Math.floorMod(h >>> (d * 3), 2048L).toFloat / 1024f) - 1f
+      (((h >>> (d * 3)) % 2048L).toFloat / 1024f) - 1f
     }
     MediaMeta(key, mediaType, bytes.length.toLong, w0, h0, feats)
   }
