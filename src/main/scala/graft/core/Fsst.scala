@@ -335,11 +335,16 @@ object FsstCodec {
     outPos
   }
 
-  // 64 KiB default: a sample-size sweep on sorted source text measured
-  // ratio 0.221/0.223/0.202/0.227 at 16/32/64/128 KiB with no throughput
-  // difference (training is GainCounter-cheap); 64 KiB is the sweet spot
-  def encode(vec: BytesVec, sampleBytes: Int = 1 << 16): Array[Byte] = {
+  // Adaptive sample: totalBytes/32 clamped to [16 KiB, 64 KiB]. A sweep on
+  // 31 MB of sorted source text measured ratio 0.221/0.223/0.202/0.227 at
+  // 16/32/64/128 KiB samples with no throughput difference — but training
+  // cost is proportional to the sample, so small chunks (where it would
+  // dominate) keep a small sample.
+  def encode(vec: BytesVec, sampleBytes: Int = 0): Array[Byte] = {
     val n = vec.length
+    val effSampleBytes =
+      if (sampleBytes > 0) sampleBytes
+      else math.min(1 << 16, math.max(1 << 14, vec.totalBytes / 32))
     // Deterministic STRATIFIED sample: 16 value-aligned windows evenly
     // spaced through the chunk. The encode pipeline sorts rows by
     // (repo, path, commit), so an arena-prefix sample sees one repo's style
@@ -347,12 +352,12 @@ object FsstCodec {
     // ratio from 0.257 to 0.220 on sorted source text.
     val arenaEnd = vec.offsets(n)
     val sample: Array[Byte] =
-      if (vec.totalBytes <= sampleBytes || n == 0)
+      if (vec.totalBytes <= effSampleBytes || n == 0)
         java.util.Arrays.copyOfRange(vec.data, vec.offsets(0), arenaEnd)
       else {
         val windows = 16
-        val per = sampleBytes / windows
-        val out = new Array[Byte](sampleBytes)
+        val per = effSampleBytes / windows
+        val out = new Array[Byte](effSampleBytes)
         var outPos = 0
         var wdx = 0
         while (wdx < windows) {
