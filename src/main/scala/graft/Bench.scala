@@ -105,7 +105,7 @@ object Bench {
     val smallCpus = math.max(1, cpus / 8)
     val benchRows = sys.env.getOrElse("SPARK_GRAFT_BENCH_ROWS", "1000000").toLong
     val reps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "2").toInt
-    val rounds = sys.env.getOrElse("SPARK_GRAFT_BENCH_ROUNDS", "2").toInt
+    val rounds = sys.env.getOrElse("SPARK_GRAFT_BENCH_ROUNDS", "3").toInt
     val encParts = 256 // fixed: chunk contents identical at every parallelism
 
     // --- materialize the input table once (tmpfs parquet) -----------------
@@ -131,10 +131,11 @@ object Bench {
     while (round < rounds) {
       levels.foreach { c =>
         progress(s"round $round: local[$c]")
-        // the single-thread level gets an extra rep: its best-of-N converges
-        // slowest (one noise window inflates a whole 50 s run), and an
-        // inflated p1 floor reads as fake super-linear 1->4 efficiency
-        val levelReps = if (c == tinyCpus) reps + 1 else reps
+        // the single-thread level gets an extra first-round rep: its
+        // best-of-N converges slowest (one noise window inflates a whole
+        // ~50 s run), and an inflated p1 floor reads as fake super-linear
+        // 1->4 efficiency. Only round 0, to bound total runtime.
+        val levelReps = if (c == tinyCpus && round == 0) reps + 1 else reps
         val run = levelRun(c, inputPath, encParts, levelReps)
         if (!best.contains(c) || run._4 < best(c)._4) best(c) = run
       }
