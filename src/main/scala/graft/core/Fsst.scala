@@ -340,16 +340,21 @@ object FsstCodec {
   // 16/32/64/128 KiB samples with no throughput difference — but training
   // cost is proportional to the sample, so small chunks (where it would
   // dominate) keep a small sample.
-  def encode(vec: BytesVec, sampleBytes: Int = 0): Array[Byte] = {
+  def encode(vec: BytesVec, sampleBytes: Int = 0): Array[Byte] =
+    encodeWithTable(vec, trainChunk(vec, sampleBytes))
+
+  /** Train a symbol table for `vec` on a deterministic STRATIFIED sample:
+    * 16 value-aligned windows evenly spaced through the chunk. The encode
+    * pipeline sorts rows by (repo, path, commit), so an arena-prefix sample
+    * sees one repo's style and the symbol table overfits — stratifying cut
+    * the measured body ratio from 0.257 to 0.220 on sorted source text.
+    * Callers with multiple pages per chunk train ONCE here and reuse the
+    * table across pages (training is ~half the per-page FSST cost). */
+  def trainChunk(vec: BytesVec, sampleBytes: Int = 0): SymbolTable = {
     val n = vec.length
     val effSampleBytes =
       if (sampleBytes > 0) sampleBytes
       else math.min(1 << 16, math.max(1 << 14, vec.totalBytes / 32))
-    // Deterministic STRATIFIED sample: 16 value-aligned windows evenly
-    // spaced through the chunk. The encode pipeline sorts rows by
-    // (repo, path, commit), so an arena-prefix sample sees one repo's style
-    // and the symbol table overfits — stratifying cut the measured body
-    // ratio from 0.257 to 0.220 on sorted source text.
     val arenaEnd = vec.offsets(n)
     val sample: Array[Byte] =
       if (vec.totalBytes <= effSampleBytes || n == 0)
@@ -370,7 +375,13 @@ object FsstCodec {
         }
         if (outPos == out.length) out else java.util.Arrays.copyOf(out, outPos)
       }
-    val table = train(sample)
+    train(sample)
+  }
+
+  /** Encode with an externally trained table (the stream still embeds the
+    * table, so pages stay self-contained and decode is unchanged). */
+  def encodeWithTable(vec: BytesVec, table: SymbolTable): Array[Byte] = {
+    val n = vec.length
     // pre-size near the typical compressed size so the doubling growth path
     // never copies multi-MB buffers
     val w = new BitWriter(math.toIntExact(
