@@ -256,15 +256,104 @@ object ChunkCodec {
       assemble(vec, CodecId.Dict, dict, pages, defLevels)
     } else assemble(vec, codecId, null, encodePaged(vec, codecId), defLevels)
 
+  @inline private def vlqLen(v: Long): Int = {
+    var x = v
+    var n = 1
+    while ((x & ~0x7FL) != 0) { x >>>= 7; n += 1 }
+    n
+  }
+
+  private def plainSizeOf(vec: ColVec, from: Int, until: Int): Long = {
+    val nv = (until - from).toLong
+    vec match {
+      case v: BytesVec => (v.offsets(until) - v.offsets(from)).toLong + 4L * nv
+      case BoolVec(_) => (nv + 7) / 8
+      case IntVec(_) | FloatVec(_) => 4L * nv
+      case _ => 8L * nv
+    }
+  }
+
+  /** EXACT byte size of `encodeWith(vec, Dict, null)` without materializing
+    * the fallback PLAIN pages — on a high-cardinality column the reference
+    * policy falls back after ~1 MiB of dictionary and the rest of the blob
+    * is a PLAIN arena copy whose size is pure offset arithmetic. The dict
+    * prefix still encodes for real (bounded by the 1 MiB dict limit).
+    * Equality with the materializing path is a tested property. */
+  def refPolicySizeOnly(vec: ColVec): Long = {
+    val n = vec.length
+    val dict = new DictCodec.Encoder(vec.physicalType)
+    // (codecId, numValues, pageByteLen)
+    val pages = ArrayBuffer.empty[(Int, Int, Long)]
+    var i = 0
+    var fellBack = false
+    while (i < n && !fellBack) {
+      val until = math.min(i + MiniBatch, n)
+      dict.put(slice(vec, i, until))
+      i = until
+      if (dict.dictEncodedSize >= DictPageSizeLimit) {
+        if (dict.numBufferedIndices > 0) {
+          val nv = dict.numBufferedIndices
+          pages += ((CodecId.Dict, nv, dict.writeIndices().length.toLong))
+        }
+        fellBack = true
+      } else {
+        val w = dict.bitWidth
+        val est = 1L + dict.numBufferedIndices.toLong * (w + 1) / 8 + 16
+        if (est >= DataPageSizeLimit) {
+          val nv = dict.numBufferedIndices
+          pages += ((CodecId.Dict, nv, dict.writeIndices().length.toLong))
+        }
+      }
+    }
+    if (!fellBack) {
+      if (dict.numBufferedIndices > 0 || pages.isEmpty) {
+        val nv = dict.numBufferedIndices
+        pages += ((CodecId.Dict, nv, dict.writeIndices().length.toLong))
+      }
+    } else if (i < n) {
+      // PLAIN fallback pages: identical cut points, sizes from offsets only
+      var start = i
+      var acc = 0L
+      var j = i
+      while (j < n) {
+        acc += rawSizeOf(vec, j)
+        j += 1
+        if (acc >= DataPageSizeLimit || j == n) {
+          pages += ((CodecId.Plain, j - start, plainSizeOf(vec, start, j)))
+          start = j
+          acc = 0L
+        }
+      }
+    }
+    var size = 5L + vlqLen(n.toLong) + 1L // magic+ver+type+codec, vlq rows, hasDict
+    if (dict.numEntries > 0 && pages.exists(_._1 == CodecId.Dict)) {
+      val dictBytes = dict.writeDict()
+      size += vlqLen(dict.numEntries.toLong) + vlqLen(dictBytes.length.toLong) +
+        dictBytes.length
+    }
+    size += vlqLen(pages.length.toLong)
+    pages.foreach { case (_, nv, len) =>
+      size += 1L + vlqLen(nv.toLong) + vlqLen(len) + len
+    }
+    size
+  }
+
   /** The stats-driven auto-selector with the reference policy as ceiling. */
   def encodeAuto(vec: ColVec, statsIn: ColumnStats = null,
       defLevels: Array[Byte] = null): EncodedChunk = {
     val stats = if (statsIn == null) ChunkStats.compute(vec) else statsIn
     val refCodec = referencePolicyCodec(vec)
-    val refBlob = encodeWith(vec, refCodec, defLevels)
     val best = CodecSelector.chooseScored(vec.physicalType, stats)
+    // When no candidate is the reference codec itself (high-cardinality
+    // columns), the reference blob is needed only if it WINS — compute its
+    // exact size cheaply and materialize only in that rare case.
+    val lazyRef = defLevels == null && refCodec == CodecId.Dict &&
+      best.nonEmpty && !best.exists(_._2 == refCodec)
     var chosenId = refCodec
-    var chosenBlob = refBlob
+    var chosenBlob: Array[Byte] =
+      if (lazyRef) null else encodeWith(vec, refCodec, defLevels)
+    val refSize: Long =
+      if (lazyRef) refPolicySizeOnly(vec) else chosenBlob.length.toLong
     // encode the top estimate always; runners-up only while their estimate
     // is within 40% of the leader's — a decisive estimate gap means the
     // extra full-chunk encode pass almost never pays for itself
@@ -273,13 +362,21 @@ object ChunkCodec {
     best.zipWithIndex.foreach { case ((est, cand), rank) =>
       if (cand != refCodec && (rank == 0 || est <= cutoff)) {
         val blob = encodeWith(vec, cand, defLevels)
-        if (blob.length < chosenBlob.length) { chosenId = cand; chosenBlob = blob }
+        if (chosenBlob == null || blob.length < chosenBlob.length) {
+          chosenId = cand
+          chosenBlob = blob
+        }
       }
+    }
+    if (chosenBlob == null || refSize < chosenBlob.length) {
+      // reference policy wins (or no candidate ran): materialize it
+      chosenId = refCodec
+      chosenBlob = encodeWith(vec, refCodec, defLevels)
     }
     val dictEntries =
       if (chosenId == CodecId.Dict && !stats.distinctCapped) stats.distinct else 0
     EncodedChunk(chosenBlob, chosenId, vec.length, vec.rawSize,
-      chosenBlob.length.toLong, refBlob.length.toLong, dictEntries)
+      chosenBlob.length.toLong, refSize, dictEntries)
   }
 
   /** The reference's default v1 writer policy: dict for every type except

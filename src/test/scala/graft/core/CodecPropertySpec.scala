@@ -89,6 +89,26 @@ class CodecPropertySpec extends AnyFunSuite {
     assert(back.length == vec.length)
   }
 
+  test("property: refPolicySizeOnly equals the materialized reference blob size") {
+    forAll(genBytesVec) { vec =>
+      assert(ChunkCodec.refPolicySizeOnly(vec) ==
+        ChunkCodec.encodeWith(vec, CodecId.Dict).length.toLong)
+    }
+    forAll(genLongVec) { vec =>
+      assert(ChunkCodec.refPolicySizeOnly(vec) ==
+        ChunkCodec.encodeWith(vec, CodecId.Dict).length.toLong)
+    }
+    forAll(genIntVec) { vec =>
+      assert(ChunkCodec.refPolicySizeOnly(vec) ==
+        ChunkCodec.encodeWith(vec, CodecId.Dict).length.toLong)
+    }
+    // dict-fallback + multi-page regime: >1 MiB of unique strings
+    val big = BytesVec.of(Array.tabulate(3000)(i =>
+      (s"value-$i-" + ("x" * 700)).getBytes))
+    assert(ChunkCodec.refPolicySizeOnly(big) ==
+      ChunkCodec.encodeWith(big, CodecId.Dict).length.toLong)
+  }
+
   test("property: corrupted blobs raise cleanly (no hangs, no huge allocs)") {
     val base = ChunkCodec.encodeWith(
       BytesVec.of(Array.fill(200)("some text value".getBytes)), CodecId.Dict)
