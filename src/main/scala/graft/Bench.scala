@@ -127,8 +127,15 @@ object Bench {
     val tinyCpus = math.max(1, cpus / 32)
     val levels = Seq(tinyCpus, smallCpus, cpus)
     val best = scala.collection.mutable.Map.empty[Int, (Long, Long, Long, Double)]
+    // Per-round best-of-reps per level -> one scaling-efficiency SAMPLE per
+    // round. The headline is the MEDIAN of those samples (not the ratio of
+    // global bests): a single favorable pairing of noisy runs can't set the
+    // headline, and the full sample list ships in the JSON.
+    val effSamples = scala.collection.mutable.ArrayBuffer.empty[Double]
+    val effSatSamples = scala.collection.mutable.ArrayBuffer.empty[Double]
     var round = 0
     while (round < rounds) {
+      val roundBest = scala.collection.mutable.Map.empty[Int, (Long, Long, Long, Double)]
       levels.foreach { c =>
         progress(s"round $round: local[$c]")
         // the single-thread level gets an extra first-round rep: its
@@ -137,9 +144,21 @@ object Bench {
         // 1->4 efficiency. Only round 0, to bound total runtime.
         val levelReps = if (c == tinyCpus && round == 0) reps + 1 else reps
         val run = levelRun(c, inputPath, encParts, levelReps)
+        roundBest(c) = run
         if (!best.contains(c) || run._4 < best(c)._4) best(c) = run
       }
+      val gTiny = roundBest(tinyCpus)._1 / roundBest(tinyCpus)._4 / 1e9
+      val gLo = roundBest(smallCpus)._1 / roundBest(smallCpus)._4 / 1e9
+      val gHi = roundBest(cpus)._1 / roundBest(cpus)._4 / 1e9
+      effSamples += gLo / ((smallCpus.toDouble / tinyCpus) * gTiny)
+      effSatSamples += gHi / ((cpus.toDouble / smallCpus) * gLo)
       round += 1
+    }
+    def median(xs: Seq[Double]): Double = {
+      val s = xs.sorted
+      if (s.isEmpty) 0.0
+      else if (s.size % 2 == 1) s(s.size / 2)
+      else (s(s.size / 2 - 1) + s(s.size / 2)) / 2
     }
     val (rawTiny, _, _, secsTiny) = best(tinyCpus)
     val (rawLo, _, refLo, secsLo) = best(smallCpus)
@@ -147,8 +166,8 @@ object Bench {
     val gbpsTiny = rawTiny / secsTiny / 1e9
     val gbpsLo = rawLo / secsLo / 1e9
     val gbpsHi = rawHi / secsHi / 1e9
-    val scalingEff = gbpsLo / ((smallCpus.toDouble / tinyCpus) * gbpsTiny)
-    val scalingEffSaturated = gbpsHi / ((cpus.toDouble / smallCpus) * gbpsLo)
+    val scalingEff = median(effSamples.toSeq)
+    val scalingEffSaturated = median(effSatSamples.toSeq)
 
     // --- decode throughput + headline queries on one local[cpus] session --
     val sHi = session(cpus)
@@ -178,7 +197,17 @@ object Bench {
     val totalQ = results.map(_._2).sum
     sHi.stop()
 
-    println(
-      f"""{"metric":"encode_throughput_gbps","value":$gbpsHi%.4f,"unit":"GB/s","queries":$qJson,"sf":"$sfDir","total_query_sec":$totalQ%.2f,"bench_rows":$benchRows,"raw_gb":${rawHi / 1e9}%.3f,"encode_gbps_p$tinyCpus":$gbpsTiny%.4f,"encode_gbps_p$smallCpus":$gbpsLo%.4f,"encode_gbps_p$cpus":$gbpsHi%.4f,"encode_sec_p$tinyCpus":$secsTiny%.2f,"encode_sec_p$smallCpus":$secsLo%.2f,"encode_sec_p$cpus":$secsHi%.2f,"scaling_efficiency":$scalingEff%.3f,"scaling_efficiency_p${smallCpus}_p$cpus":$scalingEffSaturated%.3f,"compression_ratio":${encHi.toDouble / rawHi}%.4f,"ref_policy_ratio":${refLo.toDouble / rawLo}%.4f,"decode_gbps":$decGbps%.4f}""")
+    val effJson = effSamples.map(e => f"$e%.3f").mkString("[", ",", "]")
+    val effSatJson = effSatSamples.map(e => f"$e%.3f").mkString("[", ",", "]")
+    val json =
+      f"""{"metric":"encode_throughput_gbps","value":$gbpsHi%.4f,"unit":"GB/s","queries":$qJson,"sf":"$sfDir","total_query_sec":$totalQ%.2f,"bench_rows":$benchRows,"raw_gb":${rawHi / 1e9}%.3f,"encode_gbps_p$tinyCpus":$gbpsTiny%.4f,"encode_gbps_p$smallCpus":$gbpsLo%.4f,"encode_gbps_p$cpus":$gbpsHi%.4f,"encode_sec_p$tinyCpus":$secsTiny%.2f,"encode_sec_p$smallCpus":$secsLo%.2f,"encode_sec_p$cpus":$secsHi%.2f,"scaling_efficiency":$scalingEff%.3f,"scaling_samples_p${tinyCpus}_p$smallCpus":$effJson,"scaling_efficiency_p${smallCpus}_p$cpus":$scalingEffSaturated%.3f,"scaling_samples_p${smallCpus}_p$cpus":$effSatJson,"compression_ratio":${encHi.toDouble / rawHi}%.4f,"ref_policy_ratio":${refLo.toDouble / rawLo}%.4f,"decode_gbps":$decGbps%.4f}"""
+    println(json)
+    // Survive any invocation style (sbt log prefixes, stdout capture bugs):
+    // the same line lands in BENCH_RESULT.json in the working directory.
+    try java.nio.file.Files.writeString(
+      java.nio.file.Paths.get("BENCH_RESULT.json"), json + "\n")
+    catch { case e: Throwable =>
+      System.err.println(s"[bench] BENCH_RESULT.json write failed: $e")
+    }
   }
 }

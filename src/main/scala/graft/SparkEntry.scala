@@ -304,16 +304,26 @@ object SparkEntry {
         "count(DISTINCT CASE WHEN n_chars % 7 = 0 THEN NULL ELSE source END) AS nd_source " +
         "FROM documents"),
     "q_lang_id" -> {
-      // same stopword table as TextOps.langId; DuckDB list_max over
-      // (hits, lang) structs mirrors Spark's greatest(struct(hits, lang))
-      val structs = TextOps.stopwords.toSeq.sortBy(_._1).map { case (l, ws) =>
-        val in = ws.map(w => s"'$w'").mkString(",")
-        s"{'h': len(list_filter(toks, x -> x IN ($in))), 'l': '$l'}"
+      // same stopword table as TextOps.langId, replayed WITHOUT list
+      // lambdas (round-1 flagged those as a DuckDB-portability risk): a
+      // token equals a stopword iff the \b-anchored alternation matches, so
+      // per-lang hits = len(regexp_extract_all(...)); the argmax with
+      // greatest(struct(hits, lang)) tie-break (max hits, then max lang)
+      // becomes row_number() ORDER BY hits DESC, cand DESC.
+      val langs = TextOps.stopwords.toSeq.sortBy(_._1)
+      val hitCols = langs.map { case (l, ws) =>
+        s"len(regexp_extract_all(lower(text), '\\b(?:${ws.mkString("|")})\\b')) AS h_$l"
       }.mkString(", ")
-      "WITH t AS (SELECT lang, string_split_regex(lower(text), '\\W+') AS toks FROM documents), " +
-        s"b AS (SELECT lang, list_max([$structs]) AS best FROM t) " +
-        "SELECT lang, CASE WHEN best.h > 0 THEN best.l ELSE 'und' END AS predicted, " +
-        "count(*) AS cnt FROM b GROUP BY lang, predicted ORDER BY lang, predicted"
+      val unions = langs.map { case (l, _) =>
+        s"SELECT doc_id, lang, '$l' AS cand, h_$l AS hits FROM h"
+      }.mkString(" UNION ALL ")
+      s"WITH h AS (SELECT doc_id, lang, $hitCols FROM documents), " +
+        s"u AS ($unions), " +
+        "b AS (SELECT lang, cand, hits, row_number() OVER (PARTITION BY doc_id " +
+        "ORDER BY hits DESC, cand DESC) AS rn FROM u) " +
+        "SELECT lang, CASE WHEN hits > 0 THEN cand ELSE 'und' END AS predicted, " +
+        "count(*) AS cnt FROM b WHERE rn = 1 " +
+        "GROUP BY lang, predicted ORDER BY lang, predicted"
     },
     "q_prune_decode" ->
       ("SELECT count(*) AS n, CAST(sum(l_orderkey) AS BIGINT) AS s, " +
@@ -361,32 +371,43 @@ object SparkEntry {
         ")), 4)), 3) AS sum_quality, count(*) AS n " +
         "FROM documents GROUP BY source ORDER BY source"),
     "q_multimodal_stub" ->
-      // replays Multimodal.stubDecode's modular rolling hash byte for byte
-      // (ASCII corpus: ascii(char) == utf-8 byte); the stub's modulus keeps
-      // the arithmetic inside BIGINT on both engines
-      ("WITH h AS (SELECT doc_id, length(text) AS nb, " +
-        "list_reduce(list_prepend(CAST(1125899906842597 AS BIGINT), " +
-        "list_transform(range(0, CAST(length(text) AS BIGINT), " +
-        "CAST(greatest(1, length(text) // 256) AS BIGINT)), " +
-        "i -> CAST(ascii(text[CAST(i+1 AS INT)]) AS BIGINT))), " +
-        "(acc, x) -> (31*acc + x) % 144115188075855859) AS hv FROM documents) " +
+      // replays Multimodal.stubDecode's closed-form hash (length + first/
+      // mid/last byte; ASCII corpus so ascii(char) == utf-8 byte) — plain
+      // arithmetic, no list lambdas; modulus = (1<<57)-13 keeps every term
+      // inside BIGINT on both engines
+      ("WITH h AS (SELECT strlen(text) AS nb, " +
+        "CASE WHEN strlen(text) = 0 THEN 0 ELSE ascii(substr(text, 1, 1)) END AS fb, " +
+        "CASE WHEN strlen(text) = 0 THEN 0 ELSE ascii(substr(text, CAST(strlen(text) // 2 + 1 AS INT), 1)) END AS mb, " +
+        "CASE WHEN strlen(text) = 0 THEN 0 ELSE ascii(substr(text, CAST(strlen(text) AS INT), 1)) END AS lb " +
+        "FROM documents), " +
+        "g AS (SELECT nb, (nb * 2654435761 + fb * 65599 + mb * 499 + lb) % 144115188075855859 AS hv FROM h) " +
         "SELECT count(*) AS n, CAST(sum(nb) AS BIGINT) AS total_bytes, " +
         "CAST(min(64 + hv % 960) AS INT) AS min_w, " +
-        "CAST(max(64 + (hv // 8192) % 960) AS INT) AS max_h FROM h"),
+        "CAST(max(64 + (hv // 8192) % 960) AS INT) AS max_h FROM g"),
     "q_ngram_jaccard" ->
       // brute-force all-pairs within lang over the same word-3-gram shingle
       // sets (set semantics; Spark's 64-bit shingle hashing is
       // collision-free at oracle scale) — value-checks the exact
-      // prefix-filtered join end to end
-      ("WITH sh AS (SELECT lang, doc_id, " +
-        "list_distinct(list_transform(range(1, greatest(1, len(toks) - 2) + 1), " +
-        "i -> array_to_string(list_slice(toks, i, i + 2), ' '))) AS s " +
-        "FROM (SELECT lang, doc_id, " +
+      // prefix-filtered join end to end. Shingles are built with
+      // unnest + lead() window (no list lambdas): shingle at pos p is
+      // toks[p..p+2] truncated at the end, kept for p <= max(1, nt-2) —
+      // exactly Spark's slice()+array_join semantics incl. short docs.
+      ("WITH norm AS (SELECT lang, doc_id, " +
         "string_split(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' ') AS toks " +
-        "FROM documents)), " +
-        "p AS (SELECT len(list_intersect(a.s, b.s)) AS inter, len(a.s) AS na, len(b.s) AS nb " +
-        "FROM sh a JOIN sh b ON a.lang = b.lang AND a.doc_id < b.doc_id), " +
-        "j AS (SELECT inter::DOUBLE / (na + nb - inter) AS jac FROM p WHERE inter > 0) " +
+        "FROM documents), " +
+        "tok AS (SELECT lang, doc_id, len(toks) AS nt, unnest(toks) AS tok, " +
+        "generate_subscripts(toks, 1) AS pos FROM norm), " +
+        "s0 AS (SELECT lang, doc_id, nt, pos, tok " +
+        "|| coalesce(' ' || lead(tok, 1) OVER (PARTITION BY doc_id ORDER BY pos), '') " +
+        "|| coalesce(' ' || lead(tok, 2) OVER (PARTITION BY doc_id ORDER BY pos), '') AS g " +
+        "FROM tok), " +
+        "sh AS (SELECT DISTINCT lang, doc_id, g FROM s0 WHERE pos <= greatest(1, nt - 2)), " +
+        "sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id), " +
+        "ix AS (SELECT a.doc_id AS da, b.doc_id AS db, count(*) AS i " +
+        "FROM sh a JOIN sh b ON a.lang = b.lang AND a.g = b.g AND a.doc_id < b.doc_id " +
+        "GROUP BY a.doc_id, b.doc_id), " +
+        "j AS (SELECT CAST(ix.i AS DOUBLE) / (sa.n + sb.n - ix.i) AS jac " +
+        "FROM ix JOIN sz sa ON ix.da = sa.doc_id JOIN sz sb ON ix.db = sb.doc_id) " +
         "SELECT count(*) AS sim_pairs, coalesce(round(max(jac), 3), 0.0) AS max_jaccard " +
         "FROM j WHERE jac >= 0.4"),
     "q_ann_topk" ->

@@ -22,24 +22,24 @@ object Multimodal {
       height: Int,
       features: Array[Float])
 
-  /** Modulus for the stub's rolling hash: keeps 31*h + b inside signed
-    * 64-bit range (h < 2^57, so 31*h < 2^62) WITHOUT wrapping, which makes
-    * the fake reproducible in ANSI SQL (the DuckDB oracle replays it). */
+  /** Modulus for the stub hash: keeps the mix inside signed 64-bit range
+    * WITHOUT wrapping, which makes the fake reproducible in ANSI SQL. */
   private[operators] val StubMod: Long = (1L << 57) - 13
 
   /** STUB decoder: a real implementation would parse the container header
     * and decode frames; this deterministic fake derives shape + a feature
-    * vector purely from the bytes so tests are reproducible. */
+    * vector purely from (length, first/mid/last byte) so tests are
+    * reproducible AND the DuckDB oracle can replay it in closed-form SQL
+    * (no list lambdas — round-1 flagged exotic oracle SQL as a driver
+    * portability risk, VERDICT.md "Next round" #1b). */
   private[operators] def stubDecode(key: Long, mediaType: String,
       bytes: Array[Byte]): MediaMeta = {
     // ??? <- real image/audio decode goes here (not available in-container)
-    var h = 1125899906842597L % StubMod
-    var i = 0
-    val step = math.max(1, bytes.length / 256) // sample at most 256 bytes
-    while (i < bytes.length) {
-      h = (31 * h + (bytes(i) & 0xFF)) % StubMod
-      i += step
-    }
+    val nb = bytes.length.toLong
+    val first = if (bytes.length > 0) bytes(0) & 0xFF else 0
+    val mid = if (bytes.length > 0) bytes(bytes.length / 2) & 0xFF else 0
+    val last = if (bytes.length > 0) bytes(bytes.length - 1) & 0xFF else 0
+    val h = (nb * 2654435761L + first * 65599L + mid * 499L + last) % StubMod
     val w0 = 64 + (h % 960L).toInt
     val h0 = 64 + ((h / 8192L) % 960L).toInt
     val feats = Array.tabulate(16) { d =>
