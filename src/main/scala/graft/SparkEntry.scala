@@ -115,6 +115,16 @@ object SparkEntry {
           sum(octet_length(col("text"))).as("bytes"))
         .orderBy("lang")
     }),
+    "q_rt_gzip_text" -> ((s, dir) => {
+      // same shape as q_rt_zstd_text but through the JDK-Deflater GZIP
+      // block codec (reference compression.rs:119-172)
+      val in = docs(s, dir).select("doc_id", "lang", "text")
+      Roundtrip.through(in, sortKeys = Seq("doc_id"),
+          blockCodec = graft.core.BlockCodec.Gzip)
+        .groupBy("lang").agg(count(lit(1)).as("cnt"),
+          sum(octet_length(col("text"))).as("bytes"))
+        .orderBy("lang")
+    }),
     "q_rt_nulls" -> ((s, dir) => {
       // nullable columns: def-level (validity) streams through the chunk
       // container, values null-suppressed like Parquet data pages
@@ -145,6 +155,20 @@ object SparkEntry {
         .where(col("l_orderkey").between(1000, 3000))
         .agg(count(lit(1)).as("n"), sum(col("l_orderkey")).as("s"),
           round(sum(col("l_quantity")), 2).as("sq"))
+    }),
+    "q_parquet_file_rt" -> ((s, dir) => {
+      // REAL parquet-file interop: write documents through OUR PAR1 writer
+      // (own thrift footer, dict/plain pages, snappy), read back through
+      // SPARK'S built-in parquet reader, aggregate. Oracle equality proves
+      // the container is externally consumable end to end.
+      val in = docs(s, dir).select("doc_id", "lang", "text")
+      val out = java.nio.file.Files.createTempDirectory("graft-pqrt").toString
+      graft.sources.ParquetSink.write(in.repartition(4), out).count()
+      s.read.parquet(out)
+        .groupBy("lang").agg(count(lit(1)).as("cnt"),
+          sum(length(col("text"))).as("chars"),
+          sum(col("doc_id")).as("sum_id"))
+        .orderBy("lang")
     }),
     // ---- encoder lineage + selector (oracle checks the byte accounting)
     "q_enc_lineage_bytes" -> ((s, dir) => {
@@ -261,6 +285,28 @@ object SparkEntry {
       lsh.agg(count(lit(1)).as("pairs"),
         countDistinct(col("query")).as("queries_covered"))
     }),
+    "q_ann_recall" -> ((s, dir) => {
+      // value-checks the SCALE-PATH ANN (lsh/ivf), not just the broadcast
+      // brute force: recall@3 against the exact top-3 must clear fixed
+      // floors. Deterministic (both ANN variants are seed-fixed), so the
+      // oracle row is a constant the driver can verify.
+      import s.implicits._
+      val emb = embeddings(s, dir)
+      val bf = Similarity.bruteForceTopK(emb, "vec_id", "embedding", k = 3)
+        .select("query", "neighbor").cache()
+      val lshR = Similarity.recall(bf,
+        Similarity.lshTopK(emb, "vec_id", "embedding", k = 3, planes = 6)
+          .select("query", "neighbor"))
+      val ivfR = Similarity.recall(bf,
+        Similarity.ivfTopK(emb, "vec_id", "embedding", k = 3, nLists = 8, nProbe = 2)
+          .select("query", "neighbor"))
+      val nQ = bf.select("query").distinct().count()
+      bf.unpersist()
+      // floors set from measurements (RecallProbe: lsh 0.33-0.42, ivf
+      // 0.49-0.51 across sf0.001/0.01/0.1) with regression headroom
+      Seq((nQ, ivfR >= 0.4, lshR >= 0.25))
+        .toDF("n_queries", "ivf_recall_ok", "lsh_recall_ok")
+    }),
     "q_embed_neardup" -> ((s, dir) => {
       val pairs = Dedup.embeddingNearDups(embeddings(s, dir), "vec_id",
         "embedding", threshold = 0.9, planes = 8)
@@ -296,6 +342,10 @@ object SparkEntry {
       "SELECT count(*) AS n, min(ts) AS mn_ts, max(ts) AS mx_ts, count(DISTINCT event_type) AS ntypes FROM events",
     "q_rt_zstd_text" ->
       "SELECT lang, count(*) AS cnt, CAST(sum(strlen(text)) AS BIGINT) AS bytes FROM documents GROUP BY lang ORDER BY lang",
+    "q_rt_gzip_text" ->
+      "SELECT lang, count(*) AS cnt, CAST(sum(strlen(text)) AS BIGINT) AS bytes FROM documents GROUP BY lang ORDER BY lang",
+    "q_parquet_file_rt" ->
+      "SELECT lang, count(*) AS cnt, CAST(sum(length(text)) AS BIGINT) AS chars, CAST(sum(doc_id) AS BIGINT) AS sum_id FROM documents GROUP BY lang ORDER BY lang",
     "q_rt_nulls" ->
       ("SELECT count(*) AS n, " +
         "count(CASE WHEN n_chars % 7 = 0 THEN NULL ELSE source END) AS nn_source, " +
@@ -410,6 +460,10 @@ object SparkEntry {
         "FROM ix JOIN sz sa ON ix.da = sa.doc_id JOIN sz sb ON ix.db = sb.doc_id) " +
         "SELECT count(*) AS sim_pairs, coalesce(round(max(jac), 3), 0.0) AS max_jaccard " +
         "FROM j WHERE jac >= 0.4"),
+    "q_ann_recall" ->
+      // the recall floors are evaluated Spark-side; the oracle pins the
+      // query coverage and that both scale-path ANN variants clear them
+      "SELECT count(*) AS n_queries, CAST(1 AS BOOLEAN) AS ivf_recall_ok, CAST(1 AS BOOLEAN) AS lsh_recall_ok FROM embeddings",
     "q_ann_topk" ->
       ("WITH pairs AS (SELECT a.vec_id AS query, b.vec_id AS neighbor, " +
         "list_cosine_similarity(a.embedding, b.embedding) AS c " +

@@ -15,16 +15,44 @@ object BlockCodec {
   val Snappy = 1
   val Zstd = 2
   val Lz4 = 3
+  val Gzip = 4
 
   val names: Map[Int, String] = Map(
-    None -> "NONE", Snappy -> "SNAPPY", Zstd -> "ZSTD", Lz4 -> "LZ4")
+    None -> "NONE", Snappy -> "SNAPPY", Zstd -> "ZSTD", Lz4 -> "LZ4",
+    Gzip -> "GZIP")
 
   def byName(name: String): Int = name.toUpperCase match {
     case "NONE" | "" => None
     case "SNAPPY" => Snappy
     case "ZSTD" => Zstd
     case "LZ4" => Lz4
+    case "GZIP" => Gzip
     case other => throw new IllegalArgumentException(s"unknown block codec $other")
+  }
+
+  /** GZIP via the JDK Deflater/Inflater (zlib, gzip wrapper) — the
+    * reference's GZipCodec (`/root/reference/src/compression.rs:119-172`)
+    * with zero new dependencies. */
+  private def gzipCompress(blob: Array[Byte]): Array[Byte] = {
+    val bos = new java.io.ByteArrayOutputStream(math.max(64, blob.length / 2))
+    val gz = new java.util.zip.GZIPOutputStream(bos)
+    gz.write(blob); gz.close()
+    bos.toByteArray
+  }
+
+  private def gzipDecompress(blob: Array[Byte], pos: Int, rawLen: Int): Array[Byte] = {
+    val gz = new java.util.zip.GZIPInputStream(
+      new java.io.ByteArrayInputStream(blob, pos, blob.length - pos))
+    val out = new Array[Byte](rawLen)
+    var off = 0
+    while (off < rawLen) {
+      val n = gz.read(out, off, rawLen - off)
+      if (n < 0) throw new java.io.EOFException(
+        s"gzip stream ended at $off of $rawLen")
+      off += n
+    }
+    gz.close()
+    out
   }
 
   /** Compress an encoded chunk blob. codecId None returns it unchanged. */
@@ -36,6 +64,7 @@ object BlockCodec {
       case Lz4 =>
         val c = net.jpountz.lz4.LZ4Factory.fastestInstance().fastCompressor()
         c.compress(blob)
+      case Gzip => gzipCompress(blob)
       case other => throw new IllegalArgumentException(s"unknown block codec $other")
     }
     val w = new BitWriter(compressed.length + 16)
@@ -67,6 +96,7 @@ object BlockCodec {
       case Lz4 =>
         val d = net.jpountz.lz4.LZ4Factory.fastestInstance().fastDecompressor()
         d.decompress(blob, pos, rawLen)
+      case Gzip => gzipDecompress(blob, pos, rawLen)
       case other => throw new IllegalArgumentException(s"unknown block codec $other")
     }
   }

@@ -66,12 +66,34 @@ object ChunkCodec {
     case _ => 8L
   }
 
+  /** Primitive-array concat via System.arraycopy — the multi-page decode
+    * path runs this per >1 MiB chunk, and the previous flatMap-over-boxed
+    * version paid a box/unbox per value (round-1 review #6). */
+  private def concatPrim[A](arrs: Seq[Array[A]], out: Array[A]): Array[A] = {
+    var pos = 0
+    arrs.foreach { a =>
+      System.arraycopy(a, 0, out, pos, a.length)
+      pos += a.length
+    }
+    out
+  }
+
   def concat(parts: Seq[ColVec]): ColVec = parts.head match {
-    case _: BoolVec => BoolVec(parts.flatMap(_.asInstanceOf[BoolVec].values).toArray)
-    case _: IntVec => IntVec(parts.flatMap(_.asInstanceOf[IntVec].values).toArray)
-    case _: LongVec => LongVec(parts.flatMap(_.asInstanceOf[LongVec].values).toArray)
-    case _: FloatVec => FloatVec(parts.flatMap(_.asInstanceOf[FloatVec].values).toArray)
-    case _: DoubleVec => DoubleVec(parts.flatMap(_.asInstanceOf[DoubleVec].values).toArray)
+    case _: BoolVec =>
+      val as = parts.map(_.asInstanceOf[BoolVec].values)
+      BoolVec(concatPrim(as, new Array[Boolean](as.map(_.length).sum)))
+    case _: IntVec =>
+      val as = parts.map(_.asInstanceOf[IntVec].values)
+      IntVec(concatPrim(as, new Array[Int](as.map(_.length).sum)))
+    case _: LongVec =>
+      val as = parts.map(_.asInstanceOf[LongVec].values)
+      LongVec(concatPrim(as, new Array[Long](as.map(_.length).sum)))
+    case _: FloatVec =>
+      val as = parts.map(_.asInstanceOf[FloatVec].values)
+      FloatVec(concatPrim(as, new Array[Float](as.map(_.length).sum)))
+    case _: DoubleVec =>
+      val as = parts.map(_.asInstanceOf[DoubleVec].values)
+      DoubleVec(concatPrim(as, new Array[Double](as.map(_.length).sum)))
     case _: BytesVec =>
       val vs = parts.map(_.asInstanceOf[BytesVec])
       val n = vs.map(_.length).sum

@@ -93,14 +93,27 @@ object ChunkStats {
       val off = vec.start(i)
       val len = vec.len(i)
       if (!capped) {
-        // hash at most the first 64 bytes + the length: exact for short
-        // values (the only dict-viable ones — a 1 MiB dict page holds no
-        // long-string column anyway) and one bounded read for long ones,
-        // instead of a full second pass over e.g. multi-KB source files
+        // hash a bounded window + the length: exact for short values (the
+        // only dict-viable ones — a 1 MiB dict page holds no long-string
+        // column anyway), one bounded read for long ones. For len > 64 the
+        // window is head(64) + middle(16) + tail(32): fixed-width templated
+        // records and padded log lines share 64-byte prefixes AND lengths,
+        // so a prefix-only hash collapsed their distinct count to ~1
+        // (round-2 advice) — the tail/middle samples keep them apart.
         var h = 1 + len * 31
         var k = off
         val end = off + math.min(len, 64)
         while (k < end) { h = 31 * h + data(k); k += 1 }
+        if (len > 64) {
+          val midStart = off + len / 2
+          val midEnd = midStart + math.min(16, len - len / 2)
+          k = midStart
+          while (k < midEnd) { h = 31 * h + data(k); k += 1 }
+          val tailStart = off + len - math.min(32, len - 64)
+          k = math.max(tailStart, midEnd)
+          val tailEnd = off + len
+          while (k < tailEnd) { h = 31 * h + data(k); k += 1 }
+        }
         if (seen.add(h)) distinctRaw += 4L + len
         if (seen.size >= DistinctCap) capped = true
       }

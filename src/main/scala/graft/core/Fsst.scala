@@ -398,8 +398,18 @@ object FsstCodec {
     // across chunks per thread: a fresh 2x-raw array per chunk would cost
     // more memory-bus traffic in JVM zeroing than the compression itself
     val need = math.toIntExact(2L * vec.totalBytes + 8)
+    // Retain scratch up to 2x the default 32 MiB chunk-raw cap: every
+    // normally-cut chunk reuses the buffer (a fresh 64 MB alloc per chunk
+    // saturates the memory bus with JVM zeroing — measured 5x encode
+    // slowdown at local[32]). Only a freak single value that blows past the
+    // chunk cap gets a one-off array the GC can reclaim, so a thread never
+    // permanently pins more than ~64 MiB (round-2 advice).
+    val RetainLimit = 2 * (32 << 20) + 8
     var body = scratchBody.get()
-    if (body.length < need) { body = new Array[Byte](need); scratchBody.set(body) }
+    if (body.length < need) {
+      body = new Array[Byte](need)
+      if (need <= RetainLimit) scratchBody.set(body)
+    }
     val lens = new Array[Long](n)
     var bodyPos = 0
     i = 0

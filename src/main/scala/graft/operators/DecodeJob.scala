@@ -195,19 +195,25 @@ object DecodeJob {
   * row key and compare content hashes. */
 object Verifier {
 
-  /** Returns (sourceRows, decodedRows, mismatchedOrMissing). */
+  /** Returns (sourceRows, decodedRows, mismatchedOrMissing).
+    *
+    * ONE aggregation over the full-outer join — the previous version cached
+    * the join but then called source.count()/decoded.count(), re-executing
+    * the whole encode+decode pipeline (round-1 review #7). With unique keys
+    * (the verify contract) the join has exactly one row per key, so
+    * count(__h_src) == sourceRows and count(__h_dec) == decodedRows. */
   def verify(source: DataFrame, decoded: DataFrame, keyCols: Seq[String],
       contentCol: String): (Long, Long, Long) = {
     val s = source.select(
       (keyCols.map(col) :+ sha2(col(contentCol).cast("string"), 256).as("__h_src")): _*)
     val d = decoded.select(
       (keyCols.map(col) :+ sha2(col(contentCol).cast("string"), 256).as("__h_dec")): _*)
-    val joined = s.join(d, keyCols, "full_outer").cache()
-    try {
-      val bad = joined.where(
-        col("__h_src").isNull || col("__h_dec").isNull ||
-          col("__h_src") =!= col("__h_dec")).count()
-      (source.count(), decoded.count(), bad)
-    } finally joined.unpersist()
+    val row = s.join(d, keyCols, "full_outer").agg(
+      count(col("__h_src")).as("ns"),
+      count(col("__h_dec")).as("nd"),
+      sum(when(col("__h_src").isNull || col("__h_dec").isNull ||
+        col("__h_src") =!= col("__h_dec"), 1L).otherwise(0L)).as("bad"))
+      .collect()(0)
+    (row.getLong(0), row.getLong(1), if (row.isNullAt(2)) 0L else row.getLong(2))
   }
 }

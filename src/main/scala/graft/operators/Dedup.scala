@@ -92,18 +92,39 @@ object Dedup {
       .drop("__sh_hashes")
   }
 
-  /** Near-dup pairs by SimHash hamming distance ≤ maxDist, blocked on the
-    * top 16 bits so the self-join never goes quadratic on the full corpus. */
+  /** Near-dup pairs by SimHash hamming distance ≤ maxDist, blocked with
+    * FOUR tables — one per disjoint 16-bit segment of the hash. Pigeonhole:
+    * a pair with hamming distance < 4 must agree EXACTLY on ≥ 1 of the 4
+    * segments, so blocking has full recall at the default maxDist = 3
+    * (round 1 blocked on the top 16 bits only, silently missing every pair
+    * whose differing bits lived in bits 48-63). One extra explode (4 rows
+    * per doc), still never quadratic: the self-join stays within (table,
+    * segment) buckets. */
   def simhashNearDups(df: DataFrame, keyCol: String, textCol: String,
-      maxDist: Int = 3): DataFrame = {
-    val withSim = simhash(df, textCol).select(col(keyCol).as("__key"), col("simhash"))
-      .withColumn("block", shiftrightunsigned(col("simhash"), 48))
-    val a = withSim.select(col("block"), col("__key").as("keyA"), col("simhash").as("simA"))
-    val b = withSim.select(col("block"), col("__key").as("keyB"), col("simhash").as("simB"))
-    a.join(b, Seq("block")).where(col("keyA") < col("keyB"))
+      maxDist: Int = 3): DataFrame =
+    simhashPairs(
+      simhash(df, textCol).select(col(keyCol).as("__key"), col("simhash")),
+      maxDist)
+
+  /** Blocked pair join over a precomputed (__key, simhash) frame — split
+    * out so tests can plant hash values (e.g. top-bit flips) directly. */
+  private[graft] def simhashPairs(withSim: DataFrame, maxDist: Int): DataFrame = {
+    val banded = withSim.select(col("__key"), col("simhash"),
+      explode(array((0 until 4).map { t =>
+        struct(lit(t).as("tbl"),
+          shiftrightunsigned(col("simhash"), 16 * t)
+            .bitwiseAND(lit(0xFFFFL)).as("seg"))
+      }: _*)).as("b"))
+      .select(col("__key"), col("simhash"), col("b.tbl"), col("b.seg"))
+    val a = banded.select(col("tbl"), col("seg"),
+      col("__key").as("keyA"), col("simhash").as("simA"))
+    val b = banded.select(col("tbl"), col("seg"),
+      col("__key").as("keyB"), col("simhash").as("simB"))
+    a.join(b, Seq("tbl", "seg")).where(col("keyA") < col("keyB"))
       .withColumn("dist", bit_count(col("simA").bitwiseXOR(col("simB"))))
       .where(col("dist") <= maxDist)
       .select("keyA", "keyB", "dist")
+      .dropDuplicates("keyA", "keyB")
   }
 
   /** EXACT n-gram Jaccard similarity join at threshold `threshold`, within

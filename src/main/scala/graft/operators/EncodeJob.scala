@@ -4,7 +4,6 @@ import org.apache.spark.TaskContext
 import org.apache.spark.sql.{Column, DataFrame, Dataset, Encoders, Row, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
-import scala.collection.mutable.ArrayBuffer
 
 import graft.core._
 
@@ -127,68 +126,97 @@ object EncodeJob {
 
   /** Pure per-partition encode: buffer up to chunkRows/chunkRawBytes rows,
     * then run the codec auto-selector per column. Typed per-column builders
-    * keep the buffering boxing-free (primitive arrays end to end). */
+    * keep the buffering boxing-free (primitive arrays end to end).
+    *
+    * LAZY: returns an iterator that cuts and yields one chunk's ChunkRows at
+    * a time, so task memory is O(one chunk), not O(partition encoded bytes)
+    * — a partition far larger than executor memory streams straight through
+    * (round-1 review flagged the previous whole-partition ArrayBuffer as the
+    * first OOM at 100x). Chunk cut points are unchanged: a chunk closes the
+    * first time the post-add row/byte condition trips, so manifests stay
+    * byte-identical to the eager version. */
   def encodePartition(partId: Int, schema: StructType, rows: Iterator[Row],
       chunkRows: Int, chunkRawBytes: Long,
       forcedCodecs: Map[String, Int] = Map.empty,
       blockCodec: Int = BlockCodec.None): Iterator[ChunkRow] = {
     val fields = schema.fields
     val nCols = fields.length
-    val out = ArrayBuffer.empty[ChunkRow]
-    var chunkIdx = 0
-
     val builders: Array[ColBuilder] = fields.map(f => ColBuilder(f.dataType))
-    var bufferedRaw = 0L
-    var buffered = 0
 
-    def flushChunk(): Unit = {
-      if (buffered == 0) return
-      var c = 0
-      while (c < nCols) {
-        val vec = builders(c).build()
-        val levels = builders(c).defLevels
-        val nRows = builders(c).rowCount
-        val nNulls = builders(c).numNulls
-        builders(c).clear()
-        val chunk = forcedCodecs.get(fields(c).name) match {
-          case Some(codec) =>
-            val blob = ChunkCodec.encodeWith(vec, codec, levels)
-            EncodedChunk(blob, codec, vec.length, vec.rawSize,
-              blob.length.toLong, blob.length.toLong, 0)
-          case None => ChunkCodec.encodeAuto(vec, defLevels = levels)
-        }
-        // optional general-purpose block compression on top of the chunk
-        // encoding (reference compression.rs); kept only when it shrinks,
-        // so the <= reference-policy ceiling is never violated
-        val blob =
-          if (blockCodec == BlockCodec.None) chunk.blob
-          else {
-            val wrapped = BlockCodec.wrap(chunk.blob, blockCodec)
-            if (wrapped.length < chunk.blob.length) wrapped else chunk.blob
+    new Iterator[ChunkRow] {
+      private var chunkIdx = 0
+      private var pending: Array[ChunkRow] = null
+      private var pendingPos = 0
+
+      /** Pull rows until this chunk is full (or input ends), then encode
+        * every column. The zero-copy BytesVec arena invariant holds: each
+        * vec is FULLY consumed (encode + stats + hash) inside this call,
+        * before any further builder.add() can overwrite arena bytes. */
+      private def fillChunk(): Unit = {
+        var bufferedRaw = 0L
+        var buffered = 0
+        while (rows.hasNext && buffered < chunkRows && bufferedRaw < chunkRawBytes) {
+          val row = rows.next()
+          var c = 0
+          while (c < nCols) {
+            bufferedRaw += builders(c).add(row, c)
+            c += 1
           }
-        val (mnStat, mxStat) = MinMax.compute(vec)
-        out += ChunkRow(partId, chunkIdx, c, fields(c).name, vec.physicalType,
-          chunk.codecName, nRows.toLong, nNulls.toLong, chunk.rawSize,
-          blob.length.toLong, chunk.refPolicySize, chunk.dictEntries,
-          mnStat, mxStat, ColVecHash.sha256Hex(vec, levels), blob)
-        c += 1
+          buffered += 1
+        }
+        if (buffered == 0) { pending = null; return }
+        val out = new Array[ChunkRow](nCols)
+        var c = 0
+        while (c < nCols) {
+          val vec = builders(c).build()
+          val levels = builders(c).defLevels
+          val nRows = builders(c).rowCount
+          val nNulls = builders(c).numNulls
+          builders(c).clear()
+          val chunk = forcedCodecs.get(fields(c).name) match {
+            case Some(codec) =>
+              val blob = ChunkCodec.encodeWith(vec, codec, levels)
+              EncodedChunk(blob, codec, vec.length, vec.rawSize,
+                blob.length.toLong, blob.length.toLong, 0)
+            case None => ChunkCodec.encodeAuto(vec, defLevels = levels)
+          }
+          // optional general-purpose block compression on top of the chunk
+          // encoding (reference compression.rs); kept only when it shrinks,
+          // so the <= reference-policy ceiling is never violated
+          val blob =
+            if (blockCodec == BlockCodec.None) chunk.blob
+            else {
+              val wrapped = BlockCodec.wrap(chunk.blob, blockCodec)
+              if (wrapped.length < chunk.blob.length) wrapped else chunk.blob
+            }
+          val (mnStat, mxStat) = MinMax.compute(vec)
+          out(c) = ChunkRow(partId, chunkIdx, c, fields(c).name, vec.physicalType,
+            chunk.codecName, nRows.toLong, nNulls.toLong, chunk.rawSize,
+            blob.length.toLong, chunk.refPolicySize, chunk.dictEntries,
+            mnStat, mxStat, ColVecHash.sha256Hex(vec, levels), blob)
+          c += 1
+        }
+        chunkIdx += 1
+        pending = out
+        pendingPos = 0
       }
-      chunkIdx += 1
-      bufferedRaw = 0L
-      buffered = 0
-    }
 
-    rows.foreach { row =>
-      var c = 0
-      while (c < nCols) {
-        bufferedRaw += builders(c).add(row, c)
-        c += 1
+      def hasNext: Boolean = {
+        if (pending != null && pendingPos < pending.length) true
+        else {
+          pending = null
+          if (!rows.hasNext) false
+          else { fillChunk(); pending != null }
+        }
       }
-      buffered += 1
-      if (buffered >= chunkRows || bufferedRaw >= chunkRawBytes) flushChunk()
+
+      def next(): ChunkRow = {
+        if (!hasNext) throw new NoSuchElementException("encodePartition")
+        val r = pending(pendingPos)
+        pendingPos += 1
+        r
+      }
     }
-    flushChunk()
-    out.iterator
   }
 
   /** Per-(partition, column) lineage with a deterministic sha256 manifest

@@ -110,6 +110,16 @@ object Similarity {
     }.toDF("query", "neighbor", "cosine", "rank")
   }
 
+  /** Fraction of the exact top-k (query, neighbor) pairs an ANN result
+    * recovered — the value-checkable quality gate for the scale-path ANN
+    * operators (one semi-join + two counts, fully distributed). */
+  def recall(exact: DataFrame, ann: DataFrame): Double = {
+    val total = exact.count()
+    if (total == 0) 1.0
+    else exact.join(ann, Seq("query", "neighbor"), "left_semi")
+      .count().toDouble / total
+  }
+
   /** IVF (inverted-file) ANN: `nLists` coarse centroids are seeded from a
     * deterministic sample and refined with `iters` distributed Lloyd
     * steps (a groupBy-mean per step — map-side combinable); every vector
@@ -200,43 +210,62 @@ object Similarity {
     ds.sortBy(x => (x._1, x._2)).take(math.max(1, nProbe)).map(_._2).toArray
   }
 
-  /** Deterministic pseudo-random hyperplane component for (plane p, dim i):
-    * a fixed hash mapped to [-1, 1] — seeded, identical on every executor
-    * with zero driver state. */
-  private def planeComponent(p: Int, i: Column): Column =
-    (pmod(xxhash64(lit("graft-lsh"), lit(p), i), lit(2000001L)).cast("double")
-      - 1000000.0) / 1000000.0
+  /** Deterministic pseudo-random hyperplane component for (table t, plane
+    * p, dim i): a fixed hash mapped to [-1, 1] — seeded, identical on every
+    * executor with zero driver state. */
+  private def planeComponent(t: Int, p: Int, i: Column): Column =
+    (pmod(xxhash64(lit("graft-lsh"), lit(t * 1000 + p), i), lit(2000001L))
+      .cast("double") - 1000000.0) / 1000000.0
 
-  /** Random-hyperplane LSH: `planes` sign bits -> one integer bucket id.
-    * Cosine-similar vectors collide with high probability. */
-  def cosineLshBuckets(df: DataFrame, vecCol: String, planes: Int = 12): DataFrame = {
+  /** Random-hyperplane LSH for table `t`: `planes` sign bits -> one integer
+    * bucket id. Cosine-similar vectors collide with high probability. */
+  def cosineLshBuckets(df: DataFrame, vecCol: String, planes: Int = 12,
+      table: Int = 0): DataFrame = {
     val v = col(vecCol)
     val idx = sequence(lit(0), size(v) - 1)
     val bits = (0 until planes).map { p =>
-      val d = aggregate(zip_with(v, idx, (x, i) => x * planeComponent(p, i)),
+      val d = aggregate(zip_with(v, idx, (x, i) => x * planeComponent(table, p, i)),
         lit(0.0), (acc, x) => acc + x)
       when(d >= 0, shiftleft(lit(1L), p)).otherwise(lit(0L))
     }
     df.withColumn("lshBucket", bits.reduce(_.bitwiseOR(_)))
   }
 
-  /** Scale-path ANN: join only within LSH buckets, then top-k per query.
-    * Vectors are normalized once per side before the join, so each pair
-    * costs a single dot product. Recall trades off with `planes`; at 100 TB
-    * this is the shape that avoids the quadratic cross join entirely. */
+  /** Scale-path ANN: MULTI-TABLE hyperplane LSH — `tables` independent
+    * plane sets, candidates unioned across tables, then exact top-k per
+    * query over the candidate set. Single-table sign-LSH recall was ~5% on
+    * near-uniform embeddings (round-1 measurement); multi-table is the
+    * standard recall lever and keeps the same shape: one explode (x tables),
+    * join only within (table, bucket), never quadratic. Vectors are
+    * normalized once per side, so each candidate pair costs one dot. */
   def lshTopK(df: DataFrame, keyCol: String, vecCol: String,
-      k: Int = 5, planes: Int = 8): DataFrame = {
-    val bucketed = cosineLshBuckets(df, vecCol, planes)
-      .withColumn("__norm", norm(col(vecCol)))
-      .select(col("lshBucket"), col(keyCol).as("__key"),
-        transform(col(vecCol), x =>
+      k: Int = 5, planes: Int = 8, tables: Int = 8): DataFrame = {
+    val v = col(vecCol)
+    val idx = sequence(lit(0), size(v) - 1)
+    val bucketStructs = (0 until tables).map { t =>
+      val bits = (0 until planes).map { p =>
+        val d = aggregate(zip_with(v, idx, (x, i) => x * planeComponent(t, p, i)),
+          lit(0.0), (acc, x) => acc + x)
+        when(d >= 0, shiftleft(lit(1L), p)).otherwise(lit(0L))
+      }
+      struct(lit(t).as("tbl"), bits.reduce(_.bitwiseOR(_)).as("bucket"))
+    }
+    val bucketed = df
+      .withColumn("__norm", norm(v))
+      .select(col(keyCol).as("__key"),
+        transform(v, x =>
           when(col("__norm") > 0, x / col("__norm")).otherwise(lit(0.0)))
-          .as("__unit"))
-    val a = bucketed.select(col("lshBucket"), col("__key").as("query"),
-      col("__unit").as("unitA"))
-    val b = bucketed.select(col("lshBucket"), col("__key").as("neighbor"),
-      col("__unit").as("unitB"))
-    val scored = a.join(b, Seq("lshBucket")).where(col("query") =!= col("neighbor"))
+          .as("__unit"),
+        explode(array(bucketStructs: _*)).as("tb"))
+      .select(col("__key"), col("__unit"), col("tb.tbl"), col("tb.bucket"))
+    val a = bucketed.select(col("tbl"), col("bucket"),
+      col("__key").as("query"), col("__unit").as("unitA"))
+    val b = bucketed.select(col("tbl"), col("bucket"),
+      col("__key").as("neighbor"), col("__unit").as("unitB"))
+    val scored = a.join(b, Seq("tbl", "bucket"))
+      .where(col("query") =!= col("neighbor"))
+      .select(col("query"), col("neighbor"), col("unitA"), col("unitB"))
+      .dropDuplicates("query", "neighbor") // union of candidate sets
       .withColumn("cosine", dot(col("unitA"), col("unitB")))
     val w = Window.partitionBy(col("query"))
       .orderBy(col("cosine").desc, col("neighbor").asc)

@@ -1,0 +1,523 @@
+package graft.sources
+
+/** Minimal Thrift compact-protocol reader/writer + the subset of the public
+  * Apache parquet-format metadata structs needed for real `.parquet` file
+  * interop (the reference's container layer: footer parse at
+  * `/root/reference/src/file/reader.rs:145-222`, footer write at
+  * `/root/reference/src/file/writer.rs:148-196`; struct/field ids follow the
+  * public parquet.thrift spec the reference's parquet-format 2.5.0 crate
+  * generates from).
+  *
+  * Compact-protocol facts used (public Thrift spec):
+  *  - field header: `(idDelta << 4) | type` when 1 <= delta <= 15, else the
+  *    type byte alone followed by the zigzag-varint field id;
+  *  - BOOL is carried in the header type (1 = true, 2 = false);
+  *  - i16/i32/i64 are zigzag ULEB128 varints; enums are i32;
+  *  - binary/string: ULEB128 length + bytes;
+  *  - list header: `(size << 4) | elemType` when size < 15, else
+  *    `0xF? | elemType` + ULEB128 size;
+  *  - struct = fields then a 0x00 stop byte; field-id deltas reset per
+  *    struct.
+  */
+object ThriftCompact {
+  // compact type ids
+  val TStop = 0
+  val TBoolTrue = 1
+  val TBoolFalse = 2
+  val TByte = 3
+  val TI16 = 4
+  val TI32 = 5
+  val TI64 = 6
+  val TDouble = 7
+  val TBinary = 8
+  val TList = 9
+  val TSet = 10
+  val TMap = 11
+  val TStruct = 12
+
+  final class Reader(val buf: Array[Byte], var pos: Int) {
+    def u8(): Int = { val b = buf(pos) & 0xFF; pos += 1; b }
+
+    def varint(): Long = {
+      var shift = 0
+      var out = 0L
+      var b = 0
+      do {
+        b = u8()
+        out |= (b & 0x7FL) << shift
+        shift += 7
+      } while ((b & 0x80) != 0)
+      out
+    }
+
+    def zigzag(): Long = { val v = varint(); (v >>> 1) ^ -(v & 1) }
+
+    def binary(): Array[Byte] = {
+      val len = varint().toInt
+      val out = java.util.Arrays.copyOfRange(buf, pos, pos + len)
+      pos += len
+      out
+    }
+
+    def string(): String =
+      new String(binary(), java.nio.charset.StandardCharsets.UTF_8)
+
+    /** (fieldId, compactType), or (_, TStop) at struct end. `lastId` is the
+      * previous field id within the current struct. */
+    def fieldHeader(lastId: Int): (Int, Int) = {
+      val b = u8()
+      if (b == TStop) return (0, TStop)
+      val tpe = b & 0x0F
+      val delta = (b >>> 4) & 0x0F
+      val id = if (delta != 0) lastId + delta else zigzag().toInt
+      (id, tpe)
+    }
+
+    /** (elemType, size) */
+    def listHeader(): (Int, Int) = {
+      val b = u8()
+      val tpe = b & 0x0F
+      val sz = (b >>> 4) & 0x0F
+      if (sz == 0x0F) (tpe, varint().toInt) else (tpe, sz)
+    }
+
+    def skip(tpe: Int): Unit = tpe match {
+      case TBoolTrue | TBoolFalse => ()
+      case TByte => u8()
+      case TI16 | TI32 | TI64 => varint()
+      case TDouble => pos += 8
+      case TBinary => pos += varint().toInt
+      case TList | TSet =>
+        val (et, n) = listHeader()
+        var i = 0
+        while (i < n) { skipListElem(et); i += 1 }
+      case TMap =>
+        // compact map: ULEB size, then (if size > 0) one key/value-type byte
+        val n = varint().toInt
+        if (n > 0) {
+          val b = u8()
+          val kt = (b >>> 4) & 0x0F
+          val vt = b & 0x0F
+          var i = 0
+          while (i < n) { skipListElem(kt); skipListElem(vt); i += 1 }
+        }
+      case TStruct =>
+        var last = 0
+        var done = false
+        while (!done) {
+          val (id, t) = fieldHeader(last)
+          if (t == TStop) done = true
+          else { skip(t); last = id }
+        }
+      case other => throw new IllegalArgumentException(s"thrift type $other")
+    }
+
+    private def skipListElem(tpe: Int): Unit = tpe match {
+      case TBoolTrue | TBoolFalse => u8() // bools in lists are 1 byte
+      case other => skip(other)
+    }
+  }
+
+  final class Writer {
+    private var buf = new Array[Byte](256)
+    private var len = 0
+    private def ensure(n: Int): Unit =
+      if (len + n > buf.length) {
+        var cap = buf.length << 1
+        while (cap < len + n) cap <<= 1
+        buf = java.util.Arrays.copyOf(buf, cap)
+      }
+    def u8(b: Int): Unit = { ensure(1); buf(len) = b.toByte; len += 1 }
+    def varint(v0: Long): Unit = {
+      var v = v0
+      while ((v & ~0x7FL) != 0) { u8(((v & 0x7F) | 0x80).toInt); v >>>= 7 }
+      u8(v.toInt)
+    }
+    def zigzag(v: Long): Unit = varint((v << 1) ^ (v >> 63))
+    def bytes(b: Array[Byte]): Unit = {
+      ensure(b.length); System.arraycopy(b, 0, buf, len, b.length); len += b.length
+    }
+    def binary(b: Array[Byte]): Unit = { varint(b.length.toLong); bytes(b) }
+    def string(s: String): Unit =
+      binary(s.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    def fieldHeader(id: Int, tpe: Int, lastId: Int): Unit = {
+      val delta = id - lastId
+      if (delta >= 1 && delta <= 15) u8((delta << 4) | tpe)
+      else { u8(tpe); zigzag(id.toLong) }
+    }
+    def stop(): Unit = u8(TStop)
+    def listHeader(elemType: Int, size: Int): Unit =
+      if (size < 15) u8((size << 4) | elemType)
+      else { u8(0xF0 | elemType); varint(size.toLong) }
+    def i32Field(id: Int, lastId: Int, v: Int): Unit = {
+      fieldHeader(id, TI32, lastId); zigzag(v.toLong)
+    }
+    def i64Field(id: Int, lastId: Int, v: Long): Unit = {
+      fieldHeader(id, TI64, lastId); zigzag(v)
+    }
+    def result(): Array[Byte] = java.util.Arrays.copyOf(buf, len)
+  }
+}
+
+// ------------------------------------------------------------------ structs
+
+/** Parquet physical types (public format spec / reference basic.rs:39-48). */
+object PqType {
+  val Boolean = 0
+  val Int32 = 1
+  val Int64 = 2
+  val Int96 = 3
+  val Float = 4
+  val Double = 5
+  val ByteArray = 6
+  val FixedLenByteArray = 7
+}
+
+/** Parquet encodings (public format spec). */
+object PqEncoding {
+  val Plain = 0
+  val PlainDictionary = 2
+  val Rle = 3
+  val BitPacked = 4
+  val DeltaBinaryPacked = 5
+  val DeltaLengthByteArray = 6
+  val DeltaByteArray = 7
+  val RleDictionary = 8
+}
+
+object PqCodec {
+  val Uncompressed = 0
+  val Snappy = 1
+  val Gzip = 2
+  val Brotli = 4
+  val Lz4 = 5
+  val Zstd = 6
+}
+
+object PqConvertedType {
+  val Utf8 = 0
+  val Date = 6
+  val TimestampMicros = 10
+}
+
+final case class PqSchemaElement(
+    name: String,
+    typ: Int = -1, // -1 = absent (group node)
+    typeLength: Int = -1,
+    repetition: Int = -1, // 0 REQUIRED, 1 OPTIONAL, 2 REPEATED; -1 absent
+    numChildren: Int = 0,
+    convertedType: Int = -1)
+
+final case class PqColumnMeta(
+    typ: Int,
+    encodings: Seq[Int],
+    pathInSchema: Seq[String],
+    codec: Int,
+    numValues: Long,
+    totalUncompressedSize: Long,
+    totalCompressedSize: Long,
+    dataPageOffset: Long,
+    dictionaryPageOffset: Long = -1L) // -1 = absent
+
+final case class PqRowGroup(
+    columns: Seq[PqColumnMeta],
+    totalByteSize: Long,
+    numRows: Long)
+
+final case class PqFileMeta(
+    version: Int,
+    schema: Seq[PqSchemaElement],
+    numRows: Long,
+    rowGroups: Seq[PqRowGroup],
+    createdBy: String)
+
+final case class PqPageHeader(
+    pageType: Int, // 0 data v1, 2 dictionary, 3 data v2
+    uncompressedSize: Int,
+    compressedSize: Int,
+    // data page v1
+    numValues: Int = 0,
+    encoding: Int = 0,
+    defLevelEncoding: Int = 0,
+    repLevelEncoding: Int = 0,
+    /** bytes consumed by the header itself */
+    headerLen: Int = 0)
+
+/** Parse/serialize the metadata subset. Field ids follow parquet.thrift. */
+object ParquetMeta {
+  import ThriftCompact._
+
+  // ---------------------------------------------------------------- parsing
+
+  def parseFileMeta(buf: Array[Byte], off: Int): PqFileMeta = {
+    val r = new Reader(buf, off)
+    var version = 0
+    var schema: Seq[PqSchemaElement] = Nil
+    var numRows = 0L
+    var rowGroups: Seq[PqRowGroup] = Nil
+    var createdBy = ""
+    var last = 0
+    var done = false
+    while (!done) {
+      val (id, t) = r.fieldHeader(last)
+      if (t == TStop) done = true
+      else {
+        id match {
+          case 1 => version = r.zigzag().toInt
+          case 2 => schema = parseList(r)(parseSchemaElement)
+          case 3 => numRows = r.zigzag()
+          case 4 => rowGroups = parseList(r)(parseRowGroup)
+          case 6 => createdBy = r.string()
+          case _ => r.skip(t)
+        }
+        last = id
+      }
+    }
+    PqFileMeta(version, schema, numRows, rowGroups, createdBy)
+  }
+
+  private def parseList[A](r: Reader)(elem: Reader => A): Seq[A] = {
+    val (_, n) = r.listHeader()
+    (0 until n).map(_ => elem(r))
+  }
+
+  private def parseSchemaElement(r: Reader): PqSchemaElement = {
+    var name = ""
+    var typ = -1
+    var typeLength = -1
+    var repetition = -1
+    var numChildren = 0
+    var converted = -1
+    var last = 0
+    var done = false
+    while (!done) {
+      val (id, t) = r.fieldHeader(last)
+      if (t == TStop) done = true
+      else {
+        id match {
+          case 1 => typ = r.zigzag().toInt
+          case 2 => typeLength = r.zigzag().toInt
+          case 3 => repetition = r.zigzag().toInt
+          case 4 => name = r.string()
+          case 5 => numChildren = r.zigzag().toInt
+          case 6 => converted = r.zigzag().toInt
+          case _ => r.skip(t)
+        }
+        last = id
+      }
+    }
+    PqSchemaElement(name, typ, typeLength, repetition, numChildren, converted)
+  }
+
+  private def parseRowGroup(r: Reader): PqRowGroup = {
+    var columns: Seq[PqColumnMeta] = Nil
+    var totalByteSize = 0L
+    var numRows = 0L
+    var last = 0
+    var done = false
+    while (!done) {
+      val (id, t) = r.fieldHeader(last)
+      if (t == TStop) done = true
+      else {
+        id match {
+          case 1 => columns = parseList(r)(parseColumnChunk)
+          case 2 => totalByteSize = r.zigzag()
+          case 3 => numRows = r.zigzag()
+          case _ => r.skip(t)
+        }
+        last = id
+      }
+    }
+    PqRowGroup(columns, totalByteSize, numRows)
+  }
+
+  private def parseColumnChunk(r: Reader): PqColumnMeta = {
+    var meta: PqColumnMeta = null
+    var last = 0
+    var done = false
+    while (!done) {
+      val (id, t) = r.fieldHeader(last)
+      if (t == TStop) done = true
+      else {
+        id match {
+          case 3 => meta = parseColumnMeta(r)
+          case _ => r.skip(t)
+        }
+        last = id
+      }
+    }
+    meta
+  }
+
+  private def parseColumnMeta(r: Reader): PqColumnMeta = {
+    var typ = 0
+    var encodings: Seq[Int] = Nil
+    var path: Seq[String] = Nil
+    var codec = 0
+    var numValues = 0L
+    var totalUnc = 0L
+    var totalComp = 0L
+    var dataOff = 0L
+    var dictOff = -1L
+    var last = 0
+    var done = false
+    while (!done) {
+      val (id, t) = r.fieldHeader(last)
+      if (t == TStop) done = true
+      else {
+        id match {
+          case 1 => typ = r.zigzag().toInt
+          case 2 => encodings = parseList(r)(rr => rr.zigzag().toInt)
+          case 3 => path = parseList(r)(rr => rr.string())
+          case 4 => codec = r.zigzag().toInt
+          case 5 => numValues = r.zigzag()
+          case 6 => totalUnc = r.zigzag()
+          case 7 => totalComp = r.zigzag()
+          case 9 => dataOff = r.zigzag()
+          case 11 => dictOff = r.zigzag()
+          case _ => r.skip(t)
+        }
+        last = id
+      }
+    }
+    PqColumnMeta(typ, encodings, path, codec, numValues, totalUnc, totalComp,
+      dataOff, dictOff)
+  }
+
+  def parsePageHeader(buf: Array[Byte], off: Int): PqPageHeader = {
+    val r = new Reader(buf, off)
+    var pageType = 0
+    var unc = 0
+    var comp = 0
+    var numValues = 0
+    var encoding = 0
+    var defEnc = 0
+    var repEnc = 0
+    var last = 0
+    var done = false
+    while (!done) {
+      val (id, t) = r.fieldHeader(last)
+      if (t == TStop) done = true
+      else {
+        id match {
+          case 1 => pageType = r.zigzag().toInt
+          case 2 => unc = r.zigzag().toInt
+          case 3 => comp = r.zigzag().toInt
+          case 5 | 7 | 8 => // DataPageHeader | DictionaryPageHeader | V2
+            var l2 = 0
+            var d2 = false
+            while (!d2) {
+              val (id2, t2) = r.fieldHeader(l2)
+              if (t2 == TStop) d2 = true
+              else {
+                (id, id2) match {
+                  case (5, 1) => numValues = r.zigzag().toInt
+                  case (5, 2) => encoding = r.zigzag().toInt
+                  case (5, 3) => defEnc = r.zigzag().toInt
+                  case (5, 4) => repEnc = r.zigzag().toInt
+                  case (7, 1) => numValues = r.zigzag().toInt
+                  case (7, 2) => encoding = r.zigzag().toInt
+                  case _ => r.skip(t2)
+                }
+                l2 = id2
+              }
+            }
+          case _ => r.skip(t)
+        }
+        last = id
+      }
+    }
+    PqPageHeader(pageType, unc, comp, numValues, encoding, defEnc, repEnc,
+      headerLen = r.pos - off)
+  }
+
+  // -------------------------------------------------------------- writing
+
+  def writePageHeaderV1(numValues: Int, encoding: Int, uncompressed: Int,
+      compressed: Int): Array[Byte] = {
+    val w = new Writer
+    w.i32Field(1, 0, 0) // type = DATA_PAGE
+    w.i32Field(2, 1, uncompressed)
+    w.i32Field(3, 2, compressed)
+    w.fieldHeader(5, TStruct, 3) // data_page_header
+    w.i32Field(1, 0, numValues)
+    w.i32Field(2, 1, encoding)
+    w.i32Field(3, 2, PqEncoding.Rle)       // def levels
+    w.i32Field(4, 3, PqEncoding.BitPacked) // rep levels (maxRep=0: no bytes)
+    w.stop()
+    w.stop()
+    w.result()
+  }
+
+  def writeDictPageHeader(numValues: Int, uncompressed: Int,
+      compressed: Int): Array[Byte] = {
+    val w = new Writer
+    w.i32Field(1, 0, 2) // type = DICTIONARY_PAGE
+    w.i32Field(2, 1, uncompressed)
+    w.i32Field(3, 2, compressed)
+    w.fieldHeader(7, TStruct, 3) // dictionary_page_header
+    w.i32Field(1, 0, numValues)
+    w.i32Field(2, 1, PqEncoding.PlainDictionary)
+    w.stop()
+    w.stop()
+    w.result()
+  }
+
+  def writeFileMeta(meta: PqFileMeta): Array[Byte] = {
+    val w = new Writer
+    w.i32Field(1, 0, meta.version)
+    w.fieldHeader(2, TList, 1)
+    w.listHeader(TStruct, meta.schema.size)
+    meta.schema.foreach(se => writeSchemaElement(w, se))
+    w.i64Field(3, 2, meta.numRows)
+    w.fieldHeader(4, TList, 3)
+    w.listHeader(TStruct, meta.rowGroups.size)
+    meta.rowGroups.foreach(rg => writeRowGroup(w, rg))
+    w.fieldHeader(6, TBinary, 4)
+    w.string(meta.createdBy)
+    w.stop()
+    w.result()
+  }
+
+  private def writeSchemaElement(w: Writer, se: PqSchemaElement): Unit = {
+    var last = 0
+    if (se.typ >= 0) { w.i32Field(1, last, se.typ); last = 1 }
+    if (se.repetition >= 0) { w.i32Field(3, last, se.repetition); last = 3 }
+    w.fieldHeader(4, TBinary, last); w.string(se.name); last = 4
+    if (se.numChildren > 0) { w.i32Field(5, last, se.numChildren); last = 5 }
+    if (se.convertedType >= 0) { w.i32Field(6, last, se.convertedType); last = 6 }
+    w.stop()
+  }
+
+  private def writeRowGroup(w: Writer, rg: PqRowGroup): Unit = {
+    w.fieldHeader(1, TList, 0)
+    w.listHeader(TStruct, rg.columns.size)
+    rg.columns.foreach { cm =>
+      // ColumnChunk { 2: file_offset, 3: meta_data }
+      w.i64Field(2, 0, cm.dataPageOffset)
+      w.fieldHeader(3, TStruct, 2)
+      writeColumnMeta(w, cm)
+      w.stop() // ends ColumnMetaData
+      w.stop() // ends ColumnChunk
+    }
+    w.i64Field(2, 1, rg.totalByteSize)
+    w.i64Field(3, 2, rg.numRows)
+    w.stop()
+  }
+
+  private def writeColumnMeta(w: Writer, cm: PqColumnMeta): Unit = {
+    w.i32Field(1, 0, cm.typ)
+    w.fieldHeader(2, TList, 1)
+    w.listHeader(TI32, cm.encodings.size)
+    cm.encodings.foreach(e => w.zigzag(e.toLong))
+    w.fieldHeader(3, TList, 2)
+    w.listHeader(TBinary, cm.pathInSchema.size)
+    cm.pathInSchema.foreach(w.string)
+    w.i32Field(4, 3, cm.codec)
+    w.i64Field(5, 4, cm.numValues)
+    w.i64Field(6, 5, cm.totalUncompressedSize)
+    w.i64Field(7, 6, cm.totalCompressedSize)
+    w.i64Field(9, 7, cm.dataPageOffset)
+    if (cm.dictionaryPageOffset >= 0) w.i64Field(11, 9, cm.dictionaryPageOffset)
+  }
+}

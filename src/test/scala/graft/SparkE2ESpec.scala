@@ -262,6 +262,35 @@ class SparkE2ESpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(sPairs.count() >= 5)
   }
 
+  test("simhash blocking has full recall at dist <= 3, incl. top-bit flips") {
+    val sp = spark
+    import sp.implicits._
+    // planted hashes whose differing bits live ONLY in bits 48-63 — the
+    // round-1 top-16-bit blocking missed every such pair
+    val base = 0x123456789ABCDEFL
+    val planted = Seq(
+      (1L, base),
+      (2L, base ^ (1L << 63)),                      // dist 1, top bit
+      (3L, base ^ (1L << 62) ^ (1L << 49)),         // dist 2, both in top 16
+      (4L, base ^ (1L << 63) ^ (1L << 55) ^ (1L << 48)), // dist 3, top 16
+      (5L, base ^ 1L),                              // dist 1, bottom bit
+      (6L, 0x7777777777777777L))                    // far away
+    // plus deterministic pseudo-random hashes for bulk coverage
+    val rng = new scala.util.Random(42)
+    val bulk = (100L until 300L).map(k => (k, rng.nextLong()))
+    val withSim = (planted ++ bulk).toDF("__key", "simhash")
+    val blocked = Dedup.simhashPairs(withSim, maxDist = 3)
+      .select("keyA", "keyB").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // brute force: all pairs, no blocking
+    val a = withSim.select(col("__key").as("ka"), col("simhash").as("sa"))
+    val b = withSim.select(col("__key").as("kb"), col("simhash").as("sb"))
+    val brute = a.crossJoin(b).where(col("ka") < col("kb"))
+      .where(bit_count(col("sa").bitwiseXOR(col("sb"))) <= 3)
+      .select("ka", "kb").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(brute.contains((1L, 2L)) && brute.contains((1L, 3L)) && brute.contains((1L, 4L)))
+    assert(blocked == brute, s"blocked=${blocked.size} brute=${brute.size}")
+  }
+
   test("ANN: lsh buckets agree with brute force on self-match neighborhoods") {
     val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
     val bf = Similarity.bruteForceTopK(emb, "vec_id", "embedding", k = 1)
@@ -317,6 +346,33 @@ class SparkE2ESpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(again.orderBy("query").collect().toSeq ==
       ivf.orderBy("query").collect().toSeq)
     ivf.unpersist()
+  }
+
+  test("parquet writer: files read back by SPARK'S OWN built-in reader") {
+    import graft.sources.{ParquetSink, PqCodec}
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+      .select("doc_id", "lang", "text", "n_chars")
+    val dir = java.nio.file.Files.createTempDirectory("graft-pq").toString
+    val written = ParquetSink.write(docs.repartition(3), dir,
+      codec = PqCodec.Snappy, rowGroupRows = 256)
+    assert(written.agg(org.apache.spark.sql.functions.sum("rows"))
+      .collect()(0).getLong(0) == docs.count())
+    // the external anchor: Spark's native reader consumes OUR container
+    val back = spark.read.parquet(dir)
+    assert(back.count() == docs.count())
+    val a = docs.orderBy("doc_id").collect().map(r =>
+      (r.getLong(0), r.getString(1), r.getString(2), r.getLong(3))).toSeq
+    val b = back.orderBy("doc_id").collect().map(r =>
+      (r.getAs[Long]("doc_id"), r.getAs[String]("lang"),
+        r.getAs[String]("text"), r.getAs[Long]("n_chars"))).toSeq
+    assert(a == b)
+    // uncompressed + gzip files read back too
+    val dir2 = java.nio.file.Files.createTempDirectory("graft-pq2").toString
+    ParquetSink.write(docs.limit(50), dir2, codec = PqCodec.Uncompressed).count()
+    assert(spark.read.parquet(dir2).count() == 50)
+    val dir3 = java.nio.file.Files.createTempDirectory("graft-pq3").toString
+    ParquetSink.write(docs.limit(50), dir3, codec = PqCodec.Gzip).count()
+    assert(spark.read.parquet(dir3).count() == 50)
   }
 
   test("multimodal stub plumbing: binary in, typed features out, no shuffle") {

@@ -1,0 +1,30 @@
+package graft.core
+
+import org.apache.spark.sql.SparkSession
+import graft.operators.Similarity
+
+/** Ad-hoc probe: prints lsh/ivf recall@3 per SF so the q_ann_recall floors
+  * are set from measurements, not guesses. Not part of the test suite. */
+object RecallProbe {
+  def main(args: Array[String]): Unit = {
+    val spark = SparkSession.builder().master("local[8]")
+      .config("spark.sql.shuffle.partitions", "8")
+      .config("spark.ui.enabled", "false").getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    Seq("sf0.001", "sf0.01", "sf0.1").foreach { sf =>
+      val emb = spark.read.parquet(s"/root/testdata/$sf/embeddings.parquet")
+      val bf = Similarity.bruteForceTopK(emb, "vec_id", "embedding", k = 3)
+        .select("query", "neighbor").cache()
+      bf.count()
+      val lshR = Similarity.recall(bf,
+        Similarity.lshTopK(emb, "vec_id", "embedding", k = 3, planes = 6)
+          .select("query", "neighbor"))
+      val ivfR = Similarity.recall(bf,
+        Similarity.ivfTopK(emb, "vec_id", "embedding", k = 3, nLists = 8, nProbe = 2)
+          .select("query", "neighbor"))
+      println(f"$sf: lsh=$lshR%.4f ivf=$ivfR%.4f n=${emb.count()}")
+      bf.unpersist()
+    }
+    spark.stop()
+  }
+}
