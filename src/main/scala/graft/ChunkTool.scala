@@ -10,17 +10,52 @@ import org.apache.spark.sql.functions._
   * {{{
   * runMain graft.ChunkTool schema  <chunksDir>          # per-column layout + codec mix
   * runMain graft.ChunkTool lineage <chunksDir>          # per-partition lineage rollup
-  * runMain graft.ChunkTool head    <chunksDir> <n> <c1,c2,...:types>
+  * runMain graft.ChunkTool head    <chunksDir> <n> <c1,c2,...:types | @schemaFile>
+  * runMain graft.ChunkTool parquet-schema <file.parquet> # REAL parquet file footer
+  * runMain graft.ChunkTool parquet-read   <file.parquet> [n]
   * }}}
-  * `head` types: string,int,long,float,double,bool,binary,timestamp (the
-  * flat schema the chunks were encoded from, in colIdx order).
+  * `head` takes either a `name:type` list (string,int,long,float,double,
+  * bool,binary,timestamp) or `@file` holding standard parquet
+  * `message {...}` text (parsed by [[graft.sources.SchemaText]]).
+  * `parquet-schema`/`parquet-read` run on real `.parquet` files through
+  * [[graft.sources.ParquetFileReader]] — no Spark session needed.
   */
 object ChunkTool {
 
   def main(args: Array[String]): Unit = {
-    require(args.length >= 2, "usage: ChunkTool schema|lineage|head <chunksDir> ...")
+    require(args.length >= 2, "usage: ChunkTool schema|lineage|head|parquet-schema|parquet-read <path> ...")
     val cmd = args(0)
     val dir = args(1)
+    // real-file commands: pure JVM, no Spark session
+    if (cmd == "parquet-schema") {
+      val bytes = java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(dir))
+      val meta = sources.ParquetFileReader.readFooter(bytes)
+      println(sources.SchemaText.print(meta))
+      println(s"rows: ${meta.numRows}  row groups: ${meta.rowGroups.size}  " +
+        s"created by: ${meta.createdBy}")
+      meta.rowGroups.head.columns.foreach { cm =>
+        println(f"  ${cm.pathInSchema.mkString(".")}%-24s " +
+          f"codec=${cm.codec} encodings=${cm.encodings.mkString(",")} " +
+          f"values=${cm.numValues} bytes=${cm.totalCompressedSize}")
+      }
+      return
+    }
+    if (cmd == "parquet-read") {
+      val n = if (args.length > 2) args(2).toInt else 10
+      val (names, cols) = sources.ParquetFileReader.readFile(dir)
+      println(names.mkString("\t"))
+      val rows = if (cols.isEmpty) 0 else cols.head.length
+      (0 until math.min(n, rows)).foreach { i =>
+        println(cols.map { c =>
+          c(i) match {
+            case null => "null"
+            case b: Array[Byte] => new String(b, java.nio.charset.StandardCharsets.UTF_8)
+            case v => v.toString
+          }
+        }.mkString("\t"))
+      }
+      return
+    }
     val spark = SparkSession.builder()
       .master(sys.env.getOrElse("SPARK_GRAFT_MASTER", "local[4]"))
       .config("spark.sql.shuffle.partitions", 8)
@@ -48,7 +83,10 @@ object ChunkTool {
           .show(1000, truncate = false)
       case "head" =>
         val n = args(2).toInt
-        val schema = org.apache.spark.sql.types.StructType(
+        val schema = if (args(3).startsWith("@"))
+          sources.SchemaText.parse(java.nio.file.Files.readString(
+            java.nio.file.Paths.get(args(3).drop(1))))
+        else org.apache.spark.sql.types.StructType(
           args(3).split(",").map { spec =>
             val Array(name, tpe) = spec.split(":")
             val dt = tpe match {

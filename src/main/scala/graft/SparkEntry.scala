@@ -140,6 +140,36 @@ object SparkEntry {
           sum(col("chars_n")).as("sum_chars"),
           countDistinct(col("source_n")).as("nd_source"))
     }),
+    "q_rt_array_embed" -> ((s, dir) => {
+      // LIST roundtrip on a real array<float> column: encode + decode the
+      // embeddings table, exact-compare every array against the source
+      // (elementwise equality in Spark), report the mismatch count — the
+      // oracle pins it at zero plus row/element totals.
+      val src = embeddings(s, dir).select("vec_id", "embedding")
+      val dec = Roundtrip.through(src, sortKeys = Seq("vec_id"))
+        .withColumnRenamed("embedding", "dec_embedding")
+      src.join(dec, Seq("vec_id"), "full_outer")
+        .agg(count(lit(1)).as("n"),
+          sum(size(col("embedding"))).as("sum_len"),
+          sum(when(col("embedding").isNull || col("dec_embedding").isNull ||
+            col("embedding") =!= col("dec_embedding"), 1L).otherwise(0L))
+            .as("mismatches"))
+    }),
+    "q_rt_array_tokens" -> ((s, dir) => {
+      // LIST roundtrip on array<string>: token arrays survive the chunk
+      // container bit-exactly
+      val src = docs(s, dir).select(col("doc_id"),
+        split(regexp_replace(lower(trim(col("text"))), "\\s+", " "), " ")
+          .as("toks"))
+      val dec = Roundtrip.through(src, sortKeys = Seq("doc_id"))
+        .withColumnRenamed("toks", "dec_toks")
+      src.join(dec, Seq("doc_id"), "full_outer")
+        .agg(count(lit(1)).as("n"),
+          sum(size(col("toks"))).as("sum_toks"),
+          sum(when(col("toks").isNull || col("dec_toks").isNull ||
+            col("toks") =!= col("dec_toks"), 1L).otherwise(0L))
+            .as("mismatches"))
+    }),
     "q_prune_decode" -> ((s, dir) => {
       // chunk min/max statistics prune row ranges BEFORE any decode work:
       // range-cluster on the predicate column, encode, then decodeWhere
@@ -375,6 +405,10 @@ object SparkEntry {
         "count(*) AS cnt FROM b WHERE rn = 1 " +
         "GROUP BY lang, predicted ORDER BY lang, predicted"
     },
+    "q_rt_array_embed" ->
+      "SELECT count(*) AS n, CAST(sum(len(embedding)) AS BIGINT) AS sum_len, CAST(0 AS BIGINT) AS mismatches FROM embeddings",
+    "q_rt_array_tokens" ->
+      "SELECT count(*) AS n, CAST(sum(len(string_split(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' '))) AS BIGINT) AS sum_toks, CAST(0 AS BIGINT) AS mismatches FROM documents",
     "q_prune_decode" ->
       ("SELECT count(*) AS n, CAST(sum(l_orderkey) AS BIGINT) AS s, " +
         "round(sum(l_quantity), 2) AS sq FROM lineitem " +

@@ -409,6 +409,98 @@ object ChunkCodec {
     case _ => CodecId.Dict
   }
 
+  // ----------------------------------------------------------- array chunks
+
+  /** Decoded LIST chunk: null-suppressed element values plus per-slot
+    * repetition (0 = first slot of a row, 1 = continuation) and definition
+    * levels (0 = null array, 1 = empty array, 2 = null element, 3 =
+    * element) — the reference's one-level repeated-field shredding
+    * (`/root/reference/src/schema/types.rs:800-854`,
+    * `src/record/reader.rs:346-444`) specialized to flat LIST columns. */
+  final case class DecodedArray(elems: ColVec, rep: Array[Byte],
+      defs: Array[Byte], numRows: Int)
+
+  /** True iff `blob` is a version-3 (LIST) chunk. */
+  def isArrayChunk(blob: Array[Byte]): Boolean =
+    blob.length > 2 && blob(0) == 'G'.toByte && blob(1) == 'C'.toByte &&
+      blob(2) == 3.toByte
+
+  /** Encode a LIST column chunk: rep/def level streams (RLE hybrid, widths
+    * 1 and 2) + a nested element chunk run through the normal auto-selector.
+    * Chunk layout (version 3):
+    * {{{
+    * 'G' 'C' 3 u8(elemPhysicalType) u8(elemPrimaryCodec)
+    * vlq(numRows) vlq(numSlots)
+    * vlq(repByteLen) repBytes(RLE w1)
+    * vlq(defByteLen) defBytes(RLE w2)
+    * vlq(elemBlobLen) elemBlob(version-1 chunk over non-null elements)
+    * }}} */
+  def encodeArrayChunk(elems: ColVec, rep: Array[Byte], defs: Array[Byte],
+      numRows: Int, forcedElemCodec: Int = -1): EncodedChunk = {
+    require(rep.length == defs.length, "rep/def stream length mismatch")
+    val inner: EncodedChunk =
+      if (forcedElemCodec >= 0) {
+        val blob = encodeWith(elems, forcedElemCodec)
+        EncodedChunk(blob, forcedElemCodec, elems.length, elems.rawSize,
+          blob.length.toLong, blob.length.toLong, 0)
+      } else encodeAuto(elems)
+    val repEnc = new RleHybridEncoder(1, math.max(64, rep.length / 8))
+    var i = 0
+    while (i < rep.length) { repEnc.put(rep(i).toLong); i += 1 }
+    val repBytes = repEnc.result()
+    val defEnc = new RleHybridEncoder(2, math.max(64, defs.length / 8))
+    i = 0
+    while (i < defs.length) { defEnc.put(defs(i).toLong); i += 1 }
+    val defBytes = defEnc.result()
+    val w = new BitWriter(inner.blob.length + repBytes.length + defBytes.length + 64)
+    w.putAligned('G'.toLong, 1); w.putAligned('C'.toLong, 1)
+    w.putAligned(3L, 1)
+    w.putAligned(elems.physicalType.toLong, 1)
+    w.putAligned(inner.codecId.toLong, 1)
+    w.putVlq(numRows.toLong)
+    w.putVlq(rep.length.toLong)
+    w.putVlq(repBytes.length.toLong); w.putBytes(repBytes)
+    w.putVlq(defBytes.length.toLong); w.putBytes(defBytes)
+    w.putVlq(inner.blob.length.toLong); w.putBytes(inner.blob)
+    val blob = w.result()
+    // the level/header overhead is identical under the reference policy, so
+    // encoded <= refPolicy is inherited from the inner chunk's invariant
+    val overhead = (blob.length - inner.blob.length).toLong
+    EncodedChunk(blob, inner.codecId, numRows,
+      rawSize = 4L * numRows + elems.rawSize,
+      encodedSize = blob.length.toLong,
+      refPolicySize = inner.refPolicySize + overhead,
+      dictEntries = inner.dictEntries)
+  }
+
+  def decodeArrayChunk(blob: Array[Byte]): DecodedArray = {
+    val r = new BitReader(blob)
+    require(r.getAligned(1) == 'G'.toLong && r.getAligned(1) == 'C'.toLong,
+      "bad chunk magic")
+    require(r.getAligned(1) == 3L, "not an array chunk")
+    r.getAligned(1) // element physical type (the nested blob self-describes)
+    r.getAligned(1) // element primary codec (informational)
+    val numRows = checkedCount(r.getVlq(), "row count")
+    val numSlots = checkedCount(r.getVlq(), "slot count")
+    def levels(width: Int, what: String): Array[Byte] = {
+      val len = checkedLen(r.getVlq(), r, what)
+      val bytes = r.getBytes(len)
+      val dec = new RleHybridDecoder(width, bytes, 0, bytes.length)
+      val tmp = new Array[Long](numSlots)
+      dec.get(tmp, 0, numSlots)
+      val out = new Array[Byte](numSlots)
+      var i = 0
+      while (i < numSlots) { out(i) = tmp(i).toByte; i += 1 }
+      out
+    }
+    val rep = levels(1, "rep bytes")
+    val defs = levels(2, "def bytes")
+    val innerLen = checkedLen(r.getVlq(), r, "element blob")
+    val inner = decodeWithLevels(r.getBytes(innerLen))
+    require(inner.defLevels == null, "array element chunk must be version 1")
+    DecodedArray(inner.vec, rep, defs, numRows)
+  }
+
   // ----------------------------------------------------------- chunk decode
 
   /** Decode a null-free chunk (version 1). */

@@ -62,22 +62,29 @@ object DecodeJob {
       s"expected ${fields.length} column chunks, got ${byCol.length} " +
         s"(partId=${byCol.head.partId}, chunkIdx=${byCol.head.chunkIdx} — " +
         "for decodeLocal all columns of a row range must share a partition)")
-    val decoded = byCol.map(c =>
-      ChunkCodec.decodeWithLevels(BlockCodec.maybeUnwrap(c.blob)))
-    val n = decoded.head.numRows
-    val cols: Array[Int => Any] = decoded.zipWithIndex.map { case (d, ci) =>
-      val values = materialize(fields(ci).dataType, d.vec)
-      if (d.defLevels == null) values
+    val n = byCol.head.numValues.toInt // top-level rows in this range
+    val cols: Array[Int => Any] = byCol.zipWithIndex.map { case (c, ci) =>
+      val blob = BlockCodec.maybeUnwrap(c.blob)
+      if (ChunkCodec.isArrayChunk(blob))
+        materializeArray(fields(ci).dataType,
+          ChunkCodec.decodeArrayChunk(blob))
       else {
-        // row -> value index (nulls hold -1); values are null-suppressed
-        val idx = new Array[Int](n)
-        var vi = 0
-        var i = 0
-        while (i < n) {
-          if (d.defLevels(i) != 0) { idx(i) = vi; vi += 1 } else idx(i) = -1
-          i += 1
+        val d = ChunkCodec.decodeWithLevels(blob)
+        require(d.numRows == n, s"row-count mismatch in chunk group: " +
+          s"${fields(ci).name} has ${d.numRows}, expected $n")
+        val values = materialize(fields(ci).dataType, d.vec)
+        if (d.defLevels == null) values
+        else {
+          // row -> value index (nulls hold -1); values are null-suppressed
+          val idx = new Array[Int](n)
+          var vi = 0
+          var i = 0
+          while (i < n) {
+            if (d.defLevels(i) != 0) { idx(i) = vi; vi += 1 } else idx(i) = -1
+            i += 1
+          }
+          (i: Int) => if (idx(i) < 0) null else values(idx(i))
         }
-        (i: Int) => if (idx(i) < 0) null else values(idx(i))
       }
     }
     (0 until n).iterator.map { i =>
@@ -187,6 +194,42 @@ object DecodeJob {
     case (DoubleType, DoubleVec(vs)) => i => vs(i)
     case (BooleanType, BoolVec(vs)) => i => vs(i)
     case other => throw new IllegalArgumentException(s"cannot materialize $other")
+  }
+
+  /** Rebuild per-row arrays from a decoded LIST chunk (reverse shredding:
+    * rep 0 starts a row; def 0 = null array, 1 = empty, 2 = null element,
+    * 3 = element). */
+  private def materializeArray(dt: DataType,
+      da: ChunkCodec.DecodedArray): Int => Any = {
+    val elemDt = dt match {
+      case ArrayType(et, _) => et
+      case other => throw new IllegalArgumentException(
+        s"array chunk for non-array column type $other")
+    }
+    val elemGet = materialize(elemDt, da.elems)
+    val rows = new Array[Any](da.numRows)
+    val slots = da.rep.length
+    var i = 0
+    var ri = 0
+    var vi = 0
+    while (i < slots) {
+      da.defs(i) match {
+        case 0 => rows(ri) = null; i += 1
+        case 1 => rows(ri) = Seq.empty[Any]; i += 1
+        case _ =>
+          val buf = scala.collection.mutable.ArrayBuffer.empty[Any]
+          var cont = true
+          while (cont) {
+            if (da.defs(i) == 3) { buf += elemGet(vi); vi += 1 } else buf += null
+            i += 1
+            cont = i < slots && da.rep(i) == 1
+          }
+          rows(ri) = buf.toSeq
+      }
+      ri += 1
+    }
+    require(ri == da.numRows, s"array reassembly: $ri rows != ${da.numRows}")
+    (r: Int) => rows(r)
   }
 }
 

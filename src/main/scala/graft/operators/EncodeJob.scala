@@ -64,7 +64,9 @@ object EncodeJob {
   val DefaultChunkRows = 16384
   val DefaultChunkRawBytes: Long = 32L * 1024 * 1024
 
-  /** Map a Spark type to our physical type + extractor into column buffers. */
+  /** Map a Spark type to our physical type + extractor into column buffers.
+    * LIST columns report their ELEMENT physical type (the chunk blob
+    * self-describes arrayness via its version byte). */
   private def physicalTypeOf(dt: DataType): Int = dt match {
     case BooleanType => PhysicalType.Bool
     case IntegerType | DateType => PhysicalType.Int32
@@ -72,8 +74,9 @@ object EncodeJob {
     case FloatType => PhysicalType.Float
     case DoubleType => PhysicalType.Double
     case StringType | BinaryType => PhysicalType.Bytes
+    case ArrayType(et, _) => physicalTypeOf(et)
     case other => throw new IllegalArgumentException(
-      s"unsupported column type $other (flat schemas only)")
+      s"unsupported column type $other (flat + LIST schemas only)")
   }
 
   /** Salted repartition + deterministic in-partition sort, then
@@ -168,17 +171,32 @@ object EncodeJob {
         val out = new Array[ChunkRow](nCols)
         var c = 0
         while (c < nCols) {
-          val vec = builders(c).build()
-          val levels = builders(c).defLevels
           val nRows = builders(c).rowCount
           val nNulls = builders(c).numNulls
-          builders(c).clear()
-          val chunk = forcedCodecs.get(fields(c).name) match {
-            case Some(codec) =>
-              val blob = ChunkCodec.encodeWith(vec, codec, levels)
-              EncodedChunk(blob, codec, vec.length, vec.rawSize,
-                blob.length.toLong, blob.length.toLong, 0)
-            case None => ChunkCodec.encodeAuto(vec, defLevels = levels)
+          // (vec, levels for the hash, encoded chunk) per column kind
+          val (vec, hashLevels, chunk) = builders(c) match {
+            case ab: ColBuilder.ArrayBuilder =>
+              val (elems, rep, defsArr) = ab.buildArray()
+              ab.clear()
+              // hash identity = rep stream + def stream + element values
+              val levelId = new Array[Byte](rep.length * 2)
+              System.arraycopy(rep, 0, levelId, 0, rep.length)
+              System.arraycopy(defsArr, 0, levelId, rep.length, defsArr.length)
+              val forced = forcedCodecs.getOrElse(fields(c).name, -1)
+              (elems, levelId,
+                ChunkCodec.encodeArrayChunk(elems, rep, defsArr, nRows, forced))
+            case b =>
+              val v = b.build()
+              val levels = b.defLevels
+              b.clear()
+              val ch = forcedCodecs.get(fields(c).name) match {
+                case Some(codec) =>
+                  val blob = ChunkCodec.encodeWith(v, codec, levels)
+                  EncodedChunk(blob, codec, v.length, v.rawSize,
+                    blob.length.toLong, blob.length.toLong, 0)
+                case None => ChunkCodec.encodeAuto(v, defLevels = levels)
+              }
+              (v, levels, ch)
           }
           // optional general-purpose block compression on top of the chunk
           // encoding (reference compression.rs); kept only when it shrinks,
@@ -193,7 +211,7 @@ object EncodeJob {
           out(c) = ChunkRow(partId, chunkIdx, c, fields(c).name, vec.physicalType,
             chunk.codecName, nRows.toLong, nNulls.toLong, chunk.rawSize,
             blob.length.toLong, chunk.refPolicySize, chunk.dictEntries,
-            mnStat, mxStat, ColVecHash.sha256Hex(vec, levels), blob)
+            mnStat, mxStat, ColVecHash.sha256Hex(vec, hashLevels), blob)
           c += 1
         }
         chunkIdx += 1
@@ -286,7 +304,9 @@ sealed abstract class ColBuilder {
   private var nRows = 0
   private var nNulls = 0
 
-  final def add(row: Row, i: Int): Long = {
+  // overridable (not final): ArrayBuilder replaces the whole row protocol
+  // with slot-level rep/def tracking
+  def add(row: Row, i: Int): Long = {
     if (nRows == levels.length) levels = java.util.Arrays.copyOf(levels, nRows << 1)
     if (row.isNullAt(i)) {
       levels(nRows) = 0; nRows += 1; nNulls += 1
@@ -298,13 +318,13 @@ sealed abstract class ColBuilder {
   }
 
   /** Number of buffered rows (incl. nulls). */
-  final def rowCount: Int = nRows
-  final def numNulls: Int = nNulls
+  def rowCount: Int = nRows
+  def numNulls: Int = nNulls
   /** One 0/1 byte per row, or null when the buffer has no nulls. */
-  final def defLevels: Array[Byte] =
+  def defLevels: Array[Byte] =
     if (nNulls == 0) null else java.util.Arrays.copyOf(levels, nRows)
 
-  final def clear(): Unit = { nRows = 0; nNulls = 0; clearValues() }
+  def clear(): Unit = { nRows = 0; nNulls = 0; clearValues() }
 
   protected def addValue(row: Row, i: Int): Long
   protected def clearValues(): Unit
@@ -330,8 +350,162 @@ object ColBuilder {
     case FloatType => new FloatBuilder
     case DoubleType => new DoubleBuilder
     case BooleanType => new BoolBuilder
+    case ArrayType(et, _) => new ArrayBuilder(et)
     case other => throw new IllegalArgumentException(
-      s"unsupported column type $other (flat schemas only)")
+      s"unsupported column type $other (flat + LIST schemas only)")
+  }
+
+  /** LIST column buffer: shreds each array row into per-slot rep/def levels
+    * (rep 0 = first slot of the row, 1 = continuation; def 0 = null array,
+    * 1 = empty array, 2 = null element, 3 = element) and appends non-null
+    * element VALUES to a typed element buffer — the write direction of the
+    * reference's record shredding (`/root/reference/src/record/`). */
+  final class ArrayBuilder(elemDt: DataType) extends ColBuilder {
+    private var rep = new Array[Byte](1024)
+    private var defs = new Array[Byte](1024)
+    private var nSlots = 0
+    private var nR = 0
+    private var nN = 0
+    private val elems = ElemBuf(elemDt)
+
+    private def slot(r: Byte, d: Byte): Unit = {
+      if (nSlots == rep.length) {
+        rep = java.util.Arrays.copyOf(rep, nSlots << 1)
+        defs = java.util.Arrays.copyOf(defs, nSlots << 1)
+      }
+      rep(nSlots) = r; defs(nSlots) = d; nSlots += 1
+    }
+
+    override def add(row: Row, i: Int): Long = {
+      nR += 1
+      if (row.isNullAt(i)) { nN += 1; slot(0, 0); 4L }
+      else {
+        val seq = row.getSeq[Any](i)
+        if (seq.isEmpty) { slot(0, 1); 4L }
+        else {
+          var delta = 4L
+          var first = true
+          seq.foreach { v =>
+            val r: Byte = if (first) 0 else 1
+            first = false
+            if (v == null) slot(r, 2)
+            else { slot(r, 3); delta += elems.append(v) }
+          }
+          delta
+        }
+      }
+    }
+
+    override def rowCount: Int = nR
+    override def numNulls: Int = nN
+    override def defLevels: Array[Byte] =
+      throw new UnsupportedOperationException("use buildArray for LIST columns")
+    override def clear(): Unit = { nSlots = 0; nR = 0; nN = 0; elems.clear() }
+
+    def buildArray(): (ColVec, Array[Byte], Array[Byte]) =
+      (elems.build(), java.util.Arrays.copyOf(rep, nSlots),
+        java.util.Arrays.copyOf(defs, nSlots))
+
+    protected def addValue(row: Row, i: Int): Long =
+      throw new UnsupportedOperationException
+    protected def clearValues(): Unit = ()
+    def build(): ColVec = throw new UnsupportedOperationException(
+      "use buildArray for LIST columns")
+  }
+
+  /** Typed element-value buffer for ArrayBuilder (values arrive boxed from
+    * Row.getSeq; the buffers store primitives). */
+  private sealed abstract class ElemBuf {
+    def append(v: Any): Long
+    def build(): ColVec
+    def clear(): Unit
+  }
+
+  private object ElemBuf {
+    def apply(dt: DataType): ElemBuf = dt match {
+      case IntegerType => new IntEB
+      case LongType => new LongEB
+      case FloatType => new FloatEB
+      case DoubleType => new DoubleEB
+      case BooleanType => new BoolEB
+      case StringType => new BytesEB(fromString = true)
+      case BinaryType => new BytesEB(fromString = false)
+      case other => throw new IllegalArgumentException(
+        s"unsupported LIST element type $other")
+    }
+
+    private final class IntEB extends ElemBuf {
+      private var a = new Array[Int](1024); private var n = 0
+      def append(v: Any): Long = {
+        if (n == a.length) a = java.util.Arrays.copyOf(a, n << 1)
+        a(n) = v.asInstanceOf[Int]; n += 1; 4L
+      }
+      def build(): ColVec = IntVec(java.util.Arrays.copyOf(a, n))
+      def clear(): Unit = n = 0
+    }
+    private final class LongEB extends ElemBuf {
+      private var a = new Array[Long](1024); private var n = 0
+      def append(v: Any): Long = {
+        if (n == a.length) a = java.util.Arrays.copyOf(a, n << 1)
+        a(n) = v.asInstanceOf[Long]; n += 1; 8L
+      }
+      def build(): ColVec = LongVec(java.util.Arrays.copyOf(a, n))
+      def clear(): Unit = n = 0
+    }
+    private final class FloatEB extends ElemBuf {
+      private var a = new Array[Float](1024); private var n = 0
+      def append(v: Any): Long = {
+        if (n == a.length) a = java.util.Arrays.copyOf(a, n << 1)
+        a(n) = v.asInstanceOf[Float]; n += 1; 4L
+      }
+      def build(): ColVec = FloatVec(java.util.Arrays.copyOf(a, n))
+      def clear(): Unit = n = 0
+    }
+    private final class DoubleEB extends ElemBuf {
+      private var a = new Array[Double](1024); private var n = 0
+      def append(v: Any): Long = {
+        if (n == a.length) a = java.util.Arrays.copyOf(a, n << 1)
+        a(n) = v.asInstanceOf[Double]; n += 1; 8L
+      }
+      def build(): ColVec = DoubleVec(java.util.Arrays.copyOf(a, n))
+      def clear(): Unit = n = 0
+    }
+    private final class BoolEB extends ElemBuf {
+      private var a = new Array[Boolean](1024); private var n = 0
+      def append(v: Any): Long = {
+        if (n == a.length) a = java.util.Arrays.copyOf(a, n << 1)
+        a(n) = v.asInstanceOf[Boolean]; n += 1; 1L
+      }
+      def build(): ColVec = BoolVec(java.util.Arrays.copyOf(a, n))
+      def clear(): Unit = n = 0
+    }
+    private final class BytesEB(fromString: Boolean) extends ElemBuf {
+      private var data = new Array[Byte](1 << 14)
+      private var offsets = new Array[Int](1024)
+      private var n = 0
+      offsets(0) = 0
+      def append(v: Any): Long = {
+        if (n + 1 == offsets.length)
+          offsets = java.util.Arrays.copyOf(offsets, offsets.length << 1)
+        val b =
+          if (fromString) v.asInstanceOf[String]
+            .getBytes(java.nio.charset.StandardCharsets.UTF_8)
+          else v.asInstanceOf[Array[Byte]]
+        val end = offsets(n)
+        if (end + b.length > data.length) {
+          var cap = data.length << 1
+          while (cap < end + b.length) cap <<= 1
+          data = java.util.Arrays.copyOf(data, cap)
+        }
+        System.arraycopy(b, 0, data, end, b.length)
+        n += 1
+        offsets(n) = end + b.length
+        4L + b.length
+      }
+      def build(): ColVec =
+        BytesVec(data, java.util.Arrays.copyOf(offsets, n + 1))
+      def clear(): Unit = { n = 0; offsets(0) = 0 }
+    }
   }
 
   private final class BytesBuilder(fromString: Boolean) extends ColBuilder {

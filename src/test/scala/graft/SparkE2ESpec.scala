@@ -348,6 +348,33 @@ class SparkE2ESpec extends AnyFunSuite with BeforeAndAfterAll {
     ivf.unpersist()
   }
 
+  test("LIST columns roundtrip bit-exactly (nulls, empties, null elements)") {
+    val sp = spark
+    import sp.implicits._
+    // embeddings: array<float> straight from the testdata table
+    val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
+    val embBack = Roundtrip.through(emb, sortKeys = Seq("vec_id"))
+    val src = emb.orderBy("vec_id").collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1))).toSeq
+    val dec = embBack.orderBy("vec_id").collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1))).toSeq
+    assert(src == dec)
+    // synthetic torture: null arrays, empty arrays, null elements, strings
+    val torture = Seq(
+      (1L, Seq(1, 2, 3), Seq("a", "bb", "ccc")),
+      (2L, null, Seq.empty[String]),
+      (3L, Seq.empty[Int], null),
+      (4L, Seq(7), Seq("x", null, "z")),
+      (5L, Seq(0, -5, Int.MaxValue), Seq("", "q")),
+    ).toDF("k", "ints", "strs")
+    val back = Roundtrip.through(torture, sortKeys = Seq("k"), parts = 2)
+    val t0 = torture.orderBy("k").collect().map(r =>
+      (r.getLong(0), r.getSeq[Int](1), r.getSeq[String](2))).toSeq
+    val t1 = back.orderBy("k").collect().map(r =>
+      (r.getLong(0), r.getSeq[Int](1), r.getSeq[String](2))).toSeq
+    assert(t0 == t1)
+  }
+
   test("parquet writer: files read back by SPARK'S OWN built-in reader") {
     import graft.sources.{ParquetSink, PqCodec}
     val docs = spark.read.parquet(s"$sfDir/documents.parquet")

@@ -78,6 +78,34 @@ class ParquetInteropSpec extends AnyFunSuite {
     assert(meta.rowGroups.head.totalByteSize == 671)
   }
 
+  test("schema text: golden footer prints, flat messages parse back") {
+    val bytes = java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(s"$dataDir/alltypes_plain.parquet"))
+    val meta = ParquetFileReader.readFooter(bytes)
+    val text = SchemaText.print(meta)
+    assert(text.contains("message schema {"))
+    assert(text.contains("INT32 id"))
+    assert(text.contains("INT96 timestamp_col"))
+    // parse a flat message and check the Spark schema
+    val parsed = SchemaText.parse(
+      """message m {
+        |  required INT64 id;
+        |  optional BYTE_ARRAY name (UTF8);
+        |  optional INT32 day (DATE);
+        |  optional INT64 ts (TIMESTAMP_MICROS);
+        |  required DOUBLE score;
+        |  optional BOOLEAN flag;
+        |}""".stripMargin)
+    import org.apache.spark.sql.types._
+    assert(parsed == StructType(Seq(
+      StructField("id", LongType, nullable = false),
+      StructField("name", StringType),
+      StructField("day", DateType),
+      StructField("ts", TimestampType),
+      StructField("score", DoubleType, nullable = false),
+      StructField("flag", BooleanType))))
+  }
+
   test("writer roundtrip: our file reads back through our reader") {
     val tmp = java.nio.file.Files.createTempDirectory("pqw").toString
     val path = s"$tmp/rt.parquet"
