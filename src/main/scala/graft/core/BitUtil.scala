@@ -150,9 +150,49 @@ final class BitReader(buf: Array[Byte], start: Int, end: Int) {
     result
   }
 
+  /** Batch unpack — the counterpart of the reference's generated `unpack32`
+    * kernels (`/root/reference/src/util/bit_packing.rs:33-74`, used by
+    * `BitReader::get_batch`, bit_util.rs:454-526). One little-endian word
+    * load + shift + mask per value instead of a byte-at-a-time loop: with
+    * width <= 56 and a bit phase of < 8, every value fits one 64-bit load.
+    * Falls back per-value near the buffer tail and for width > 56. */
   def getBatch(out: Array[Long], outOff: Int, n: Int, numBits: Int): Unit = {
+    if (n <= 0) return
+    if (numBits == 0) {
+      java.util.Arrays.fill(out, outOff, outOff + n, 0L)
+      return
+    }
+    if (numBits > 56) {
+      var i = 0
+      while (i < n) { out(outOff + i) = getValue(numBits); i += 1 }
+      return
+    }
+    val mask = (1L << numBits) - 1
+    // accumulator decode: bits stream LSB-first into `acc`, one value
+    // extracted per shift+mask; byte loads amortize to numBits/8 per value
+    var acc = 0L
+    var accBits = 0
+    var bp = byteOffset
+    if (bitOffset != 0) {
+      acc = ((buf(bp) & 0xFF) >>> bitOffset).toLong
+      accBits = 8 - bitOffset
+      bp += 1
+    }
     var i = 0
-    while (i < n) { out(outOff + i) = getValue(numBits); i += 1 }
+    while (i < n) {
+      while (accBits < numBits) {
+        acc |= (buf(bp) & 0xFFL) << accBits
+        bp += 1
+        accBits += 8
+      }
+      out(outOff + i) = acc & mask
+      acc >>>= numBits
+      accBits -= numBits
+      i += 1
+    }
+    val endBitPos = byteOffset.toLong * 8 + bitOffset + n.toLong * numBits
+    byteOffset = (endBitPos >>> 3).toInt
+    bitOffset = (endBitPos & 7).toInt
   }
 
   def alignToByte(): Unit = if (bitOffset != 0) { bitOffset = 0; byteOffset += 1 }

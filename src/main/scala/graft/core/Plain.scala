@@ -59,10 +59,13 @@ object PlainCodec {
   def decodeSlice(physicalType: Int, buf: Array[Byte], off: Int, len: Int,
       numValues: Int): ColVec = physicalType match {
     case PhysicalType.Bool =>
-      val r = new BitReader(buf, off, off + len)
+      // direct LSB-first bit extraction (no per-value reader state)
       val out = new Array[Boolean](numValues)
       var i = 0
-      while (i < numValues) { out(i) = r.getValue(1) != 0L; i += 1 }
+      while (i < numValues) {
+        out(i) = ((buf(off + (i >> 3)) >>> (i & 7)) & 1) != 0
+        i += 1
+      }
       BoolVec(out)
     case PhysicalType.Int32 =>
       val bb = java.nio.ByteBuffer.wrap(buf, off, len).order(java.nio.ByteOrder.LITTLE_ENDIAN)
