@@ -140,6 +140,19 @@ object SparkEntry {
           sum(col("chars_n")).as("sum_chars"),
           countDistinct(col("source_n")).as("nd_source"))
     }),
+    "q_rt_decimal" -> ((s, dir) => {
+      // DECIMAL(p<=18) as unscaled INT64 through the chunk engine; decimal
+      // aggregation is exact, so the oracle equality is exact (the final
+      // cast to double is one deterministic conversion on both engines)
+      val in = lineitem(s, dir).select(col("l_orderkey"), col("l_linenumber"),
+        col("l_extendedprice").cast("decimal(12,2)").as("price"),
+        col("l_discount").cast("decimal(12,2)").as("disc"))
+      Roundtrip.through(in, sortKeys = Seq("l_orderkey", "l_linenumber"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("price")).cast("double").as("sum_price"),
+          min(col("disc")).cast("double").as("min_disc"),
+          max(col("price")).cast("double").as("max_price"))
+    }),
     "q_rt_array_embed" -> ((s, dir) => {
       // LIST roundtrip on a real array<float> column: encode + decode the
       // embeddings table, exact-compare every array against the source
@@ -405,6 +418,12 @@ object SparkEntry {
         "count(*) AS cnt FROM b WHERE rn = 1 " +
         "GROUP BY lang, predicted ORDER BY lang, predicted"
     },
+    "q_rt_decimal" ->
+      ("SELECT count(*) AS n, " +
+        "CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS sum_price, " +
+        "CAST(min(CAST(l_discount AS DECIMAL(12,2))) AS DOUBLE) AS min_disc, " +
+        "CAST(max(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS max_price " +
+        "FROM lineitem"),
     "q_rt_array_embed" ->
       "SELECT count(*) AS n, CAST(sum(len(embedding)) AS BIGINT) AS sum_len, CAST(0 AS BIGINT) AS mismatches FROM embeddings",
     "q_rt_array_tokens" ->

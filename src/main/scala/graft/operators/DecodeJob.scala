@@ -193,6 +193,8 @@ object DecodeJob {
     case (FloatType, FloatVec(vs)) => i => vs(i)
     case (DoubleType, DoubleVec(vs)) => i => vs(i)
     case (BooleanType, BoolVec(vs)) => i => vs(i)
+    case (dt: DecimalType, LongVec(vs)) =>
+      i => java.math.BigDecimal.valueOf(vs(i), dt.scale)
     case other => throw new IllegalArgumentException(s"cannot materialize $other")
   }
 

@@ -74,6 +74,9 @@ object EncodeJob {
     case FloatType => PhysicalType.Float
     case DoubleType => PhysicalType.Double
     case StringType | BinaryType => PhysicalType.Bytes
+    // unscaled INT64 for precision <= 18, the reference's INT64 DECIMAL
+    // representation (`/root/reference/src/schema/types.rs:312-343`)
+    case dt: DecimalType if dt.precision <= 18 => PhysicalType.Int64
     case ArrayType(et, _) => physicalTypeOf(et)
     case other => throw new IllegalArgumentException(
       s"unsupported column type $other (flat + LIST schemas only)")
@@ -350,6 +353,8 @@ object ColBuilder {
     case FloatType => new FloatBuilder
     case DoubleType => new DoubleBuilder
     case BooleanType => new BoolBuilder
+    case dt: DecimalType if dt.precision <= 18 => new LongBuilder((r, i) =>
+      r.getDecimal(i).setScale(dt.scale).unscaledValue().longValueExact())
     case ArrayType(et, _) => new ArrayBuilder(et)
     case other => throw new IllegalArgumentException(
       s"unsupported column type $other (flat + LIST schemas only)")

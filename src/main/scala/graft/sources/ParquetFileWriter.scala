@@ -35,6 +35,7 @@ object ParquetFileWriter {
     case BooleanType => PqType.Boolean
     case IntegerType | DateType => PqType.Int32
     case LongType | TimestampType | TimestampNTZType => PqType.Int64
+    case d: DecimalType if d.precision <= 18 => PqType.Int64
     case FloatType => PqType.Float
     case DoubleType => PqType.Double
     case StringType | BinaryType => PqType.ByteArray
@@ -46,6 +47,7 @@ object ParquetFileWriter {
     case StringType => PqConvertedType.Utf8
     case DateType => PqConvertedType.Date
     case TimestampType | TimestampNTZType => PqConvertedType.TimestampMicros
+    case _: DecimalType => PqConvertedType.Decimal
     case _ => -1
   }
 
@@ -94,8 +96,12 @@ object ParquetFileWriter {
     // schema: root group + one OPTIONAL primitive per column
     val schemaElems = PqSchemaElement("spark_schema", numChildren = nCols) +:
       fields.toSeq.map { f =>
+        val (sc, pr) = f.dataType match {
+          case d: DecimalType => (d.scale, d.precision)
+          case _ => (-1, -1)
+        }
         PqSchemaElement(f.name, typ = pqTypeOf(f.dataType), repetition = 1,
-          convertedType = convertedTypeOf(f.dataType))
+          convertedType = convertedTypeOf(f.dataType), scale = sc, precision = pr)
       }
     val footer = ParquetMeta.writeFileMeta(PqFileMeta(
       version = 1, schema = schemaElems, numRows = totalRows,

@@ -196,6 +196,7 @@ object PqCodec {
 
 object PqConvertedType {
   val Utf8 = 0
+  val Decimal = 5
   val Date = 6
   val TimestampMicros = 10
 }
@@ -206,7 +207,9 @@ final case class PqSchemaElement(
     typeLength: Int = -1,
     repetition: Int = -1, // 0 REQUIRED, 1 OPTIONAL, 2 REPEATED; -1 absent
     numChildren: Int = 0,
-    convertedType: Int = -1)
+    convertedType: Int = -1,
+    scale: Int = -1,
+    precision: Int = -1)
 
 final case class PqColumnMeta(
     typ: Int,
@@ -288,6 +291,8 @@ object ParquetMeta {
     var repetition = -1
     var numChildren = 0
     var converted = -1
+    var scale = -1
+    var precision = -1
     var last = 0
     var done = false
     while (!done) {
@@ -301,12 +306,15 @@ object ParquetMeta {
           case 4 => name = r.string()
           case 5 => numChildren = r.zigzag().toInt
           case 6 => converted = r.zigzag().toInt
+          case 7 => scale = r.zigzag().toInt
+          case 8 => precision = r.zigzag().toInt
           case _ => r.skip(t)
         }
         last = id
       }
     }
-    PqSchemaElement(name, typ, typeLength, repetition, numChildren, converted)
+    PqSchemaElement(name, typ, typeLength, repetition, numChildren, converted,
+      scale, precision)
   }
 
   private def parseRowGroup(r: Reader): PqRowGroup = {
@@ -486,6 +494,8 @@ object ParquetMeta {
     w.fieldHeader(4, TBinary, last); w.string(se.name); last = 4
     if (se.numChildren > 0) { w.i32Field(5, last, se.numChildren); last = 5 }
     if (se.convertedType >= 0) { w.i32Field(6, last, se.convertedType); last = 6 }
+    if (se.scale >= 0) { w.i32Field(7, last, se.scale); last = 7 }
+    if (se.precision >= 0) { w.i32Field(8, last, se.precision); last = 8 }
     w.stop()
   }
 

@@ -375,6 +375,29 @@ class SparkE2ESpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(t0 == t1)
   }
 
+  test("decimal columns roundtrip exactly (chunk engine + parquet file)") {
+    import graft.sources.{ParquetSink, PqCodec}
+    val li = spark.read.parquet(s"$sfDir/lineitem.parquet")
+      .select(col("l_orderkey"), col("l_linenumber"),
+        col("l_extendedprice").cast("decimal(12,2)").as("price"))
+    // chunk engine
+    val back = Roundtrip.through(li, sortKeys = Seq("l_orderkey", "l_linenumber"))
+    // (l_orderkey, l_linenumber) is not unique in the synthetic table, so
+    // sort fully (incl. value) on the collected side
+    def canon(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getDecimal(2).toPlainString))
+      .toSeq.sorted
+    assert(canon(li) == canon(back))
+    // real parquet file -> Spark's native reader preserves DecimalType
+    val dir = java.nio.file.Files.createTempDirectory("graft-dec").toString
+    ParquetSink.write(li.limit(200), dir, codec = PqCodec.Uncompressed).count()
+    val rd = spark.read.parquet(dir)
+    assert(rd.schema("price").dataType ==
+      org.apache.spark.sql.types.DecimalType(12, 2))
+    assert(rd.agg(sum(col("price"))).collect()(0).getDecimal(0) ==
+      li.limit(200).agg(sum(col("price"))).collect()(0).getDecimal(0))
+  }
+
   test("parquet writer: files read back by SPARK'S OWN built-in reader") {
     import graft.sources.{ParquetSink, PqCodec}
     val docs = spark.read.parquet(s"$sfDir/documents.parquet")
