@@ -45,6 +45,22 @@ class CodecPropertySpec extends AnyFunSuite {
     Gen.chooseNum(0, 600).flatMap(n =>
       Gen.listOfN(n, Gen.chooseNum(Int.MinValue, Int.MaxValue)).map(l => IntVec(l.toArray)))
 
+  // Float/Double mix repeated values (dict-friendly, exercises the lazy
+  // size-only reference-policy path) with arbitrary bit patterns.
+  private val genFloatVec: Gen[FloatVec] = for {
+    n <- Gen.chooseNum(0, 600)
+    vs <- Gen.listOfN(n, Gen.oneOf(
+      Gen.chooseNum(-5, 5).map(_.toFloat),
+      Gen.chooseNum(Int.MinValue, Int.MaxValue).map(java.lang.Float.intBitsToFloat)))
+  } yield FloatVec(vs.toArray)
+
+  private val genDoubleVec: Gen[DoubleVec] = for {
+    n <- Gen.chooseNum(0, 600)
+    vs <- Gen.listOfN(n, Gen.oneOf(
+      Gen.chooseNum(-5, 5).map(_.toDouble),
+      Gen.chooseNum(Long.MinValue, Long.MaxValue).map(java.lang.Double.longBitsToDouble)))
+  } yield DoubleVec(vs.toArray)
+
   private def roundtrips(vec: ColVec, codec: Int): Unit = {
     val back = ChunkCodec.decode(ChunkCodec.encodeWith(vec, codec))
     (vec, back) match {
@@ -54,6 +70,17 @@ class CodecPropertySpec extends AnyFunSuite {
           assert(java.util.Arrays.equals(a.valueBytes(i), b.valueBytes(i))))
       case (LongVec(a), LongVec(b)) => assert(a.toSeq == b.toSeq)
       case (IntVec(a), IntVec(b)) => assert(a.toSeq == b.toSeq)
+      // Bit-exact compare, except NaNs collapse to the canonical pattern:
+      // Float.intBitsToFloat is documented as unable to preserve signaling-NaN
+      // bit patterns on some hardware (the JIT quietizes bit 22 in a float
+      // register move), so demanding raw-bit equality for NaNs would test the
+      // JVM, not the codec. floatToIntBits canonicalizes every NaN.
+      case (FloatVec(a), FloatVec(b)) =>
+        assert(a.map(java.lang.Float.floatToIntBits).toSeq ==
+          b.map(java.lang.Float.floatToIntBits).toSeq)
+      case (DoubleVec(a), DoubleVec(b)) =>
+        assert(a.map(java.lang.Double.doubleToLongBits).toSeq ==
+          b.map(java.lang.Double.doubleToLongBits).toSeq)
       case other => fail(s"type changed: $other")
     }
   }
@@ -73,6 +100,15 @@ class CodecPropertySpec extends AnyFunSuite {
     forAll(genIntVec) { vec =>
       Seq(CodecId.Plain, CodecId.Dict, CodecId.DeltaBinaryPacked)
         .foreach(roundtrips(vec, _))
+    }
+  }
+
+  test("property: float/double codecs roundtrip bit-exactly (NaNs canonicalized)") {
+    forAll(genFloatVec) { vec =>
+      Seq(CodecId.Plain, CodecId.Dict).foreach(roundtrips(vec, _))
+    }
+    forAll(genDoubleVec) { vec =>
+      Seq(CodecId.Plain, CodecId.Dict).foreach(roundtrips(vec, _))
     }
   }
 
@@ -99,6 +135,15 @@ class CodecPropertySpec extends AnyFunSuite {
         ChunkCodec.encodeWith(vec, CodecId.Dict).length.toLong)
     }
     forAll(genIntVec) { vec =>
+      assert(ChunkCodec.refPolicySizeOnly(vec) ==
+        ChunkCodec.encodeWith(vec, CodecId.Dict).length.toLong)
+    }
+    // Float/Double can reach the lazy size-only path too (round-2 advice)
+    forAll(genFloatVec) { vec =>
+      assert(ChunkCodec.refPolicySizeOnly(vec) ==
+        ChunkCodec.encodeWith(vec, CodecId.Dict).length.toLong)
+    }
+    forAll(genDoubleVec) { vec =>
       assert(ChunkCodec.refPolicySizeOnly(vec) ==
         ChunkCodec.encodeWith(vec, CodecId.Dict).length.toLong)
     }
