@@ -48,6 +48,16 @@ object SparkEntry {
         .groupBy("lang").agg(count(lit(1)).as("cnt"))
         .orderBy("lang")
     }),
+    "q_rt_map_meta" -> ((s, dir) => {
+      // MAP roundtrip: map<string,string> through the version-4 chunk
+      // (shared rep/def streams + two nested blobs), read back by key
+      val in = docs(s, dir).select(col("doc_id"),
+        map(lit("lang"), col("lang"), lit("source"), col("source")).as("meta"))
+      Roundtrip.through(in, sortKeys = Seq("doc_id"))
+        .select(col("doc_id"), element_at(col("meta"), "lang").as("lang"),
+          element_at(col("meta"), "source").as("source"))
+        .orderBy("doc_id")
+    }),
     "q_rt_plain_text" -> ((s, dir) => {
       val in = docs(s, dir).select("doc_id", "text")
       Roundtrip.through(in, sortKeys = Seq("doc_id"),
@@ -367,6 +377,8 @@ object SparkEntry {
   def oracleSql: Map[String, String] = Map(
     "q_rt_dict_lang" ->
       "SELECT lang, count(*) AS cnt FROM documents GROUP BY lang ORDER BY lang",
+    "q_rt_map_meta" ->
+      "SELECT doc_id, lang, source FROM documents ORDER BY doc_id",
     "q_rt_plain_text" ->
       "SELECT doc_id, CAST(length(text) AS BIGINT) AS n FROM documents ORDER BY doc_id",
     "q_rt_fsst_text" ->

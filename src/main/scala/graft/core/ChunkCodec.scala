@@ -473,6 +473,101 @@ object ChunkCodec {
       dictEntries = inner.dictEntries)
   }
 
+  /** Decoded MAP chunk: null-suppressed key and value vectors plus per-slot
+    * repetition (0 = first entry of a row, 1 = continuation) and definition
+    * levels (0 = null map, 1 = empty map, 2 = entry with null value, 3 =
+    * entry with value) — the same one-level shredding as LIST with the
+    * repeated group carrying two leaves (key required, value optional), the
+    * reference's MAP_KEY_VALUE structure
+    * (`/root/reference/src/schema/types.rs:800-854`). Keys exist for every
+    * slot with def >= 2; values only for def == 3. */
+  final case class DecodedMap(keys: ColVec, vals: ColVec, rep: Array[Byte],
+      defs: Array[Byte], numRows: Int)
+
+  /** True iff `blob` is a version-4 (MAP) chunk. */
+  def isMapChunk(blob: Array[Byte]): Boolean =
+    blob.length > 2 && blob(0) == 'G'.toByte && blob(1) == 'C'.toByte &&
+      blob(2) == 4.toByte
+
+  /** Encode a MAP column chunk: one rep/def stream pair shared by both
+    * leaves + two nested v1 chunks (keys, non-null values), each through the
+    * normal auto-selector.
+    * Chunk layout (version 4):
+    * {{{
+    * 'G' 'C' 4 u8(keyPhysicalType) u8(valPhysicalType)
+    * vlq(numRows) vlq(numSlots)
+    * vlq(repByteLen) repBytes(RLE w1)
+    * vlq(defByteLen) defBytes(RLE w2)
+    * vlq(keyBlobLen) keyBlob(version-1 chunk, one key per def>=2 slot)
+    * vlq(valBlobLen) valBlob(version-1 chunk, one value per def==3 slot)
+    * }}} */
+  def encodeMapChunk(keys: ColVec, vals: ColVec, rep: Array[Byte],
+      defs: Array[Byte], numRows: Int): EncodedChunk = {
+    require(rep.length == defs.length, "rep/def stream length mismatch")
+    val kInner = encodeAuto(keys)
+    val vInner = encodeAuto(vals)
+    val repEnc = new RleHybridEncoder(1, math.max(64, rep.length / 8))
+    var i = 0
+    while (i < rep.length) { repEnc.put(rep(i).toLong); i += 1 }
+    val repBytes = repEnc.result()
+    val defEnc = new RleHybridEncoder(2, math.max(64, defs.length / 8))
+    i = 0
+    while (i < defs.length) { defEnc.put(defs(i).toLong); i += 1 }
+    val defBytes = defEnc.result()
+    val w = new BitWriter(kInner.blob.length + vInner.blob.length +
+      repBytes.length + defBytes.length + 64)
+    w.putAligned('G'.toLong, 1); w.putAligned('C'.toLong, 1)
+    w.putAligned(4L, 1)
+    w.putAligned(keys.physicalType.toLong, 1)
+    w.putAligned(vals.physicalType.toLong, 1)
+    w.putVlq(numRows.toLong)
+    w.putVlq(rep.length.toLong)
+    w.putVlq(repBytes.length.toLong); w.putBytes(repBytes)
+    w.putVlq(defBytes.length.toLong); w.putBytes(defBytes)
+    w.putVlq(kInner.blob.length.toLong); w.putBytes(kInner.blob)
+    w.putVlq(vInner.blob.length.toLong); w.putBytes(vInner.blob)
+    val blob = w.result()
+    // level/header overhead is policy-invariant, so encoded <= refPolicy is
+    // inherited from the two inner chunks' invariants
+    val overhead = (blob.length - kInner.blob.length - vInner.blob.length).toLong
+    EncodedChunk(blob, kInner.codecId, numRows,
+      rawSize = 4L * numRows + keys.rawSize + vals.rawSize,
+      encodedSize = blob.length.toLong,
+      refPolicySize = kInner.refPolicySize + vInner.refPolicySize + overhead,
+      dictEntries = kInner.dictEntries)
+  }
+
+  def decodeMapChunk(blob: Array[Byte]): DecodedMap = {
+    val r = new BitReader(blob)
+    require(r.getAligned(1) == 'G'.toLong && r.getAligned(1) == 'C'.toLong,
+      "bad chunk magic")
+    require(r.getAligned(1) == 4L, "not a map chunk")
+    r.getAligned(1) // key physical type (the nested blobs self-describe)
+    r.getAligned(1) // value physical type
+    val numRows = checkedCount(r.getVlq(), "row count")
+    val numSlots = checkedCount(r.getVlq(), "slot count")
+    def levels(width: Int, what: String): Array[Byte] = {
+      val len = checkedLen(r.getVlq(), r, what)
+      val bytes = r.getBytes(len)
+      val dec = new RleHybridDecoder(width, bytes, 0, bytes.length)
+      val tmp = new Array[Long](numSlots)
+      dec.get(tmp, 0, numSlots)
+      val out = new Array[Byte](numSlots)
+      var i = 0
+      while (i < numSlots) { out(i) = tmp(i).toByte; i += 1 }
+      out
+    }
+    val rep = levels(1, "rep bytes")
+    val defs = levels(2, "def bytes")
+    val kLen = checkedLen(r.getVlq(), r, "key blob")
+    val kInner = decodeWithLevels(r.getBytes(kLen))
+    require(kInner.defLevels == null, "map key chunk must be version 1")
+    val vLen = checkedLen(r.getVlq(), r, "value blob")
+    val vInner = decodeWithLevels(r.getBytes(vLen))
+    require(vInner.defLevels == null, "map value chunk must be version 1")
+    DecodedMap(kInner.vec, vInner.vec, rep, defs, numRows)
+  }
+
   def decodeArrayChunk(blob: Array[Byte]): DecodedArray = {
     val r = new BitReader(blob)
     require(r.getAligned(1) == 'G'.toLong && r.getAligned(1) == 'C'.toLong,

@@ -68,6 +68,9 @@ object DecodeJob {
       if (ChunkCodec.isArrayChunk(blob))
         materializeArray(fields(ci).dataType,
           ChunkCodec.decodeArrayChunk(blob))
+      else if (ChunkCodec.isMapChunk(blob))
+        materializeMap(fields(ci).dataType,
+          ChunkCodec.decodeMapChunk(blob))
       else {
         val d = ChunkCodec.decodeWithLevels(blob)
         require(d.numRows == n, s"row-count mismatch in chunk group: " +
@@ -231,6 +234,47 @@ object DecodeJob {
       ri += 1
     }
     require(ri == da.numRows, s"array reassembly: $ri rows != ${da.numRows}")
+    (r: Int) => rows(r)
+  }
+
+  /** Rebuild per-row maps from a decoded MAP chunk (reverse shredding:
+    * rep 0 starts a row; def 0 = null map, 1 = empty, 2 = entry with null
+    * value, 3 = entry with value; keys exist for def >= 2, values for
+    * def == 3). */
+  private def materializeMap(dt: DataType,
+      dm: ChunkCodec.DecodedMap): Int => Any = {
+    val (keyDt, valDt) = dt match {
+      case MapType(kt, vt, _) => (kt, vt)
+      case other => throw new IllegalArgumentException(
+        s"map chunk for non-map column type $other")
+    }
+    val keyGet = materialize(keyDt, dm.keys)
+    val valGet = materialize(valDt, dm.vals)
+    val rows = new Array[Any](dm.numRows)
+    val slots = dm.rep.length
+    var i = 0
+    var ri = 0
+    var ki = 0
+    var vi = 0
+    while (i < slots) {
+      dm.defs(i) match {
+        case 0 => rows(ri) = null; i += 1
+        case 1 => rows(ri) = Map.empty[Any, Any]; i += 1
+        case _ =>
+          val b = Map.newBuilder[Any, Any]
+          var cont = true
+          while (cont) {
+            val k = keyGet(ki); ki += 1
+            if (dm.defs(i) == 3) { b += ((k, valGet(vi))); vi += 1 }
+            else b += ((k, null))
+            i += 1
+            cont = i < slots && dm.rep(i) == 1
+          }
+          rows(ri) = b.result()
+      }
+      ri += 1
+    }
+    require(ri == dm.numRows, s"map reassembly: $ri rows != ${dm.numRows}")
     (r: Int) => rows(r)
   }
 }

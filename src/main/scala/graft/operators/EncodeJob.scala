@@ -78,8 +78,11 @@ object EncodeJob {
     // representation (`/root/reference/src/schema/types.rs:312-343`)
     case dt: DecimalType if dt.precision <= 18 => PhysicalType.Int64
     case ArrayType(et, _) => physicalTypeOf(et)
+    // a MAP chunk self-describes both leaf types; the manifest column
+    // carries the key's (the prunable side)
+    case MapType(kt, _, _) => physicalTypeOf(kt)
     case other => throw new IllegalArgumentException(
-      s"unsupported column type $other (flat + LIST schemas only)")
+      s"unsupported column type $other (flat + LIST/MAP schemas only)")
   }
 
   /** Salted repartition + deterministic in-partition sort, then
@@ -99,8 +102,14 @@ object EncodeJob {
     val spark = df.sparkSession
     import spark.implicits._
     val schema = df.schema
-    val allCols = schema.fields.map(_.name).toSeq
-    val salt = pmod(xxhash64(allCols.map(col): _*), lit(saltBuckets)).as("__salt")
+    // Spark forbids hashing MAP columns (same map, different hashcode), so
+    // the salt derives from every hashable column; a row's map values still
+    // land with it.
+    val saltCols = schema.fields.filter(f =>
+      !f.dataType.isInstanceOf[MapType]).map(_.name).toSeq
+    val salt =
+      if (saltCols.isEmpty) pmod(spark_partition_id().cast("long"), lit(saltBuckets)).as("__salt")
+      else pmod(xxhash64(saltCols.map(col): _*), lit(saltBuckets)).as("__salt")
     // String columns travel as binary: Spark's internal UTF8String is
     // already UTF-8, so `encode(c, 'UTF-8')` is a cheap byte handoff inside
     // codegen, and the per-row hot loop below never decodes/re-encodes
@@ -177,7 +186,7 @@ object EncodeJob {
           val nRows = builders(c).rowCount
           val nNulls = builders(c).numNulls
           // (vec, levels for the hash, encoded chunk) per column kind
-          val (vec, hashLevels, chunk) = builders(c) match {
+          val (vec, hashHex, chunk) = builders(c) match {
             case ab: ColBuilder.ArrayBuilder =>
               val (elems, rep, defsArr) = ab.buildArray()
               ab.clear()
@@ -186,8 +195,17 @@ object EncodeJob {
               System.arraycopy(rep, 0, levelId, 0, rep.length)
               System.arraycopy(defsArr, 0, levelId, rep.length, defsArr.length)
               val forced = forcedCodecs.getOrElse(fields(c).name, -1)
-              (elems, levelId,
+              (elems, ColVecHash.sha256Hex(elems, levelId),
                 ChunkCodec.encodeArrayChunk(elems, rep, defsArr, nRows, forced))
+            case mb: ColBuilder.MapBuilder =>
+              val (keys, vals, rep, defsArr) = mb.buildMap()
+              mb.clear()
+              // hash identity = rep + def streams + keys + values
+              val levelId = new Array[Byte](rep.length * 2)
+              System.arraycopy(rep, 0, levelId, 0, rep.length)
+              System.arraycopy(defsArr, 0, levelId, rep.length, defsArr.length)
+              (keys, ColVecHash.sha256HexPair(keys, vals, levelId),
+                ChunkCodec.encodeMapChunk(keys, vals, rep, defsArr, nRows))
             case b =>
               val v = b.build()
               val levels = b.defLevels
@@ -199,7 +217,7 @@ object EncodeJob {
                     blob.length.toLong, blob.length.toLong, 0)
                 case None => ChunkCodec.encodeAuto(v, defLevels = levels)
               }
-              (v, levels, ch)
+              (v, ColVecHash.sha256Hex(v, levels), ch)
           }
           // optional general-purpose block compression on top of the chunk
           // encoding (reference compression.rs); kept only when it shrinks,
@@ -214,7 +232,7 @@ object EncodeJob {
           out(c) = ChunkRow(partId, chunkIdx, c, fields(c).name, vec.physicalType,
             chunk.codecName, nRows.toLong, nNulls.toLong, chunk.rawSize,
             blob.length.toLong, chunk.refPolicySize, chunk.dictEntries,
-            mnStat, mxStat, ColVecHash.sha256Hex(vec, hashLevels), blob)
+            mnStat, mxStat, hashHex, blob)
           c += 1
         }
         chunkIdx += 1
@@ -356,8 +374,9 @@ object ColBuilder {
     case dt: DecimalType if dt.precision <= 18 => new LongBuilder((r, i) =>
       r.getDecimal(i).setScale(dt.scale).unscaledValue().longValueExact())
     case ArrayType(et, _) => new ArrayBuilder(et)
+    case MapType(kt, vt, _) => new MapBuilder(kt, vt)
     case other => throw new IllegalArgumentException(
-      s"unsupported column type $other (flat + LIST schemas only)")
+      s"unsupported column type $other (flat + LIST/MAP schemas only)")
   }
 
   /** LIST column buffer: shreds each array row into per-slot rep/def levels
@@ -416,6 +435,69 @@ object ColBuilder {
     protected def clearValues(): Unit = ()
     def build(): ColVec = throw new UnsupportedOperationException(
       "use buildArray for LIST columns")
+  }
+
+  /** MAP column buffer: shreds each map row into per-entry rep/def levels
+    * (rep 0 = first entry of the row, 1 = continuation; def 0 = null map,
+    * 1 = empty map, 2 = entry with null value, 3 = entry with value) and
+    * appends keys (every entry) / non-null values to typed buffers — the
+    * repeated key_value group of the reference's MAP shredding
+    * (`/root/reference/src/record/`). Entry order is whatever the incoming
+    * Map iterates; MAP semantics are unordered, and the roundtrip contract
+    * is key-set + per-key-value equality, not entry order. */
+  final class MapBuilder(keyDt: DataType, valDt: DataType) extends ColBuilder {
+    private var rep = new Array[Byte](1024)
+    private var defs = new Array[Byte](1024)
+    private var nSlots = 0
+    private var nR = 0
+    private var nN = 0
+    private val keys = ElemBuf(keyDt)
+    private val vals = ElemBuf(valDt)
+
+    private def slot(r: Byte, d: Byte): Unit = {
+      if (nSlots == rep.length) {
+        rep = java.util.Arrays.copyOf(rep, nSlots << 1)
+        defs = java.util.Arrays.copyOf(defs, nSlots << 1)
+      }
+      rep(nSlots) = r; defs(nSlots) = d; nSlots += 1
+    }
+
+    override def add(row: Row, i: Int): Long = {
+      nR += 1
+      if (row.isNullAt(i)) { nN += 1; slot(0, 0); 4L }
+      else {
+        val m = row.getMap[Any, Any](i)
+        if (m.isEmpty) { slot(0, 1); 4L }
+        else {
+          var delta = 4L
+          var first = true
+          m.foreach { case (k, v) =>
+            val r: Byte = if (first) 0 else 1
+            first = false
+            delta += keys.append(k)
+            if (v == null) slot(r, 2)
+            else { slot(r, 3); delta += vals.append(v) }
+          }
+          delta
+        }
+      }
+    }
+
+    override def rowCount: Int = nR
+    override def numNulls: Int = nN
+    override def defLevels: Array[Byte] =
+      throw new UnsupportedOperationException("use buildMap for MAP columns")
+    override def clear(): Unit = { nSlots = 0; nR = 0; nN = 0; keys.clear(); vals.clear() }
+
+    def buildMap(): (ColVec, ColVec, Array[Byte], Array[Byte]) =
+      (keys.build(), vals.build(), java.util.Arrays.copyOf(rep, nSlots),
+        java.util.Arrays.copyOf(defs, nSlots))
+
+    protected def addValue(row: Row, i: Int): Long =
+      throw new UnsupportedOperationException
+    protected def clearValues(): Unit = ()
+    def build(): ColVec = throw new UnsupportedOperationException(
+      "use buildMap for MAP columns")
   }
 
   /** Typed element-value buffer for ArrayBuilder (values arrive boxed from
@@ -619,6 +701,21 @@ object ColVecHash {
   def sha256Hex(vec: ColVec, defLevels: Array[Byte] = null): String = {
     val md = java.security.MessageDigest.getInstance("SHA-256")
     if (defLevels != null) md.update(defLevels)
+    updateWith(md, vec)
+    other2hex(md.digest())
+  }
+
+  /** Hash identity for MAP chunks: level streams, then keys, then values. */
+  def sha256HexPair(keys: ColVec, vals: ColVec,
+      levels: Array[Byte]): String = {
+    val md = java.security.MessageDigest.getInstance("SHA-256")
+    md.update(levels)
+    updateWith(md, keys)
+    updateWith(md, vals)
+    other2hex(md.digest())
+  }
+
+  private def updateWith(md: java.security.MessageDigest, vec: ColVec): Unit = {
     val lenBuf = new Array[Byte](4)
     def putLen(n: Int): Unit = {
       lenBuf(0) = n.toByte; lenBuf(1) = (n >>> 8).toByte
@@ -636,7 +733,6 @@ object ColVecHash {
         }
       case other => md.update(PlainCodec.encode(other))
     }
-    other2hex(md.digest())
   }
   private def other2hex(d: Array[Byte]): String = {
     val sb = new StringBuilder(d.length * 2)

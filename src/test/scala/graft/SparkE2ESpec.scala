@@ -375,6 +375,38 @@ class SparkE2ESpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(t0 == t1)
   }
 
+  test("MAP columns roundtrip (nulls, empties, null values, key-order-free)") {
+    val sp = spark
+    import sp.implicits._
+    // map<string,string> built from the documents table
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+      .select(col("doc_id"),
+        map(lit("lang"), col("lang"), lit("source"), col("source")).as("meta"))
+    val back = Roundtrip.through(docs, sortKeys = Seq("doc_id"))
+    def canonDocs(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getMap[String, String](1).toSeq.sorted))
+      .toSeq.sortBy(_._1)
+    assert(canonDocs(docs) == canonDocs(back))
+    // synthetic torture: null maps, empty maps, null values, int values
+    val torture = Seq(
+      (1L, Map("a" -> java.lang.Integer.valueOf(1), "b" -> java.lang.Integer.valueOf(2))),
+      (2L, null),
+      (3L, Map.empty[String, java.lang.Integer]),
+      (4L, Map("x" -> null.asInstanceOf[java.lang.Integer], "y" -> java.lang.Integer.valueOf(-7))),
+      (5L, Map("only" -> java.lang.Integer.valueOf(Int.MaxValue))),
+    ).toDF("k", "m")
+    val tBack = Roundtrip.through(torture, sortKeys = Seq("k"), parts = 2)
+    def canonT(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map { r =>
+        val m = if (r.isNullAt(1)) null
+          else r.getMap[String, Any](1).toSeq.sortBy(_._1).map {
+            case (k, v) => (k, String.valueOf(v))
+          }
+        (r.getLong(0), m)
+      }.toSeq.sortBy(_._1)
+    assert(canonT(torture) == canonT(tBack))
+  }
+
   test("decimal columns roundtrip exactly (chunk engine + parquet file)") {
     import graft.sources.{ParquetSink, PqCodec}
     val li = spark.read.parquet(s"$sfDir/lineitem.parquet")

@@ -145,6 +145,26 @@ class CodecRoundtripSpec extends AnyFunSuite {
     assert(BlockCodec.wrap(tBlob, BlockCodec.Zstd).length < tBlob.length / 2)
   }
 
+  test("map chunk (version 4) roundtrips rep/def/keys/values exactly") {
+    // rows: {a:1, b:null, c:3} | null | {} | {z:9}
+    val rep = Array[Byte](0, 1, 1, 0, 0, 0)
+    val defs = Array[Byte](3, 2, 3, 0, 1, 3)
+    val keys = BytesVec.of(Array("a", "b", "c", "z").map(_.getBytes))
+    val vals = LongVec(Array(1L, 3L, 9L))
+    val chunk = ChunkCodec.encodeMapChunk(keys, vals, rep, defs, numRows = 4)
+    assert(ChunkCodec.isMapChunk(chunk.blob))
+    assert(!ChunkCodec.isArrayChunk(chunk.blob))
+    assert(chunk.encodedSize <= chunk.refPolicySize)
+    val dm = ChunkCodec.decodeMapChunk(chunk.blob)
+    assert(dm.numRows == 4)
+    assert(dm.rep.toSeq == rep.toSeq && dm.defs.toSeq == defs.toSeq)
+    assert(dm.keys.asInstanceOf[BytesVec].length == 4)
+    assert((0 until 4).map(i =>
+      new String(dm.keys.asInstanceOf[BytesVec].valueBytes(i))) ==
+      Seq("a", "b", "c", "z"))
+    assert(dm.vals.asInstanceOf[LongVec].values.toSeq == Seq(1L, 3L, 9L))
+  }
+
   test("fsst compresses token-pool text well below plain") {
     val r = new Random(5L)
     val tokens = Array("def ", "val ", "class ", "object ", "import org.apache.spark.",
