@@ -17,11 +17,17 @@ import graft.operators.ColBuilder
   * any Parquet implementation — the test suite round-trips them through
   * Spark's own built-in reader as the external correctness anchor.
   *
-  * Flat schemas: Boolean / Int / Date / Long / Timestamp / Float / Double /
-  * String / Binary. Every column is written OPTIONAL with an RLE def-level
-  * stream (bit width 1); values use the dictionary path (PLAIN dict page +
-  * PLAIN_DICTIONARY ids) when the chunk's distinct count stays under the
-  * dict limits, else PLAIN — the reference's writer policy
+  * Leaf types: Boolean / Int / Date / Long / Timestamp / Float / Double /
+  * Decimal(p<=18) / String / Binary. Nested: ARRAY columns become standard
+  * 3-level LIST groups (`optional group (LIST) { repeated group list {
+  * optional element } }`) and MAP columns key_value groups, with RLE
+  * rep/def level streams — the reference's nested write support
+  * (`/root/reference/src/record/`) re-expressed over the same shredded
+  * rep/def streams the chunk engine produces. Flat columns are written
+  * OPTIONAL with an RLE def-level stream (bit width 1); values use the
+  * dictionary path (PLAIN dict page + PLAIN_DICTIONARY ids) when the
+  * chunk's distinct count stays under the dict limits, else PLAIN — the
+  * reference's writer policy
   * (`/root/reference/src/column/writer.rs:393-416`).
   */
 object ParquetFileWriter {
@@ -68,14 +74,43 @@ object ParquetFileWriter {
 
     def flushRowGroup(buffered: Int): Unit = {
       if (buffered == 0) return
-      val chunks = new Array[PqColumnMeta](nCols)
+      val chunks = ArrayBuffer.empty[PqColumnMeta]
       var c = 0
       while (c < nCols) {
-        val vec = builders(c).build()
-        val levels = builders(c).defLevels
-        val nRows = builders(c).rowCount
-        chunks(c) = writeColumnChunk(write, () => pos, fields(c), vec, levels,
-          nRows, codec)
+        val f = fields(c)
+        builders(c) match {
+          case ab: ColBuilder.ArrayBuilder =>
+            // one repeated leaf: <name>.list.element (3-level LIST), our
+            // rep/def streams are exactly parquet's for this structure
+            val (elems, rep, defsArr) = ab.buildArray()
+            val et = f.dataType.asInstanceOf[ArrayType].elementType
+            chunks += writeColumnChunk(write, () => pos,
+              Seq(f.name, "list", "element"), et, elems,
+              rep, defsArr, rep.length, defWidth = 2, codec)
+          case mb: ColBuilder.MapBuilder =>
+            // two leaves sharing one rep stream: key (maxDef 2, required)
+            // and value (maxDef 3, optional)
+            val (keys, vals, rep, defsArr) = mb.buildMap()
+            val MapType(kt, vt, _) = f.dataType: @unchecked
+            val keyDefs = new Array[Byte](defsArr.length)
+            var i = 0
+            while (i < defsArr.length) {
+              keyDefs(i) = math.min(defsArr(i).toInt, 2).toByte; i += 1
+            }
+            chunks += writeColumnChunk(write, () => pos,
+              Seq(f.name, "key_value", "key"), kt, keys,
+              rep, keyDefs, rep.length, defWidth = 2, codec)
+            chunks += writeColumnChunk(write, () => pos,
+              Seq(f.name, "key_value", "value"), vt, vals,
+              rep, defsArr, rep.length, defWidth = 2, codec)
+          case b =>
+            val vec = b.build()
+            val levels = b.defLevels
+            val nRows = b.rowCount
+            chunks += writeColumnChunk(write, () => pos,
+              Seq(f.name), f.dataType, vec,
+              null, levels, nRows, defWidth = 1, codec)
+        }
         builders(c).clear()
         c += 1
       }
@@ -93,15 +128,33 @@ object ParquetFileWriter {
     }
     flushRowGroup(buffered)
 
-    // schema: root group + one OPTIONAL primitive per column
+    // schema: root group + per column either one OPTIONAL primitive, a
+    // 3-level LIST group, or a MAP key_value group
+    def primitive(name: String, dt: DataType, repetition: Int): PqSchemaElement = {
+      val (sc, pr) = dt match {
+        case d: DecimalType => (d.scale, d.precision)
+        case _ => (-1, -1)
+      }
+      PqSchemaElement(name, typ = pqTypeOf(dt), repetition = repetition,
+        convertedType = convertedTypeOf(dt), scale = sc, precision = pr)
+    }
     val schemaElems = PqSchemaElement("spark_schema", numChildren = nCols) +:
-      fields.toSeq.map { f =>
-        val (sc, pr) = f.dataType match {
-          case d: DecimalType => (d.scale, d.precision)
-          case _ => (-1, -1)
+      fields.toSeq.flatMap { f =>
+        f.dataType match {
+          case ArrayType(et, _) => Seq(
+            PqSchemaElement(f.name, repetition = 1, numChildren = 1,
+              convertedType = PqConvertedType.List),
+            PqSchemaElement("list", repetition = 2, numChildren = 1),
+            primitive("element", et, repetition = 1))
+          case MapType(kt, vt, _) => Seq(
+            PqSchemaElement(f.name, repetition = 1, numChildren = 1,
+              convertedType = PqConvertedType.Map),
+            PqSchemaElement("key_value", repetition = 2, numChildren = 2,
+              convertedType = PqConvertedType.MapKeyValue),
+            primitive("key", kt, repetition = 0),
+            primitive("value", vt, repetition = 1))
+          case dt => Seq(primitive(f.name, dt, repetition = 1))
         }
-        PqSchemaElement(f.name, typ = pqTypeOf(f.dataType), repetition = 1,
-          convertedType = convertedTypeOf(f.dataType), scale = sc, precision = pr)
       }
     val footer = ParquetMeta.writeFileMeta(PqFileMeta(
       version = 1, schema = schemaElems, numRows = totalRows,
@@ -115,27 +168,40 @@ object ParquetFileWriter {
     totalRows
   }
 
-  /** One column chunk: optional PLAIN dict page + one v1 data page. */
-  private def writeColumnChunk(write: Array[Byte] => Unit, tell: () => Long,
-      field: StructField, vec: ColVec, levels: Array[Byte], nRows: Int,
-      codec: Int): PqColumnMeta = {
-    val typ = pqTypeOf(field.dataType)
+  /** RLE level stream with the v1 4-byte LE length prefix. `levels == null`
+    * means all-ones (no nulls). */
+  private def levelStream(levels: Array[Byte], n: Int, width: Int): Array[Byte] = {
+    val enc = new RleHybridEncoder(width)
+    var i = 0
+    if (levels == null) while (i < n) { enc.put(1L); i += 1 }
+    else while (i < n) { enc.put(levels(i).toLong); i += 1 }
+    val body = enc.result()
+    val outB = new Array[Byte](4 + body.length)
+    outB(0) = body.length.toByte
+    outB(1) = (body.length >>> 8).toByte
+    outB(2) = (body.length >>> 16).toByte
+    outB(3) = (body.length >>> 24).toByte
+    System.arraycopy(body, 0, outB, 4, body.length)
+    outB
+  }
 
-    // def levels: always-present RLE stream, bit width 1, 4-byte LE prefix
-    val levelBytes = {
-      val enc = new RleHybridEncoder(1)
-      var i = 0
-      if (levels == null) while (i < nRows) { enc.put(1L); i += 1 }
-      else while (i < nRows) { enc.put(levels(i).toLong); i += 1 }
-      val body = enc.result()
-      val outB = new Array[Byte](4 + body.length)
-      outB(0) = body.length.toByte
-      outB(1) = (body.length >>> 8).toByte
-      outB(2) = (body.length >>> 16).toByte
-      outB(3) = (body.length >>> 24).toByte
-      System.arraycopy(body, 0, outB, 4, body.length)
-      outB
-    }
+  /** One leaf column chunk: optional PLAIN dict page + one v1 data page.
+    * `repLevels == null` for non-repeated (flat) leaves; `numValues` is the
+    * slot count (= rows for flat leaves, rep/def stream length for repeated
+    * ones); `vec` holds the null-suppressed values (one per max-def slot). */
+  private def writeColumnChunk(write: Array[Byte] => Unit, tell: () => Long,
+      path: Seq[String], dt: DataType, vec: ColVec, repLevels: Array[Byte],
+      defLevels: Array[Byte], numValues: Int, defWidth: Int,
+      codec: Int): PqColumnMeta = {
+    val typ = pqTypeOf(dt)
+
+    // v1 page body prefix: [repLevels] defLevels (each RLE, 4-byte LE len)
+    val repBytes =
+      if (repLevels == null) Array.emptyByteArray
+      else levelStream(repLevels, numValues, 1)
+    val levelBytes = repBytes ++ levelStream(defLevels, numValues, defWidth)
+    val repEnc =
+      if (repLevels == null) PqEncoding.BitPacked else PqEncoding.Rle
 
     // dictionary attempt (first-seen order, like the reference's writer)
     val dictPair: Option[(Int, Array[Byte], Array[Byte])] = buildDict(vec)
@@ -154,26 +220,26 @@ object ParquetFileWriter {
         val content = levelBytes ++ idPage
         val comp = compress(content, codec)
         val dataOff = tell()
-        val header = ParquetMeta.writePageHeaderV1(nRows,
-          PqEncoding.PlainDictionary, content.length, comp.length)
+        val header = ParquetMeta.writePageHeaderV1(numValues,
+          PqEncoding.PlainDictionary, content.length, comp.length, repEnc)
         write(header); write(comp)
         uncTotal += header.length + content.length
         val endOff = tell()
         PqColumnMeta(typ,
           Seq(PqEncoding.Rle, PqEncoding.PlainDictionary, PqEncoding.Plain),
-          Seq(field.name), codec, nRows.toLong, uncTotal, endOff - startOff,
+          path, codec, numValues.toLong, uncTotal, endOff - startOff,
           dataPageOffset = dataOff, dictionaryPageOffset = dictOff)
       case None =>
         val content = levelBytes ++ PlainCodec.encode(vec)
         val comp = compress(content, codec)
         val dataOff = tell()
-        val header = ParquetMeta.writePageHeaderV1(nRows, PqEncoding.Plain,
-          content.length, comp.length)
+        val header = ParquetMeta.writePageHeaderV1(numValues, PqEncoding.Plain,
+          content.length, comp.length, repEnc)
         write(header); write(comp)
         uncTotal += header.length + content.length
         val endOff = tell()
         PqColumnMeta(typ, Seq(PqEncoding.Rle, PqEncoding.Plain),
-          Seq(field.name), codec, nRows.toLong, uncTotal, endOff - startOff,
+          path, codec, numValues.toLong, uncTotal, endOff - startOff,
           dataPageOffset = dataOff)
     }
   }

@@ -196,6 +196,9 @@ object PqCodec {
 
 object PqConvertedType {
   val Utf8 = 0
+  val Map = 1
+  val MapKeyValue = 2
+  val List = 3
   val Decimal = 5
   val Date = 6
   val TimestampMicros = 10
@@ -442,7 +445,7 @@ object ParquetMeta {
   // -------------------------------------------------------------- writing
 
   def writePageHeaderV1(numValues: Int, encoding: Int, uncompressed: Int,
-      compressed: Int): Array[Byte] = {
+      compressed: Int, repEncoding: Int = PqEncoding.BitPacked): Array[Byte] = {
     val w = new Writer
     w.i32Field(1, 0, 0) // type = DATA_PAGE
     w.i32Field(2, 1, uncompressed)
@@ -450,8 +453,9 @@ object ParquetMeta {
     w.fieldHeader(5, TStruct, 3) // data_page_header
     w.i32Field(1, 0, numValues)
     w.i32Field(2, 1, encoding)
-    w.i32Field(3, 2, PqEncoding.Rle)       // def levels
-    w.i32Field(4, 3, PqEncoding.BitPacked) // rep levels (maxRep=0: no bytes)
+    w.i32Field(3, 2, PqEncoding.Rle) // def levels
+    // rep levels: RLE for repeated leaves; BitPacked when maxRep=0 (no bytes)
+    w.i32Field(4, 3, repEncoding)
     w.stop()
     w.stop()
     w.result()

@@ -407,6 +407,46 @@ class SparkE2ESpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(canonT(torture) == canonT(tBack))
   }
 
+  test("parquet writer: LIST and MAP columns read back via Spark's native reader") {
+    import graft.sources.{ParquetSink, PqCodec}
+    val sp = spark
+    import sp.implicits._
+    val df = Seq(
+      (1L, Seq(1, 2, 3), Seq("a", "bb"), Map("x" -> 1L, "y" -> 2L)),
+      (2L, null, Seq.empty[String], null),
+      (3L, Seq.empty[Int], null, Map.empty[String, Long]),
+      (4L, Seq(7, -1), Seq("z", null), Map("k" -> 9L)),
+    ).toDF("id", "ints", "strs", "m")
+      .repartition(1) // single file keeps the compare one-pass
+    val dir = java.nio.file.Files.createTempDirectory("graft-nested").toString
+    ParquetSink.write(df, dir, codec = PqCodec.Snappy).count()
+    val rd = spark.read.parquet(dir)
+    assert(rd.schema("ints").dataType.isInstanceOf[org.apache.spark.sql.types.ArrayType])
+    assert(rd.schema("m").dataType.isInstanceOf[org.apache.spark.sql.types.MapType])
+    def canon(d: org.apache.spark.sql.DataFrame) = d.collect().map { r =>
+      (r.getLong(0),
+        if (r.isNullAt(1)) null else r.getSeq[Int](1),
+        if (r.isNullAt(2)) null else r.getSeq[String](2),
+        if (r.isNullAt(3)) null else r.getMap[String, Long](3).toSeq.sortBy(_._1))
+    }.toSeq.sortBy(_._1)
+    assert(canon(df) == canon(rd))
+    // dictionary-eligible repeated strings also survive (dict id page +
+    // rep/def streams in one compressed page body)
+    val big = (0 until 2000).map(i =>
+      (i.toLong, Seq.tabulate(i % 5)(j => s"tok-${(i + j) % 13}"))).toDF("id", "toks")
+      .repartition(1)
+    val dir2 = java.nio.file.Files.createTempDirectory("graft-nested2").toString
+    ParquetSink.write(big, dir2, codec = PqCodec.Zstd).count()
+    val rd2 = spark.read.parquet(dir2)
+    assert(rd2.agg(sum(size(col("toks")))).collect()(0).getLong(0) ==
+      big.agg(sum(size(col("toks")))).collect()(0).getLong(0))
+    val a = big.selectExpr("explode(toks) t").groupBy("t").count()
+      .collect().map(r => (r.getString(0), r.getLong(1))).sorted.toSeq
+    val b = rd2.selectExpr("explode(toks) t").groupBy("t").count()
+      .collect().map(r => (r.getString(0), r.getLong(1))).sorted.toSeq
+    assert(a == b)
+  }
+
   test("decimal columns roundtrip exactly (chunk engine + parquet file)") {
     import graft.sources.{ParquetSink, PqCodec}
     val li = spark.read.parquet(s"$sfDir/lineitem.parquet")
