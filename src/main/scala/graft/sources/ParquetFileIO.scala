@@ -9,18 +9,65 @@ import graft.core._
   * `/root/reference/src/file/writer.rs:120-243`), re-done over our own
   * codec kernels: the PLAIN / dictionary / RLE-hybrid byte grammars are the
   * ones already implemented in [[graft.core]], and this layer adds only the
-  * PAR1 container (thrift footer, page headers, offsets).
+  * PAR1 container (thrift footer, page headers, offsets) and the record
+  * re-assembly (the reference's `src/record/reader.rs` Dremel layer).
   *
-  * Reader: flat schemas, PLAIN + PLAIN_DICTIONARY/RLE_DICTIONARY data
-  * pages, RLE or legacy BIT_PACKED definition levels, UNCOMPRESSED /
-  * SNAPPY / GZIP / ZSTD pages, all physical types incl. INT96 (decoded as
-  * raw 12-byte values). Validated value-exactly against the reference's own
-  * golden files (`/root/reference/data/alltypes_*.parquet` — the anchor
-  * files its tests use, reader.rs:728-815).
+  * Reader: flat AND nested schemas (LIST / MAP / struct groups, legacy
+  * 2-level lists, unannotated repeated fields), PLAIN +
+  * PLAIN_DICTIONARY/RLE_DICTIONARY data pages, RLE or legacy BIT_PACKED
+  * level streams, UNCOMPRESSED / SNAPPY / GZIP / ZSTD pages, all physical
+  * types incl. INT96 (raw 12-byte values) and FIXED_LEN_BYTE_ARRAY.
+  * Validated value-exactly against the reference's own golden files
+  * (the golden files under `/root/reference/data/` — the anchors its tests use,
+  * reader.rs:728-815 and record/triplet.rs:294-427).
   */
 object ParquetFileReader {
 
-  final case class Column(name: String, typ: Int, maxDef: Int, meta: PqColumnMeta)
+  /** Leaf descriptor: schema-DFS leaf + its column chunk metadata.
+    * `maxDef`/`maxRep` are computed by the reference's DFS rule
+    * (`/root/reference/src/schema/types.rs:800-854`): OPTIONAL adds one def
+    * level, REPEATED adds one def and one rep level. */
+  final case class LeafColumn(path: Seq[String], typ: Int, typeLength: Int,
+      convertedType: Int, maxDef: Int, maxRep: Int, meta: PqColumnMeta)
+
+  /** Raw value/def/rep triplets for one column chunk; `values` is
+    * null-suppressed (one entry per slot with def == maxDef). `defs`/`reps`
+    * are null when the respective max level is 0 (all zeros). */
+  final case class Triplets(values: IndexedSeq[Any], defs: Array[Int],
+      reps: Array[Int], maxDef: Int) {
+    def slots: Int = if (defs != null) defs.length else values.length
+    def defAt(i: Int): Int = if (defs == null) 0 else defs(i)
+    def repAt(i: Int): Int = if (reps == null) 0 else reps(i)
+  }
+
+  // ------------------------------------------------------------ schema tree
+
+  sealed trait SchemaNode { def elem: PqSchemaElement }
+  final case class SchemaLeaf(elem: PqSchemaElement, leafIdx: Int,
+      maxDef: Int, maxRep: Int) extends SchemaNode
+  final case class SchemaGroup(elem: PqSchemaElement,
+      children: Seq[SchemaNode]) extends SchemaNode
+
+  /** Parse the flattened footer schema (DFS with child counts) into a tree;
+    * returns (root children, leaves in DFS = column-chunk order). */
+  def schemaTree(meta: PqFileMeta): (Seq[SchemaNode], IndexedSeq[SchemaLeaf]) = {
+    val leaves = ArrayBuffer.empty[SchemaLeaf]
+    var pos = 1
+    def parse(pdef: Int, prep: Int): SchemaNode = {
+      val se = meta.schema(pos)
+      pos += 1
+      val d = pdef + (if (se.repetition == 1 || se.repetition == 2) 1 else 0)
+      val r = prep + (if (se.repetition == 2) 1 else 0)
+      if (se.numChildren == 0) {
+        val leaf = SchemaLeaf(se, leaves.length, d, r)
+        leaves += leaf
+        leaf
+      } else SchemaGroup(se, (0 until se.numChildren).map(_ => parse(d, r)))
+    }
+    val root = meta.schema.head
+    val children = (0 until root.numChildren).map(_ => parse(0, 0))
+    (children, leaves.toIndexedSeq)
+  }
 
   def readFooter(bytes: Array[Byte]): PqFileMeta = {
     val n = bytes.length
@@ -33,25 +80,32 @@ object ParquetFileReader {
     ParquetMeta.parseFileMeta(bytes, n - 8 - footerLen)
   }
 
-  /** Leaf columns of a FLAT schema (root group + primitive children). */
-  def flatColumns(meta: PqFileMeta, rg: Int): Seq[Column] = {
-    val leaves = meta.schema.drop(1)
-    require(leaves.forall(_.numChildren == 0),
-      "nested schemas not supported by the flat reader")
-    leaves.zip(meta.rowGroups(rg).columns).map { case (se, cm) =>
-      Column(se.name, cm.typ, if (se.repetition == 1) 1 else 0, cm)
+  /** Leaf columns of row group `rg` with full level descriptors. */
+  def leafColumns(meta: PqFileMeta, rg: Int): IndexedSeq[LeafColumn] = {
+    val (_, leaves) = schemaTree(meta)
+    val cols = meta.rowGroups(rg).columns
+    require(cols.size == leaves.size,
+      s"row group has ${cols.size} chunks for ${leaves.size} schema leaves")
+    leaves.map { l =>
+      val cm = cols(l.leafIdx)
+      LeafColumn(cm.pathInSchema, cm.typ, l.elem.typeLength,
+        l.elem.convertedType, l.maxDef, l.maxRep, cm)
     }
   }
 
-  /** Decode one column chunk to per-row values: null | Boolean | Int | Long
-    * | Float | Double | Array[Byte] (BYTE_ARRAY and INT96 raw 12-byte). */
-  def readColumn(bytes: Array[Byte], col: Column): IndexedSeq[Any] = {
+  // ------------------------------------------------------- chunk → triplets
+
+  /** Decode one column chunk to raw triplets. Values: null | Boolean | Int |
+    * Long | Float | Double | Array[Byte] (BYTE_ARRAY / INT96 / FLBA raw). */
+  def readTriplets(bytes: Array[Byte], col: LeafColumn): Triplets = {
     val cm = col.meta
     var off =
       if (cm.dictionaryPageOffset > 0) math.min(cm.dictionaryPageOffset, cm.dataPageOffset)
       else cm.dataPageOffset
     var dict: IndexedSeq[Any] = null
-    val out = new ArrayBuffer[Any](cm.numValues.toInt)
+    val values = new ArrayBuffer[Any](cm.numValues.toInt)
+    val defs = if (col.maxDef > 0) new ArrayBuffer[Int](cm.numValues.toInt) else null
+    val reps = if (col.maxRep > 0) new ArrayBuffer[Int](cm.numValues.toInt) else null
     var remaining = cm.numValues
     while (remaining > 0) {
       val ph = ParquetMeta.parsePageHeader(bytes, off.toInt)
@@ -60,71 +114,23 @@ object ParquetFileReader {
         ph.uncompressedSize, cm.codec)
       ph.pageType match {
         case 2 => // dictionary page: PLAIN values
-          dict = decodePlain(cm.typ, raw, 0, raw.length, ph.numValues)
-        case 0 => // data page v1
+          dict = decodePlain(col.typ, col.typeLength, raw, 0, raw.length, ph.numValues)
+        case 0 => // data page v1: [rep levels][def levels][values]
           val n = ph.numValues
           var pos = 0
-          val defs: Array[Int] =
-            if (col.maxDef == 0) null
-            else ph.defLevelEncoding match {
-              case PqEncoding.Rle =>
-                val len = (raw(pos) & 0xFF) | ((raw(pos + 1) & 0xFF) << 8) |
-                  ((raw(pos + 2) & 0xFF) << 16) | ((raw(pos + 3) & 0xFF) << 24)
-                pos += 4
-                val dec = new RleHybridDecoder(levelBitWidth(col.maxDef), raw, pos, pos + len)
-                pos += len
-                val tmp = new Array[Long](n)
-                dec.get(tmp, 0, n)
-                tmp.map(_.toInt)
-              case PqEncoding.BitPacked =>
-                // legacy levels: fixed-width, packed MSB-first
-                // (reference levels.rs:142-264)
-                val width = levelBitWidth(col.maxDef)
-                val bytesUsed = (n * width + 7) / 8
-                val tmp = new Array[Int](n)
-                var bit = 0
-                var i = 0
-                while (i < n) {
-                  var v = 0
-                  var k = 0
-                  while (k < width) {
-                    val byteIdx = pos + (bit >> 3)
-                    val b = raw(byteIdx) & 0xFF
-                    v = (v << 1) | ((b >> (7 - (bit & 7))) & 1)
-                    bit += 1
-                    k += 1
-                  }
-                  tmp(i) = v
-                  i += 1
-                }
-                pos += bytesUsed
-                tmp
-              case other => throw new IllegalArgumentException(
-                s"def level encoding $other")
-            }
-          val nNonNull = if (defs == null) n else defs.count(_ == col.maxDef)
-          val values: IndexedSeq[Any] = ph.encoding match {
-            case PqEncoding.Plain =>
-              decodePlain(cm.typ, raw, pos, raw.length - pos, nNonNull)
-            case PqEncoding.PlainDictionary | PqEncoding.RleDictionary =>
-              require(dict != null, "data page references a missing dictionary")
-              val width = raw(pos) & 0xFF
-              val dec = new RleHybridDecoder(width, raw, pos + 1, raw.length)
-              val ids = new Array[Long](nNonNull)
-              dec.get(ids, 0, nNonNull)
-              ids.map(id => dict(id.toInt)).toIndexedSeq
-            case other => throw new IllegalArgumentException(
-              s"data page encoding $other not supported")
+          if (col.maxRep > 0) {
+            val (lv, p2) = readLevelStream(raw, pos, n, col.maxRep, ph.repLevelEncoding)
+            pos = p2
+            reps ++= lv
           }
-          if (defs == null) out ++= values
-          else {
-            var i = 0
-            var vi = 0
-            while (i < n) {
-              if (defs(i) == col.maxDef) { out += values(vi); vi += 1 }
-              else out += null
-              i += 1
-            }
+          if (col.maxDef > 0) {
+            val (lv, p2) = readLevelStream(raw, pos, n, col.maxDef, ph.defLevelEncoding)
+            pos = p2
+            defs ++= lv
+            values ++= decodeValues(ph.encoding, col, raw, pos,
+              countMax(lv, col.maxDef), dict)
+          } else {
+            values ++= decodeValues(ph.encoding, col, raw, pos, n, dict)
           }
           remaining -= n
         case other => throw new IllegalArgumentException(
@@ -132,7 +138,108 @@ object ParquetFileReader {
       }
       off = dataStart + ph.compressedSize
     }
-    out.toIndexedSeq
+    Triplets(values.toIndexedSeq,
+      if (defs != null) defs.toArray else null,
+      if (reps != null) reps.toArray else null,
+      col.maxDef)
+  }
+
+  private def countMax(lv: Array[Int], max: Int): Int = {
+    var c = 0
+    var i = 0
+    while (i < lv.length) { if (lv(i) == max) c += 1; i += 1 }
+    c
+  }
+
+  private def decodeValues(encoding: Int, col: LeafColumn, raw: Array[Byte],
+      pos: Int, nNonNull: Int, dict: IndexedSeq[Any]): IndexedSeq[Any] =
+    encoding match {
+      case PqEncoding.Plain =>
+        decodePlain(col.typ, col.typeLength, raw, pos, raw.length - pos, nNonNull)
+      case PqEncoding.PlainDictionary | PqEncoding.RleDictionary =>
+        require(dict != null, "data page references a missing dictionary")
+        if (nNonNull == 0) IndexedSeq.empty
+        else {
+          val width = raw(pos) & 0xFF
+          val dec = new RleHybridDecoder(width, raw, pos + 1, raw.length)
+          val ids = new Array[Long](nNonNull)
+          dec.get(ids, 0, nNonNull)
+          ids.map(id => dict(id.toInt)).toIndexedSeq
+        }
+      case other => throw new IllegalArgumentException(
+        s"data page encoding $other not supported")
+    }
+
+  /** One v1 level stream: RLE (4-byte LE length prefix) or legacy BIT_PACKED
+    * (fixed width, MSB-first — reference levels.rs:142-264). Returns the
+    * levels and the position after the stream. */
+  private def readLevelStream(raw: Array[Byte], pos0: Int, n: Int,
+      maxLevel: Int, encoding: Int): (Array[Int], Int) = {
+    var pos = pos0
+    val width = levelBitWidth(maxLevel)
+    encoding match {
+      case PqEncoding.Rle =>
+        val len = (raw(pos) & 0xFF) | ((raw(pos + 1) & 0xFF) << 8) |
+          ((raw(pos + 2) & 0xFF) << 16) | ((raw(pos + 3) & 0xFF) << 24)
+        pos += 4
+        val dec = new RleHybridDecoder(width, raw, pos, pos + len)
+        pos += len
+        val tmp = new Array[Long](n)
+        dec.get(tmp, 0, n)
+        (tmp.map(_.toInt), pos)
+      case PqEncoding.BitPacked =>
+        val bytesUsed = (n * width + 7) / 8
+        val out = new Array[Int](n)
+        var bit = 0
+        var i = 0
+        while (i < n) {
+          var v = 0
+          var k = 0
+          while (k < width) {
+            val b = raw(pos + (bit >> 3)) & 0xFF
+            v = (v << 1) | ((b >> (7 - (bit & 7))) & 1)
+            bit += 1
+            k += 1
+          }
+          out(i) = v
+          i += 1
+        }
+        (out, pos + bytesUsed)
+      case other =>
+        throw new IllegalArgumentException(s"level encoding $other")
+    }
+  }
+
+  // ------------------------------------------------------------- flat reads
+
+  final case class Column(name: String, typ: Int, maxDef: Int, meta: PqColumnMeta)
+
+  /** Leaf columns of a FLAT schema (root group + primitive children). */
+  def flatColumns(meta: PqFileMeta, rg: Int): Seq[Column] = {
+    val leaves = meta.schema.drop(1)
+    require(leaves.forall(_.numChildren == 0),
+      "nested schemas not supported by the flat reader (use readFileRows)")
+    leaves.zip(meta.rowGroups(rg).columns).map { case (se, cm) =>
+      Column(se.name, cm.typ, if (se.repetition == 1) 1 else 0, cm)
+    }
+  }
+
+  /** Decode one FLAT column chunk to per-row values (nulls inline). */
+  def readColumn(bytes: Array[Byte], col: Column): IndexedSeq[Any] = {
+    val t = readTriplets(bytes, LeafColumn(Seq(col.name), col.typ, -1, -1,
+      col.maxDef, 0, col.meta))
+    if (t.defs == null) t.values
+    else {
+      val out = new ArrayBuffer[Any](t.defs.length)
+      var i = 0
+      var vi = 0
+      while (i < t.defs.length) {
+        if (t.defs(i) == col.maxDef) { out += t.values(vi); vi += 1 }
+        else out += null
+        i += 1
+      }
+      out.toIndexedSeq
+    }
   }
 
   /** Read a whole flat file: (column names, per-column values). */
@@ -146,6 +253,193 @@ object ParquetFileReader {
     }
     (names, merged)
   }
+
+  // --------------------------------------------------- record assembly
+
+  /** An assembled group (struct / record) value. */
+  final case class PqGroupVal(names: Seq[String], values: Seq[Any]) {
+    def apply(name: String): Any = {
+      val i = names.indexOf(name)
+      require(i >= 0, s"no field $name in ${names.mkString(",")}")
+      values(i)
+    }
+  }
+
+  /** Read a whole file (nested schemas supported) as assembled records:
+    * lists → Vector[Any], maps → Vector[(key, value)] (order- and
+    * duplicate-preserving), groups → PqGroupVal, UTF8/ENUM byte arrays →
+    * String. The reference's `RowIter` equivalent
+    * (`/root/reference/src/record/reader.rs:731-903`). */
+  def readFileRows(path: String): (Seq[String], IndexedSeq[PqGroupVal]) = {
+    val bytes = java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(path))
+    val meta = readFooter(bytes)
+    val (rootChildren, _) = schemaTree(meta)
+    val names = rootChildren.map(_.elem.name)
+    val rows = (0 until meta.rowGroups.size).flatMap(rg => readRows(bytes, meta, rg))
+    (names, rows.toIndexedSeq)
+  }
+
+  /** Assemble one row group into records. */
+  def readRows(bytes: Array[Byte], meta: PqFileMeta, rg: Int): IndexedSeq[PqGroupVal] = {
+    val (rootChildren, _) = schemaTree(meta)
+    val leafCols = leafColumns(meta, rg)
+    val trips = leafCols.map(lc => readTriplets(bytes, lc))
+    val readers = rootChildren.map(c => buildReader(c, 0, 0, trips))
+    val names = rootChildren.map(_.elem.name)
+    val n = meta.rowGroups(rg).numRows.toInt
+    (0 until n).map(_ => PqGroupVal(names, readers.map(_.read())))
+  }
+
+  /** Assembly reader tree — the reference's `Reader` combinators
+    * (`/root/reference/src/record/reader.rs:98-489`): each node stores the
+    * def/rep levels of its PARENT context; `read()` consumes one value,
+    * `advance()` consumes one slot when an ancestor is null/empty. */
+  private sealed trait RReader {
+    def hasNext: Boolean
+    def currentDef: Int
+    def currentRep: Int
+    def read(): Any
+    def advance(): Unit
+  }
+
+  private final class PrimReader(t: Triplets, convert: Any => Any) extends RReader {
+    private var i = 0
+    private var vi = 0
+    def hasNext: Boolean = i < t.slots
+    def currentDef: Int = t.defAt(i)
+    def currentRep: Int = t.repAt(i)
+    def read(): Any = {
+      val v = if (t.defAt(i) == t.maxDef) { val x = t.values(vi); vi += 1; convert(x) }
+        else null
+      i += 1
+      v
+    }
+    def advance(): Unit = { if (t.defAt(i) == t.maxDef) vi += 1; i += 1 }
+  }
+
+  private final class OptionReader(pdef: Int, child: RReader) extends RReader {
+    def hasNext: Boolean = child.hasNext
+    def currentDef: Int = child.currentDef
+    def currentRep: Int = child.currentRep
+    def read(): Any =
+      if (child.currentDef > pdef) child.read()
+      else { child.advance(); null }
+    def advance(): Unit = child.advance()
+  }
+
+  /** reference record/reader.rs:346-391 — loop one list instance. */
+  private final class RepeatedReader(pdef: Int, prep: Int, child: RReader)
+      extends RReader {
+    def hasNext: Boolean = child.hasNext
+    def currentDef: Int = child.currentDef
+    def currentRep: Int = child.currentRep
+    def read(): Any = {
+      val out = Vector.newBuilder[Any]
+      var done = false
+      while (!done) {
+        if (child.currentDef > pdef) out += child.read()
+        else { child.advance(); done = true }
+        if (!done && (!child.hasNext || child.currentRep <= prep)) done = true
+      }
+      out.result()
+    }
+    def advance(): Unit = child.advance()
+  }
+
+  /** reference record/reader.rs:393-444 — parallel key/value readers. */
+  private final class KeyValueReader(pdef: Int, prep: Int, kr: RReader,
+      vr: RReader) extends RReader {
+    def hasNext: Boolean = kr.hasNext
+    def currentDef: Int = kr.currentDef
+    def currentRep: Int = kr.currentRep
+    def read(): Any = {
+      val out = Vector.newBuilder[(Any, Any)]
+      var done = false
+      while (!done) {
+        if (kr.currentDef > pdef) { val k = kr.read(); val v = vr.read(); out += (k -> v) }
+        else { kr.advance(); vr.advance(); done = true }
+        if (!done && (!kr.hasNext || kr.currentRep <= prep)) done = true
+      }
+      out.result()
+    }
+    def advance(): Unit = { kr.advance(); vr.advance() }
+  }
+
+  private final class GroupReader(names: Seq[String], children: Seq[RReader])
+      extends RReader {
+    def hasNext: Boolean = children.head.hasNext
+    def currentDef: Int = children.head.currentDef
+    def currentRep: Int = children.head.currentRep
+    def read(): Any = PqGroupVal(names, children.map(_.read()))
+    def advance(): Unit = children.foreach(_.advance())
+  }
+
+  /** Build the reader for `node` in parent context (pdef, prep). */
+  private def buildReader(node: SchemaNode, pdef: Int, prep: Int,
+      trips: IndexedSeq[Triplets]): RReader = node match {
+    case l: SchemaLeaf =>
+      val base = new PrimReader(trips(l.leafIdx), converterFor(l.elem))
+      l.elem.repetition match {
+        case 2 => new RepeatedReader(pdef, prep, base)
+        case 1 => new OptionReader(pdef, base)
+        case _ => base
+      }
+    case g: SchemaGroup if g.elem.repetition == 2 =>
+      // unannotated repeated group (e.g. repeated_no_annotation.parquet):
+      // a list whose element is the group itself
+      new RepeatedReader(pdef, prep, innerReader(g, pdef + 1, prep + 1, trips))
+    case g: SchemaGroup =>
+      val se = g.elem
+      val d = if (se.repetition == 1) pdef + 1 else pdef
+      val isList = se.convertedType == PqConvertedType.List
+      val isMap = se.convertedType == PqConvertedType.Map ||
+        se.convertedType == PqConvertedType.MapKeyValue
+      val body: RReader =
+        if (isList) {
+          val rep = g.children.head // the repeated child
+          rep match {
+            // 3-level LIST: repeated single-field wrapper group — element is
+            // the field (parquet LogicalTypes backward-compat rule: a
+            // single-field repeated group named "array" or "<name>_tuple" IS
+            // the element)
+            case rg: SchemaGroup if rg.elem.repetition == 2 &&
+                rg.children.size == 1 && rg.elem.name != "array" &&
+                !rg.elem.name.endsWith("_tuple") =>
+              new RepeatedReader(d, prep,
+                buildReader(rg.children.head, d + 1, prep + 1, trips))
+            // 2-level legacy: the repeated node is the element
+            case other =>
+              new RepeatedReader(d, prep, innerReader(other, d + 1, prep + 1, trips))
+          }
+        } else if (isMap) {
+          val kv = g.children.head.asInstanceOf[SchemaGroup] // repeated key_value
+          new KeyValueReader(d, prep,
+            buildReader(kv.children(0), d + 1, prep + 1, trips),
+            buildReader(kv.children(1), d + 1, prep + 1, trips))
+        } else {
+          new GroupReader(g.children.map(_.elem.name),
+            g.children.map(c => buildReader(c, d, prep, trips)))
+        }
+      if (se.repetition == 1) new OptionReader(pdef, body) else body
+  }
+
+  /** Reader for a repeated node treated as the element itself (no extra
+    * Option/Repeated wrapper — the enclosing RepeatedReader owns the loop). */
+  private def innerReader(node: SchemaNode, d: Int, r: Int,
+      trips: IndexedSeq[Triplets]): RReader = node match {
+    case l: SchemaLeaf => new PrimReader(trips(l.leafIdx), converterFor(l.elem))
+    case g: SchemaGroup => new GroupReader(g.children.map(_.elem.name),
+      g.children.map(c => buildReader(c, d, r, trips)))
+  }
+
+  private def converterFor(se: PqSchemaElement): Any => Any =
+    if (se.typ == PqType.ByteArray &&
+      (se.convertedType == PqConvertedType.Utf8 || se.convertedType == 4 /*ENUM*/ ))
+      (v: Any) => new String(v.asInstanceOf[Array[Byte]],
+        java.nio.charset.StandardCharsets.UTF_8)
+    else identity[Any]
+
+  // -------------------------------------------------------------- utilities
 
   private def levelBitWidth(maxLevel: Int): Int =
     32 - Integer.numberOfLeadingZeros(maxLevel)
@@ -176,11 +470,15 @@ object ParquetFileReader {
     case other => throw new IllegalArgumentException(s"codec $other not supported")
   }
 
-  private def decodePlain(typ: Int, buf: Array[Byte], off: Int, len: Int,
-      n: Int): IndexedSeq[Any] = typ match {
+  private def decodePlain(typ: Int, typeLength: Int, buf: Array[Byte],
+      off: Int, len: Int, n: Int): IndexedSeq[Any] = typ match {
     case PqType.Int96 =>
       (0 until n).map(i =>
         java.util.Arrays.copyOfRange(buf, off + 12 * i, off + 12 * (i + 1)))
+    case PqType.FixedLenByteArray =>
+      require(typeLength > 0, "FIXED_LEN_BYTE_ARRAY needs a type_length")
+      (0 until n).map(i => java.util.Arrays.copyOfRange(buf,
+        off + typeLength * i, off + typeLength * (i + 1)))
     case _ =>
       val phys = typ match {
         case PqType.Boolean => PhysicalType.Bool

@@ -86,7 +86,11 @@ object ThriftCompact {
       case TByte => u8()
       case TI16 | TI32 | TI64 => varint()
       case TDouble => pos += 8
-      case TBinary => pos += varint().toInt
+      case TBinary =>
+        // NB: must read the length BEFORE touching pos — `pos += varint()`
+        // captures the pre-varint pos and silently drops the length bytes
+        val len = varint().toInt
+        pos += len
       case TList | TSet =>
         val (et, n) = listHeader()
         var i = 0
@@ -109,7 +113,10 @@ object ThriftCompact {
           if (t == TStop) done = true
           else { skip(t); last = id }
         }
-      case other => throw new IllegalArgumentException(s"thrift type $other")
+      case other => throw new IllegalArgumentException(
+        s"thrift type $other at pos $pos ctx " +
+          buf.slice(math.max(0, pos - 12), math.min(buf.length, pos + 4))
+            .map(b => f"${b & 0xFF}%02x").mkString(" "))
     }
 
     private def skipListElem(tpe: Int): Unit = tpe match {

@@ -106,6 +106,238 @@ class ParquetInteropSpec extends AnyFunSuite {
       StructField("flag", BooleanType))))
   }
 
+  // ------------------------------------------------------- nested reads
+  // Expected values below are the reference's own test vectors:
+  // /root/reference/src/record/triplet.rs:294-427 (triplets) and
+  // /root/reference/src/record/reader.rs:1054-1690 (assembled rows).
+
+  import ParquetFileReader.PqGroupVal
+  private def G(pairs: (String, Any)*): PqGroupVal =
+    PqGroupVal(pairs.map(_._1), pairs.map(_._2))
+  private def L(xs: Any*): Vector[Any] = xs.toVector
+  private def M(pairs: (Any, Any)*): Vector[(Any, Any)] = pairs.toVector
+
+  test("golden triplets: nested_lists leaf def/rep vectors (triplet.rs:368-400)") {
+    val bytes = java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(s"$dataDir/nested_lists.snappy.parquet"))
+    val meta = ParquetFileReader.readFooter(bytes)
+    val leaf = ParquetFileReader.leafColumns(meta, 0).head
+    assert(leaf.maxDef == 7 && leaf.maxRep == 3)
+    val t = ParquetFileReader.readTriplets(bytes, leaf)
+    assert(t.defs.toSeq == Seq(7, 7, 7, 4, 7, 7, 7, 7, 7, 4, 7, 7, 7, 7, 7, 7, 4, 7))
+    assert(t.reps.toSeq == Seq(0, 3, 2, 1, 2, 0, 3, 2, 3, 1, 2, 0, 3, 2, 3, 2, 1, 2))
+    assert(t.values.map(str) ==
+      IndexedSeq("a", "b", "c", "d", "a", "b", "c", "d", "e", "a", "b", "c", "d", "e", "f"))
+  }
+
+  test("golden triplets: nested_maps inner key vectors (triplet.rs:405-427)") {
+    val bytes = java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(s"$dataDir/nested_maps.snappy.parquet"))
+    val meta = ParquetFileReader.readFooter(bytes)
+    val leaves = ParquetFileReader.leafColumns(meta, 0)
+    val innerKey = leaves.find(_.path == Seq("a", "key_value", "value", "key_value", "key")).get
+    assert(innerKey.maxDef == 4 && innerKey.maxRep == 2)
+    val t = ParquetFileReader.readTriplets(bytes, innerKey)
+    assert(t.defs.toSeq == Seq(4, 4, 4, 2, 3, 4, 4, 4, 4))
+    assert(t.reps.toSeq == Seq(0, 2, 0, 0, 0, 0, 0, 2, 2))
+    assert(t.values == IndexedSeq(1, 2, 1, 1, 3, 4, 5))
+  }
+
+  test("golden rows: nested_lists.snappy.parquet assembles exactly") {
+    val (names, rows) =
+      ParquetFileReader.readFileRows(s"$dataDir/nested_lists.snappy.parquet")
+    assert(names == Seq("a", "b"))
+    assert(rows.size == 3)
+    assert(rows.map(_("b")) == IndexedSeq(1, 1, 1))
+    assert(rows(0)("a") == L(L(L("a", "b"), L("c")), L(null, L("d"))))
+    assert(rows(1)("a") == L(L(L("a", "b"), L("c", "d")), L(null, L("e"))))
+    assert(rows(2)("a") == L(L(L("a", "b"), L("c", "d"), L("e")), L(null, L("f"))))
+  }
+
+  test("golden rows: nested_maps.snappy.parquet assembles exactly") {
+    val (names, rows) =
+      ParquetFileReader.readFileRows(s"$dataDir/nested_maps.snappy.parquet")
+    assert(names == Seq("a", "b", "c"))
+    assert(rows.size == 6)
+    assert(rows.forall(r => r("b") == 1 && r("c") == 1.0))
+    assert(rows(0)("a") == M("a" -> M(1 -> true, 2 -> false)))
+    assert(rows(1)("a") == M("b" -> M(1 -> true)))
+    assert(rows(2)("a") == M("c" -> null))
+    assert(rows(3)("a") == M("d" -> M()))
+    assert(rows(4)("a") == M("e" -> M(1 -> true)))
+    assert(rows(5)("a") == M("f" -> M(3 -> true, 4 -> false, 5 -> true)))
+  }
+
+  test("golden rows: nulls.snappy.parquet (struct with all-null field)") {
+    val (names, rows) = ParquetFileReader.readFileRows(s"$dataDir/nulls.snappy.parquet")
+    assert(names == Seq("b_struct"))
+    assert(rows.size == 8)
+    assert(rows.forall(_("b_struct") == G("b_c_int" -> null)))
+  }
+
+  test("golden rows: repeated_no_annotation.parquet (unannotated repeated group)") {
+    val (names, rows) =
+      ParquetFileReader.readFileRows(s"$dataDir/repeated_no_annotation.parquet")
+    assert(names == Seq("id", "phoneNumbers"))
+    assert(rows.map(_("id")) == IndexedSeq(1, 2, 3, 4, 5, 6))
+    assert(rows(0)("phoneNumbers") == null)
+    assert(rows(1)("phoneNumbers") == null)
+    assert(rows(2)("phoneNumbers") == G("phone" -> L()))
+    assert(rows(3)("phoneNumbers") ==
+      G("phone" -> L(G("number" -> 5555555555L, "kind" -> null))))
+    assert(rows(4)("phoneNumbers") ==
+      G("phone" -> L(G("number" -> 1111111111L, "kind" -> "home"))))
+    assert(rows(5)("phoneNumbers") == G("phone" -> L(
+      G("number" -> 1111111111L, "kind" -> "home"),
+      G("number" -> 2222222222L, "kind" -> null),
+      G("number" -> 3333333333L, "kind" -> "mobile"))))
+  }
+
+  test("golden rows: nonnullable.impala.parquet (required nested, empty lists/maps)") {
+    val (names, rows) =
+      ParquetFileReader.readFileRows(s"$dataDir/nonnullable.impala.parquet")
+    assert(names == Seq("ID", "Int_Array", "int_array_array", "Int_Map",
+      "int_map_array", "nested_Struct"))
+    assert(rows.size == 1)
+    val r = rows(0)
+    assert(r("ID") == 8L)
+    assert(r("Int_Array") == L(-1))
+    assert(r("int_array_array") == L(L(-1, -2), L()))
+    assert(r("Int_Map") == M("k1" -> -1))
+    assert(r("int_map_array") == L(M(), M("k1" -> 1), M(), M()))
+    assert(r("nested_Struct") == G(
+      "a" -> -1,
+      "B" -> L(-1),
+      "c" -> G("D" -> L(L(G("e" -> -1, "f" -> "nonnullable")))),
+      "G" -> M()))
+  }
+
+  test("golden rows: nullable.impala.parquet (reader.rs:1552-1690 typed vectors)") {
+    val (names, rows) =
+      ParquetFileReader.readFileRows(s"$dataDir/nullable.impala.parquet")
+    assert(names == Seq("id", "int_array", "int_array_Array", "int_map",
+      "int_Map_Array", "nested_struct"))
+    assert(rows.size == 7)
+    assert(rows.map(_("id")) == IndexedSeq(1L, 2L, 3L, 4L, 5L, 6L, 7L))
+
+    // row 0 (id=1)
+    assert(rows(0)("int_array") == L(1, 2, 3))
+    assert(rows(0)("int_array_Array") == L(L(1, 2), L(3, 4)))
+    assert(rows(0)("int_map") == M("k1" -> 1, "k2" -> 100))
+    assert(rows(0)("int_Map_Array") == L(M("k1" -> 1)))
+    assert(rows(0)("nested_struct") == G(
+      "A" -> 1,
+      "b" -> L(1),
+      "C" -> G("d" -> L(
+        L(G("E" -> 10, "F" -> "aaa"), G("E" -> -10, "F" -> "bbb")),
+        L(G("E" -> 11, "F" -> "c")))),
+      "g" -> M("foo" -> G("H" -> G("i" -> L(1.1))))))
+
+    // row 1 (id=2) — nulls woven through every nesting level
+    assert(rows(1)("int_array") == L(null, 1, 2, null, 3, null))
+    assert(rows(1)("int_array_Array") ==
+      L(L(null, 1, 2, null), L(3, null, 4), L(), null))
+    assert(rows(1)("int_map") == M("k1" -> 2, "k2" -> null))
+    assert(rows(1)("int_Map_Array") == L(M("k3" -> null, "k1" -> 1), null, M()))
+    assert(rows(1)("nested_struct") == G(
+      "A" -> null,
+      "b" -> L(null),
+      "C" -> G("d" -> L(
+        L(G("E" -> null, "F" -> null), G("E" -> 10, "F" -> "aaa"),
+          G("E" -> null, "F" -> null), G("E" -> -10, "F" -> "bbb"),
+          G("E" -> null, "F" -> null)),
+        L(G("E" -> 11, "F" -> "c"), null),
+        L(),
+        null)),
+      "g" -> M(
+        "g1" -> G("H" -> G("i" -> L(2.2, null))),
+        "g2" -> G("H" -> G("i" -> L())),
+        "g3" -> null,
+        "g4" -> G("H" -> G("i" -> null)),
+        "g5" -> G("H" -> null))))
+
+    // row 2 (id=3)
+    assert(rows(2)("int_array") == L())
+    assert(rows(2)("int_array_Array") == L(null))
+    assert(rows(2)("int_map") == M())
+    assert(rows(2)("int_Map_Array") == L(null, null))
+    assert(rows(2)("nested_struct") == G(
+      "A" -> null, "b" -> null, "C" -> G("d" -> L()), "g" -> M()))
+
+    // row 3 (id=4)
+    assert(rows(3)("int_array") == null)
+    assert(rows(3)("int_array_Array") == L())
+    assert(rows(3)("int_map") == M())
+    assert(rows(3)("int_Map_Array") == L())
+    assert(rows(3)("nested_struct") == G(
+      "A" -> null, "b" -> null, "C" -> G("d" -> null), "g" -> null))
+
+    // row 4 (id=5)
+    assert(rows(4)("int_array") == null)
+    assert(rows(4)("int_array_Array") == null)
+    assert(rows(4)("int_map") == M())
+    assert(rows(4)("int_Map_Array") == null)
+    assert(rows(4)("nested_struct") == G(
+      "A" -> null, "b" -> null, "C" -> null,
+      "g" -> M("foo" -> G("H" -> G("i" -> L(2.2, 3.3))))))
+
+    // row 5 (id=6)
+    assert(rows(5)("int_array") == null)
+    assert(rows(5)("int_array_Array") == null)
+    assert(rows(5)("int_map") == null)
+    assert(rows(5)("int_Map_Array") == null)
+    assert(rows(5)("nested_struct") == null)
+
+    // row 6 (id=7)
+    assert(rows(6)("int_array") == null)
+    assert(rows(6)("int_array_Array") == L(null, L(5, 6)))
+    assert(rows(6)("int_map") == M("k1" -> null, "k3" -> null))
+    assert(rows(6)("int_Map_Array") == null)
+    assert(rows(6)("nested_struct") == G(
+      "A" -> 7,
+      "b" -> L(2, 3, null),
+      "C" -> G("d" -> L(L(), L(null), null)),
+      "g" -> null))
+  }
+
+  test("nested writer roundtrip: LIST and MAP columns through our reader") {
+    val tmp = java.nio.file.Files.createTempDirectory("pqwn").toString
+    val path = s"$tmp/nested.parquet"
+    import org.apache.spark.sql.types._
+    val schema = StructType(Seq(
+      StructField("id", LongType),
+      StructField("tags", ArrayType(StringType)),
+      StructField("scores", ArrayType(IntegerType)),
+      StructField("attrs", MapType(StringType, LongType))))
+    val rows = (0 until 300).map { i =>
+      org.apache.spark.sql.Row(
+        i.toLong,
+        if (i % 7 == 0) null else (0 until i % 4).map(j => s"t$j"),
+        if (i % 5 == 0) Seq.empty[Int] else Seq(i, i + 1),
+        if (i % 3 == 0) null else (0 until i % 3).map(j => s"k$j" -> i.toLong).toMap)
+    }
+    val n = ParquetFileWriter.writeFile(path, schema, rows.iterator,
+      rowGroupRows = 128, codec = PqCodec.Gzip)
+    assert(n == 300)
+    val (names, got) = ParquetFileReader.readFileRows(path)
+    assert(names == Seq("id", "tags", "scores", "attrs"))
+    assert(got.size == 300)
+    (0 until 300).foreach { i =>
+      val r = got(i)
+      assert(r("id") == i.toLong)
+      if (i % 7 == 0) assert(r("tags") == null)
+      else assert(r("tags") == (0 until i % 4).map(j => s"t$j").toVector)
+      if (i % 5 == 0) assert(r("scores") == Vector())
+      else assert(r("scores") == Vector(i, i + 1))
+      if (i % 3 == 0) assert(r("attrs") == null)
+      else {
+        val exp = (0 until i % 3).map(j => (s"k$j": Any) -> (i.toLong: Any))
+        assert(r("attrs").asInstanceOf[Vector[(Any, Any)]].sortBy(_._1.toString) ==
+          exp.sortBy(_._1.toString).toVector)
+      }
+    }
+  }
+
   test("writer roundtrip: our file reads back through our reader") {
     val tmp = java.nio.file.Files.createTempDirectory("pqw").toString
     val path = s"$tmp/rt.parquet"
