@@ -14,9 +14,10 @@ import graft.core._
   *
   * Reader: flat AND nested schemas (LIST / MAP / struct groups, legacy
   * 2-level lists, unannotated repeated fields), PLAIN +
-  * PLAIN_DICTIONARY/RLE_DICTIONARY data pages, RLE or legacy BIT_PACKED
-  * level streams, UNCOMPRESSED / SNAPPY / GZIP / ZSTD pages, all physical
-  * types incl. INT96 (raw 12-byte values) and FIXED_LEN_BYTE_ARRAY.
+  * PLAIN_DICTIONARY/RLE_DICTIONARY data pages V1 AND V2 (v2: prefix-free
+  * uncompressed level streams, value-only block compression), RLE or legacy
+  * BIT_PACKED level streams, UNCOMPRESSED / SNAPPY / GZIP / ZSTD pages, all
+  * physical types incl. INT96 (raw 12-byte values) and FIXED_LEN_BYTE_ARRAY.
   * Validated value-exactly against the reference's own golden files
   * (the golden files under `/root/reference/data/` — the anchors its tests use,
   * reader.rs:728-815 and record/triplet.rs:294-427).
@@ -110,12 +111,14 @@ object ParquetFileReader {
     while (remaining > 0) {
       val ph = ParquetMeta.parsePageHeader(bytes, off.toInt)
       val dataStart = off.toInt + ph.headerLen
-      val raw = decompress(bytes, dataStart, ph.compressedSize,
-        ph.uncompressedSize, cm.codec)
       ph.pageType match {
         case 2 => // dictionary page: PLAIN values
+          val raw = decompress(bytes, dataStart, ph.compressedSize,
+            ph.uncompressedSize, cm.codec)
           dict = decodePlain(col.typ, col.typeLength, raw, 0, raw.length, ph.numValues)
-        case 0 => // data page v1: [rep levels][def levels][values]
+        case 0 => // data page v1: [rep levels][def levels][values], one region
+          val raw = decompress(bytes, dataStart, ph.compressedSize,
+            ph.uncompressedSize, cm.codec)
           val n = ph.numValues
           var pos = 0
           if (col.maxRep > 0) {
@@ -133,8 +136,42 @@ object ParquetFileReader {
             values ++= decodeValues(ph.encoding, col, raw, pos, n, dict)
           }
           remaining -= n
+        case 3 =>
+          // data page v2 (reference reader.rs:449-533): rep + def level
+          // streams sit UNCOMPRESSED right after the header, RLE with NO
+          // 4-byte length prefix (lengths come from the header); only the
+          // value region is block-compressed (unless is_compressed=false).
+          val n = ph.numValues
+          val repLen = ph.repLevelsByteLen
+          val defLen = ph.defLevelsByteLen
+          if (col.maxRep > 0) {
+            val dec = new RleHybridDecoder(levelBitWidth(col.maxRep), bytes,
+              dataStart, dataStart + repLen)
+            val tmp = new Array[Long](n)
+            dec.get(tmp, 0, n)
+            reps ++= tmp.map(_.toInt)
+          }
+          var nNonNull = n - ph.numNulls
+          if (col.maxDef > 0) {
+            val dec = new RleHybridDecoder(levelBitWidth(col.maxDef), bytes,
+              dataStart + repLen, dataStart + repLen + defLen)
+            val tmp = new Array[Long](n)
+            dec.get(tmp, 0, n)
+            val lv = tmp.map(_.toInt)
+            defs ++= lv
+            nNonNull = countMax(lv, col.maxDef)
+          }
+          val vOff = dataStart + repLen + defLen
+          val vUnc = ph.uncompressedSize - repLen - defLen
+          val vraw =
+            if (ph.isCompressed && cm.codec != PqCodec.Uncompressed)
+              decompress(bytes, vOff, ph.compressedSize - repLen - defLen,
+                vUnc, cm.codec)
+            else java.util.Arrays.copyOfRange(bytes, vOff, vOff + vUnc)
+          values ++= decodeValues(ph.encoding, col, vraw, 0, nNonNull, dict)
+          remaining -= n
         case other => throw new IllegalArgumentException(
-          s"page type $other not supported (data page v2: use chunk tables)")
+          s"page type $other not supported")
       }
       off = dataStart + ph.compressedSize
     }
@@ -166,9 +203,36 @@ object ParquetFileReader {
           dec.get(ids, 0, nNonNull)
           ids.map(id => dict(id.toInt)).toIndexedSeq
         }
+      case PqEncoding.DeltaBinaryPacked =>
+        val vs = DeltaBinaryPackedDecoder.decode(slice(raw, pos),
+          int32 = col.typ == PqType.Int32)
+        require(vs.length >= nNonNull,
+          s"delta stream has ${vs.length} values, page needs $nNonNull")
+        if (col.typ == PqType.Int32) (0 until nNonNull).map(i => vs(i).toInt)
+        else (0 until nNonNull).map(vs)
+      case PqEncoding.DeltaLengthByteArray =>
+        bytesVecValues(DeltaLengthByteArrayCodec.decode(slice(raw, pos)), nNonNull)
+      case PqEncoding.DeltaByteArray =>
+        bytesVecValues(DeltaByteArrayCodec.decode(slice(raw, pos)), nNonNull)
+      case PqEncoding.Rle =>
+        // RLE-encoded BOOLEAN values: 4-byte LE length prefix + hybrid runs
+        require(col.typ == PqType.Boolean, "RLE data pages are boolean-only")
+        val len = (raw(pos) & 0xFF) | ((raw(pos + 1) & 0xFF) << 8) |
+          ((raw(pos + 2) & 0xFF) << 16) | ((raw(pos + 3) & 0xFF) << 24)
+        val dec = new RleHybridDecoder(1, raw, pos + 4, pos + 4 + len)
+        val tmp = new Array[Long](nNonNull)
+        dec.get(tmp, 0, nNonNull)
+        (0 until nNonNull).map(i => tmp(i) != 0L)
       case other => throw new IllegalArgumentException(
         s"data page encoding $other not supported")
     }
+
+  private def slice(raw: Array[Byte], pos: Int): Array[Byte] =
+    if (pos == 0) raw else java.util.Arrays.copyOfRange(raw, pos, raw.length)
+
+  private def bytesVecValues(v: BytesVec, n: Int): IndexedSeq[Any] =
+    (0 until n).map(i =>
+      java.util.Arrays.copyOfRange(v.data, v.start(i), v.start(i) + v.len(i)))
 
   /** One v1 level stream: RLE (4-byte LE length prefix) or legacy BIT_PACKED
     * (fixed width, MSB-first — reference levels.rs:142-264). Returns the

@@ -254,7 +254,14 @@ final case class PqPageHeader(
     defLevelEncoding: Int = 0,
     repLevelEncoding: Int = 0,
     /** bytes consumed by the header itself */
-    headerLen: Int = 0)
+    headerLen: Int = 0,
+    // data page v2 (public parquet.thrift DataPageHeaderV2; the reference
+    // reads these at /root/reference/src/file/reader.rs:449-533)
+    numNulls: Int = 0,
+    numRows: Int = 0,
+    defLevelsByteLen: Int = 0,
+    repLevelsByteLen: Int = 0,
+    isCompressed: Boolean = true)
 
 /** Parse/serialize the metadata subset. Field ids follow parquet.thrift. */
 object ParquetMeta {
@@ -411,6 +418,11 @@ object ParquetMeta {
     var encoding = 0
     var defEnc = 0
     var repEnc = 0
+    var numNulls = 0
+    var numRows = 0
+    var defLen = 0
+    var repLen = 0
+    var isComp = true
     var last = 0
     var done = false
     while (!done) {
@@ -435,6 +447,13 @@ object ParquetMeta {
                   case (5, 4) => repEnc = r.zigzag().toInt
                   case (7, 1) => numValues = r.zigzag().toInt
                   case (7, 2) => encoding = r.zigzag().toInt
+                  case (8, 1) => numValues = r.zigzag().toInt
+                  case (8, 2) => numNulls = r.zigzag().toInt
+                  case (8, 3) => numRows = r.zigzag().toInt
+                  case (8, 4) => encoding = r.zigzag().toInt
+                  case (8, 5) => defLen = r.zigzag().toInt
+                  case (8, 6) => repLen = r.zigzag().toInt
+                  case (8, 7) => isComp = t2 == TBoolTrue // bool lives in type
                   case _ => r.skip(t2)
                 }
                 l2 = id2
@@ -446,7 +465,8 @@ object ParquetMeta {
       }
     }
     PqPageHeader(pageType, unc, comp, numValues, encoding, defEnc, repEnc,
-      headerLen = r.pos - off)
+      headerLen = r.pos - off, numNulls = numNulls, numRows = numRows,
+      defLevelsByteLen = defLen, repLevelsByteLen = repLen, isCompressed = isComp)
   }
 
   // -------------------------------------------------------------- writing

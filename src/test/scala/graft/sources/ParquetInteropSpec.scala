@@ -300,6 +300,41 @@ class ParquetInteropSpec extends AnyFunSuite {
       "g" -> null))
   }
 
+  test("golden rows: datapage_v2.snappy.parquet (V2 pages, snappy, LIST col)") {
+    // Reference anchor: reader.rs:817-907 pins the page structure (dict page
+    // + RLE_DICTIONARY v2 data page, num_nulls=1, def_levels_byte_len=2);
+    // row values cross-checked with an independent reader (DuckDB).
+    val (names, rows) =
+      ParquetFileReader.readFileRows(s"$dataDir/datapage_v2.snappy.parquet")
+    assert(names == Seq("a", "b", "c", "d", "e"))
+    assert(rows.size == 5)
+    assert(rows.map(_("a")) == IndexedSeq("abc", "abc", "abc", null, "abc"))
+    assert(rows.map(_("b")) == IndexedSeq(1, 2, 3, 4, 5))
+    assert(rows.map(_("c")) == IndexedSeq(2.0, 3.0, 4.0, 5.0, 2.0))
+    assert(rows.map(_("d")) == IndexedSeq(true, true, true, false, true))
+    assert(rows.map(_("e")) ==
+      IndexedSeq(L(1, 2, 3), null, null, L(1, 2, 3), L(1, 2)))
+  }
+
+  test("golden: 10k-v2.parquet (DELTA_BINARY_PACKED/DELTA_BYTE_ARRAY pages)") {
+    // 10k rows, all columns non-null; delta-packed int32/int64, front-coded
+    // binary + FLBA(1024), RLE booleans, dictionary INT96. Aggregates
+    // cross-checked with an independent reader (DuckDB).
+    val (names, cols) = ParquetFileReader.readFile(s"$dataDir/10k-v2.parquet")
+    assert(names == Seq("binary_field", "int32_field", "int64_field",
+      "boolean_field", "float_field", "double_field", "flba_field",
+      "int96_field"))
+    assert(cols.forall(_.size == 10000))
+    assert(cols(1).map(_.asInstanceOf[Int].toLong).sum == 11671850101L)
+    assert(cols(2).map(_.asInstanceOf[Long]).min == -9217190823346207710L)
+    assert(cols(2).map(_.asInstanceOf[Long]).max == 9222389343952262822L)
+    assert(cols(3).count(_ == true) == 5064)
+    assert(str(cols(0).head) == "67b97f12-fe84-491b-bd54-95df42147f0d")
+    assert(cols(0).map(v => str(v)).distinct.size == 10000)
+    assert(cols(6).forall(_.asInstanceOf[Array[Byte]].length == 1024))
+    assert(cols(1).take(3) == IndexedSeq(-1929575853, 88299796, 1325909065))
+  }
+
   test("nested writer roundtrip: LIST and MAP columns through our reader") {
     val tmp = java.nio.file.Files.createTempDirectory("pqwn").toString
     val path = s"$tmp/nested.parquet"
