@@ -223,6 +223,21 @@ object SparkEntry {
           sum(col("doc_id")).as("sum_id"))
         .orderBy("lang")
     }),
+    "q_parquet_file_v2" -> ((s, dir) => {
+      // same interop loop but with DATA_PAGE_V2 pages (prefix-free
+      // uncompressed level streams, value-only compression): written by OUR
+      // writer, consumed by SPARK'S reader — external proof the v2 page
+      // grammar is standard.
+      val in = docs(s, dir).select("doc_id", "lang", "text")
+      val out = java.nio.file.Files.createTempDirectory("graft-pqv2").toString
+      graft.sources.ParquetSink.write(in.repartition(4), out,
+        pageVersion = 2).count()
+      s.read.parquet(out)
+        .groupBy("lang").agg(count(lit(1)).as("cnt"),
+          sum(length(col("text"))).as("chars"),
+          sum(col("doc_id")).as("sum_id"))
+        .orderBy("lang")
+    }),
     // ---- encoder lineage + selector (oracle checks the byte accounting)
     "q_enc_lineage_bytes" -> ((s, dir) => {
       val chunks = EncodeJob.encode(docs(s, dir), numPartitions = 8,
@@ -400,6 +415,8 @@ object SparkEntry {
     "q_rt_gzip_text" ->
       "SELECT lang, count(*) AS cnt, CAST(sum(strlen(text)) AS BIGINT) AS bytes FROM documents GROUP BY lang ORDER BY lang",
     "q_parquet_file_rt" ->
+      "SELECT lang, count(*) AS cnt, CAST(sum(length(text)) AS BIGINT) AS chars, CAST(sum(doc_id) AS BIGINT) AS sum_id FROM documents GROUP BY lang ORDER BY lang",
+    "q_parquet_file_v2" ->
       "SELECT lang, count(*) AS cnt, CAST(sum(length(text)) AS BIGINT) AS chars, CAST(sum(doc_id) AS BIGINT) AS sum_id FROM documents GROUP BY lang ORDER BY lang",
     "q_rt_nulls" ->
       ("SELECT count(*) AS n, " +

@@ -57,9 +57,14 @@ object ParquetFileWriter {
     case _ => -1
   }
 
-  /** Write `rows` to one parquet file; returns the row count. */
+  /** Write `rows` to one parquet file; returns the row count.
+    * `pageVersion` 1 writes classic v1 data pages; 2 writes DATA_PAGE_V2
+    * (prefix-free uncompressed level streams, value-only compression —
+    * the reference's WriterVersion::PARQUET_2_0,
+    * `/root/reference/src/file/properties.rs:71-83`). */
   def writeFile(path: String, schema: StructType, rows: Iterator[Row],
-      rowGroupRows: Int = 1 << 16, codec: Int = PqCodec.Snappy): Long = {
+      rowGroupRows: Int = 1 << 16, codec: Int = PqCodec.Snappy,
+      pageVersion: Int = 1): Long = {
     val fields = schema.fields
     val nCols = fields.length
     val fos = new FileOutputStream(path)
@@ -86,7 +91,8 @@ object ParquetFileWriter {
             val et = f.dataType.asInstanceOf[ArrayType].elementType
             chunks += writeColumnChunk(write, () => pos,
               Seq(f.name, "list", "element"), et, elems,
-              rep, defsArr, rep.length, defWidth = 2, codec)
+              rep, defsArr, rep.length, defWidth = 2, maxDef = 3, codec,
+              pageVersion)
           case mb: ColBuilder.MapBuilder =>
             // two leaves sharing one rep stream: key (maxDef 2, required)
             // and value (maxDef 3, optional)
@@ -99,17 +105,20 @@ object ParquetFileWriter {
             }
             chunks += writeColumnChunk(write, () => pos,
               Seq(f.name, "key_value", "key"), kt, keys,
-              rep, keyDefs, rep.length, defWidth = 2, codec)
+              rep, keyDefs, rep.length, defWidth = 2, maxDef = 2, codec,
+              pageVersion)
             chunks += writeColumnChunk(write, () => pos,
               Seq(f.name, "key_value", "value"), vt, vals,
-              rep, defsArr, rep.length, defWidth = 2, codec)
+              rep, defsArr, rep.length, defWidth = 2, maxDef = 3, codec,
+              pageVersion)
           case b =>
             val vec = b.build()
             val levels = b.defLevels
             val nRows = b.rowCount
             chunks += writeColumnChunk(write, () => pos,
               Seq(f.name), f.dataType, vec,
-              null, levels, nRows, defWidth = 1, codec)
+              null, levels, nRows, defWidth = 1, maxDef = 1, codec,
+              pageVersion)
         }
         builders(c).clear()
         c += 1
@@ -185,63 +194,100 @@ object ParquetFileWriter {
     outB
   }
 
-  /** One leaf column chunk: optional PLAIN dict page + one v1 data page.
+  /** RLE level stream WITHOUT a length prefix (DATA_PAGE_V2 layout — the
+    * byte length travels in the page header instead). */
+  private def levelStreamV2(levels: Array[Byte], n: Int, width: Int): Array[Byte] = {
+    val enc = new RleHybridEncoder(width)
+    var i = 0
+    if (levels == null) while (i < n) { enc.put(1L); i += 1 }
+    else while (i < n) { enc.put(levels(i).toLong); i += 1 }
+    enc.result()
+  }
+
+  /** One leaf column chunk: optional PLAIN dict page + one data page (v1 or
+    * v2 per `pageVersion`).
     * `repLevels == null` for non-repeated (flat) leaves; `numValues` is the
     * slot count (= rows for flat leaves, rep/def stream length for repeated
     * ones); `vec` holds the null-suppressed values (one per max-def slot). */
   private def writeColumnChunk(write: Array[Byte] => Unit, tell: () => Long,
       path: Seq[String], dt: DataType, vec: ColVec, repLevels: Array[Byte],
-      defLevels: Array[Byte], numValues: Int, defWidth: Int,
-      codec: Int): PqColumnMeta = {
+      defLevels: Array[Byte], numValues: Int, defWidth: Int, maxDef: Int,
+      codec: Int, pageVersion: Int): PqColumnMeta = {
     val typ = pqTypeOf(dt)
-
-    // v1 page body prefix: [repLevels] defLevels (each RLE, 4-byte LE len)
-    val repBytes =
-      if (repLevels == null) Array.emptyByteArray
-      else levelStream(repLevels, numValues, 1)
-    val levelBytes = repBytes ++ levelStream(defLevels, numValues, defWidth)
-    val repEnc =
-      if (repLevels == null) PqEncoding.BitPacked else PqEncoding.Rle
 
     // dictionary attempt (first-seen order, like the reference's writer)
     val dictPair: Option[(Int, Array[Byte], Array[Byte])] = buildDict(vec)
 
     val startOff = tell()
     var uncTotal = 0L
+    var dictOff = -1L
 
-    dictPair match {
-      case Some((nDict, dictPage, idPage)) =>
-        val dictOff = tell()
-        val dictComp = compress(dictPage, codec)
-        val dictHeader = ParquetMeta.writeDictPageHeader(nDict, dictPage.length,
-          dictComp.length)
-        write(dictHeader); write(dictComp)
-        uncTotal += dictHeader.length + dictPage.length
-        val content = levelBytes ++ idPage
-        val comp = compress(content, codec)
-        val dataOff = tell()
-        val header = ParquetMeta.writePageHeaderV1(numValues,
-          PqEncoding.PlainDictionary, content.length, comp.length, repEnc)
-        write(header); write(comp)
-        uncTotal += header.length + content.length
-        val endOff = tell()
-        PqColumnMeta(typ,
-          Seq(PqEncoding.Rle, PqEncoding.PlainDictionary, PqEncoding.Plain),
-          path, codec, numValues.toLong, uncTotal, endOff - startOff,
-          dataPageOffset = dataOff, dictionaryPageOffset = dictOff)
-      case None =>
-        val content = levelBytes ++ PlainCodec.encode(vec)
-        val comp = compress(content, codec)
-        val dataOff = tell()
-        val header = ParquetMeta.writePageHeaderV1(numValues, PqEncoding.Plain,
-          content.length, comp.length, repEnc)
-        write(header); write(comp)
-        uncTotal += header.length + content.length
-        val endOff = tell()
-        PqColumnMeta(typ, Seq(PqEncoding.Rle, PqEncoding.Plain),
-          path, codec, numValues.toLong, uncTotal, endOff - startOff,
-          dataPageOffset = dataOff)
+    val dictIds = dictPair.map { case (nDict, dictPage, idPage) =>
+      dictOff = tell()
+      val dictComp = compress(dictPage, codec)
+      val dictHeader = ParquetMeta.writeDictPageHeader(nDict, dictPage.length,
+        dictComp.length)
+      write(dictHeader); write(dictComp)
+      uncTotal += dictHeader.length + dictPage.length
+      idPage
     }
+    val valueEnc =
+      if (dictIds.isEmpty) PqEncoding.Plain
+      else if (pageVersion >= 2) PqEncoding.RleDictionary
+      else PqEncoding.PlainDictionary
+    val valueBytes = dictIds.getOrElse(PlainCodec.encode(vec))
+    val dataOff = tell()
+
+    if (pageVersion >= 2) {
+      // DATA_PAGE_V2: prefix-free uncompressed level streams + compressed
+      // values (reference writer.rs DataPageV2 serialization path)
+      val repStream =
+        if (repLevels == null) Array.emptyByteArray
+        else levelStreamV2(repLevels, numValues, 1)
+      val defStream = levelStreamV2(defLevels, numValues, defWidth)
+      var numNulls = 0
+      if (defLevels != null) {
+        var i = 0
+        while (i < numValues) {
+          if (defLevels(i).toInt != maxDef) numNulls += 1
+          i += 1
+        }
+      }
+      var numRows = numValues
+      if (repLevels != null) {
+        numRows = 0
+        var i = 0
+        while (i < numValues) { if (repLevels(i) == 0) numRows += 1; i += 1 }
+      }
+      val comp = compress(valueBytes, codec)
+      val lvlLen = repStream.length + defStream.length
+      val header = ParquetMeta.writePageHeaderV2(numValues, numNulls, numRows,
+        valueEnc, lvlLen + valueBytes.length, lvlLen + comp.length,
+        defStream.length, repStream.length)
+      write(header); write(repStream); write(defStream); write(comp)
+      uncTotal += header.length + lvlLen + valueBytes.length
+    } else {
+      // v1 page body: [repLevels][defLevels][values], one compressed region
+      val repBytes =
+        if (repLevels == null) Array.emptyByteArray
+        else levelStream(repLevels, numValues, 1)
+      val content = repBytes ++ levelStream(defLevels, numValues, defWidth) ++
+        valueBytes
+      val repEnc =
+        if (repLevels == null) PqEncoding.BitPacked else PqEncoding.Rle
+      val comp = compress(content, codec)
+      val header = ParquetMeta.writePageHeaderV1(numValues, valueEnc,
+        content.length, comp.length, repEnc)
+      write(header); write(comp)
+      uncTotal += header.length + content.length
+    }
+    val endOff = tell()
+    val encodings =
+      if (dictIds.isEmpty) Seq(PqEncoding.Rle, PqEncoding.Plain)
+      else Seq(PqEncoding.Rle, valueEnc, PqEncoding.Plain)
+    PqColumnMeta(typ, encodings, path, codec, numValues.toLong, uncTotal,
+      endOff - startOff, dataPageOffset = dataOff,
+      dictionaryPageOffset = dictOff)
   }
 
   /** (entries, PLAIN dict page bytes, id page bytes incl. leading bit-width
@@ -340,7 +386,7 @@ object ChunkCodecSupport {
   * identical). Returns one (path, rows) row per written file. */
 object ParquetSink {
   def write(df: DataFrame, dir: String, codec: Int = PqCodec.Snappy,
-      rowGroupRows: Int = 1 << 16): DataFrame = {
+      rowGroupRows: Int = 1 << 16, pageVersion: Int = 1): DataFrame = {
     val schema = df.schema
     new java.io.File(dir).mkdirs()
     implicit val enc: org.apache.spark.sql.Encoder[Row] =
@@ -352,7 +398,8 @@ object ParquetSink {
       else {
         val pid = TaskContext.getPartitionId()
         val path = f"$dir/part-$pid%05d.parquet"
-        val n = ParquetFileWriter.writeFile(path, schema, it, rowGroupRows, codec)
+        val n = ParquetFileWriter.writeFile(path, schema, it, rowGroupRows,
+          codec, pageVersion)
         Iterator(Row(path, n))
       }
     }

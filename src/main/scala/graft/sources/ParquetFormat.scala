@@ -488,6 +488,29 @@ object ParquetMeta {
     w.result()
   }
 
+  /** DATA_PAGE_V2 header: level streams sit uncompressed after the header
+    * (prefix-free RLE), only values are block-compressed. is_compressed is
+    * left at its thrift default (true); with UNCOMPRESSED codec readers
+    * treat decompression as identity. */
+  def writePageHeaderV2(numValues: Int, numNulls: Int, numRows: Int,
+      encoding: Int, uncompressed: Int, compressed: Int,
+      defLevelsByteLen: Int, repLevelsByteLen: Int): Array[Byte] = {
+    val w = new Writer
+    w.i32Field(1, 0, 3) // type = DATA_PAGE_V2
+    w.i32Field(2, 1, uncompressed)
+    w.i32Field(3, 2, compressed)
+    w.fieldHeader(8, TStruct, 3) // data_page_header_v2
+    w.i32Field(1, 0, numValues)
+    w.i32Field(2, 1, numNulls)
+    w.i32Field(3, 2, numRows)
+    w.i32Field(4, 3, encoding)
+    w.i32Field(5, 4, defLevelsByteLen)
+    w.i32Field(6, 5, repLevelsByteLen)
+    w.stop()
+    w.stop()
+    w.result()
+  }
+
   def writeDictPageHeader(numValues: Int, uncompressed: Int,
       compressed: Int): Array[Byte] = {
     val w = new Writer

@@ -373,6 +373,46 @@ class ParquetInteropSpec extends AnyFunSuite {
     }
   }
 
+  test("writer v2 pages: flat + LIST + MAP roundtrip through our reader") {
+    val tmp = java.nio.file.Files.createTempDirectory("pqw2").toString
+    val path = s"$tmp/v2.parquet"
+    import org.apache.spark.sql.types._
+    val schema = StructType(Seq(
+      StructField("id", LongType),
+      StructField("s", StringType),
+      StructField("xs", ArrayType(IntegerType)),
+      StructField("m", MapType(StringType, LongType))))
+    val rows = (0 until 700).map { i =>
+      org.apache.spark.sql.Row(
+        i.toLong,
+        if (i % 13 == 0) null else s"s${i % 9}",
+        if (i % 6 == 0) null else Seq(i, i * 2),
+        if (i % 4 == 0) Map.empty[String, Long] else Map(s"k${i % 3}" -> i.toLong))
+    }
+    val n = ParquetFileWriter.writeFile(path, schema, rows.iterator,
+      rowGroupRows = 256, codec = PqCodec.Snappy, pageVersion = 2)
+    assert(n == 700)
+    // header sanity: first page of col 0 after the dict page is DATA_PAGE_V2
+    val bytes = java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(path))
+    val meta = ParquetFileReader.readFooter(bytes)
+    val cm = meta.rowGroups.head.columns.head
+    val ph = ParquetMeta.parsePageHeader(bytes, cm.dataPageOffset.toInt)
+    assert(ph.pageType == 3)
+    assert(ph.numRows == 256)
+    val (names, got) = ParquetFileReader.readFileRows(path)
+    assert(names == Seq("id", "s", "xs", "m"))
+    assert(got.size == 700)
+    (0 until 700).foreach { i =>
+      val r = got(i)
+      assert(r("id") == i.toLong)
+      if (i % 13 == 0) assert(r("s") == null) else assert(r("s") == s"s${i % 9}")
+      if (i % 6 == 0) assert(r("xs") == null)
+      else assert(r("xs") == Vector(i, i * 2))
+      if (i % 4 == 0) assert(r("m") == Vector())
+      else assert(r("m") == Vector((s"k${i % 3}", i.toLong)))
+    }
+  }
+
   test("writer roundtrip: our file reads back through our reader") {
     val tmp = java.nio.file.Files.createTempDirectory("pqw").toString
     val path = s"$tmp/rt.parquet"
