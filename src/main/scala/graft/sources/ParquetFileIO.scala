@@ -318,6 +318,55 @@ object ParquetFileReader {
     (names, merged)
   }
 
+  // ------------------------------------------------ statistics pruning
+  // Row-group filtering over footer min/max — the reference's unrealized
+  // TODO (`/root/reference/src/file/reader.rs:198`); stats themselves are
+  // its statistics.rs layer. Pruned groups are never read or decoded.
+
+  private def chunkFor(meta: PqFileMeta, rg: Int,
+      colName: String): Option[PqColumnMeta] =
+    meta.rowGroups(rg).columns.find(c =>
+      c.pathInSchema.headOption.contains(colName))
+
+  /** Row groups whose `col` [min,max] may intersect [lo,hi] — INT32/INT64
+    * stat encoding (LE). Groups without usable stats are kept (sound). */
+  def rowGroupsInRange(meta: PqFileMeta, colName: String, lo: Long,
+      hi: Long): Seq[Int] =
+    meta.rowGroups.indices.filter { rg =>
+      chunkFor(meta, rg, colName).flatMap(_.stats) match {
+        case Some(st) if st.min.nonEmpty && st.max.nonEmpty =>
+          MinMax.leToLong(st.max) >= lo && MinMax.leToLong(st.min) <= hi
+        case _ => true
+      }
+    }
+
+  /** Same for BYTE_ARRAY columns (unsigned lexicographic compare; sound
+    * under stat truncation — truncated min is still a lower bound and the
+    * truncated max is rounded UP, an empty max meaning unbounded). */
+  def rowGroupsInRangeBytes(meta: PqFileMeta, colName: String,
+      lo: Array[Byte], hi: Array[Byte]): Seq[Int] =
+    meta.rowGroups.indices.filter { rg =>
+      chunkFor(meta, rg, colName).flatMap(_.stats) match {
+        case Some(st) if st.min.nonEmpty =>
+          MinMax.compareBytes(st.min, hi) <= 0 &&
+            (st.max.isEmpty || MinMax.compareBytes(st.max, lo) >= 0)
+        case _ => true
+      }
+    }
+
+  /** Assembled records from only the row groups surviving a [lo,hi] range
+    * predicate on an INT32/INT64 column. */
+  def readFileRowsWhere(path: String, colName: String, lo: Long,
+      hi: Long): (Seq[String], IndexedSeq[PqGroupVal]) = {
+    val bytes = java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(path))
+    val meta = readFooter(bytes)
+    val (rootChildren, _) = schemaTree(meta)
+    val names = rootChildren.map(_.elem.name)
+    val rows = rowGroupsInRange(meta, colName, lo, hi)
+      .flatMap(rg => readRows(bytes, meta, rg))
+    (names, rows.toIndexedSeq)
+  }
+
   // --------------------------------------------------- record assembly
 
   /** An assembled group (struct / record) value. */

@@ -215,6 +215,22 @@ object ParquetFileWriter {
       codec: Int, pageVersion: Int): PqColumnMeta = {
     val typ = pqTypeOf(dt)
 
+    var numNulls = 0
+    if (defLevels != null) {
+      var i = 0
+      while (i < numValues) {
+        if (defLevels(i).toInt != maxDef) numNulls += 1
+        i += 1
+      }
+    }
+    // chunk statistics: stat-encoded min/max over the non-null values plus
+    // the null count (the reference's statistics.rs fields; its own writer
+    // left them TODO — writer.rs:352)
+    val stats = {
+      val (mn, mx) = MinMax.compute(vec)
+      Some(PqStats(mn, mx, numNulls.toLong))
+    }
+
     // dictionary attempt (first-seen order, like the reference's writer)
     val dictPair: Option[(Int, Array[Byte], Array[Byte])] = buildDict(vec)
 
@@ -245,14 +261,6 @@ object ParquetFileWriter {
         if (repLevels == null) Array.emptyByteArray
         else levelStreamV2(repLevels, numValues, 1)
       val defStream = levelStreamV2(defLevels, numValues, defWidth)
-      var numNulls = 0
-      if (defLevels != null) {
-        var i = 0
-        while (i < numValues) {
-          if (defLevels(i).toInt != maxDef) numNulls += 1
-          i += 1
-        }
-      }
       var numRows = numValues
       if (repLevels != null) {
         numRows = 0
@@ -287,7 +295,7 @@ object ParquetFileWriter {
       else Seq(PqEncoding.Rle, valueEnc, PqEncoding.Plain)
     PqColumnMeta(typ, encodings, path, codec, numValues.toLong, uncTotal,
       endOff - startOff, dataPageOffset = dataOff,
-      dictionaryPageOffset = dictOff)
+      dictionaryPageOffset = dictOff, stats = stats)
   }
 
   /** (entries, PLAIN dict page bytes, id page bytes incl. leading bit-width

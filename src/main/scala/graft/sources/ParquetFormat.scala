@@ -221,6 +221,12 @@ final case class PqSchemaElement(
     scale: Int = -1,
     precision: Int = -1)
 
+/** Column chunk statistics (public parquet.thrift Statistics; the
+  * reference parses these in `/root/reference/src/file/statistics.rs`).
+  * `min`/`max` use the stat encoding (LE ints, raw bytes for BYTE_ARRAY,
+  * possibly truncated); empty array = unbounded/absent. */
+final case class PqStats(min: Array[Byte], max: Array[Byte], nullCount: Long)
+
 final case class PqColumnMeta(
     typ: Int,
     encodings: Seq[Int],
@@ -230,7 +236,8 @@ final case class PqColumnMeta(
     totalUncompressedSize: Long,
     totalCompressedSize: Long,
     dataPageOffset: Long,
-    dictionaryPageOffset: Long = -1L) // -1 = absent
+    dictionaryPageOffset: Long = -1L, // -1 = absent
+    stats: Option[PqStats] = None)
 
 final case class PqRowGroup(
     columns: Seq[PqColumnMeta],
@@ -384,6 +391,7 @@ object ParquetMeta {
     var totalComp = 0L
     var dataOff = 0L
     var dictOff = -1L
+    var stats: Option[PqStats] = None
     var last = 0
     var done = false
     while (!done) {
@@ -400,13 +408,49 @@ object ParquetMeta {
           case 7 => totalComp = r.zigzag()
           case 9 => dataOff = r.zigzag()
           case 11 => dictOff = r.zigzag()
+          case 12 => stats = parseStatistics(r)
           case _ => r.skip(t)
         }
         last = id
       }
     }
     PqColumnMeta(typ, encodings, path, codec, numValues, totalUnc, totalComp,
-      dataOff, dictOff)
+      dataOff, dictOff, stats)
+  }
+
+  /** Statistics { 1: max (legacy), 2: min (legacy), 3: null_count,
+    * 4: distinct_count, 5: max_value, 6: min_value }; the modern 5/6 pair
+    * wins over the legacy 1/2 when both are present. */
+  private def parseStatistics(r: Reader): Option[PqStats] = {
+    var minLegacy: Array[Byte] = null
+    var maxLegacy: Array[Byte] = null
+    var minV: Array[Byte] = null
+    var maxV: Array[Byte] = null
+    var nullCount = -1L
+    var last = 0
+    var done = false
+    while (!done) {
+      val (id, t) = r.fieldHeader(last)
+      if (t == TStop) done = true
+      else {
+        id match {
+          case 1 => maxLegacy = r.binary()
+          case 2 => minLegacy = r.binary()
+          case 3 => nullCount = r.zigzag()
+          case 5 => maxV = r.binary()
+          case 6 => minV = r.binary()
+          case _ => r.skip(t)
+        }
+        last = id
+      }
+    }
+    val mn = if (minV != null) minV else minLegacy
+    val mx = if (maxV != null) maxV else maxLegacy
+    if (mn == null && mx == null && nullCount < 0) None
+    else Some(PqStats(
+      if (mn == null) Array.emptyByteArray else mn,
+      if (mx == null) Array.emptyByteArray else mx,
+      math.max(nullCount, 0L)))
   }
 
   def parsePageHeader(buf: Array[Byte], off: Int): PqPageHeader = {
@@ -582,6 +626,21 @@ object ParquetMeta {
     w.i64Field(6, 5, cm.totalUncompressedSize)
     w.i64Field(7, 6, cm.totalCompressedSize)
     w.i64Field(9, 7, cm.dataPageOffset)
-    if (cm.dictionaryPageOffset >= 0) w.i64Field(11, 9, cm.dictionaryPageOffset)
+    var last = 9
+    if (cm.dictionaryPageOffset >= 0) {
+      w.i64Field(11, 9, cm.dictionaryPageOffset)
+      last = 11
+    }
+    cm.stats.foreach { st =>
+      // write both the modern (5/6) and legacy (1/2) pairs, like parquet-mr
+      w.fieldHeader(12, TStruct, last)
+      var l2 = 0
+      if (st.max.nonEmpty) { w.fieldHeader(1, TBinary, l2); w.binary(st.max); l2 = 1 }
+      if (st.min.nonEmpty) { w.fieldHeader(2, TBinary, l2); w.binary(st.min); l2 = 2 }
+      w.i64Field(3, l2, st.nullCount); l2 = 3
+      if (st.max.nonEmpty) { w.fieldHeader(5, TBinary, l2); w.binary(st.max); l2 = 5 }
+      if (st.min.nonEmpty) { w.fieldHeader(6, TBinary, l2); w.binary(st.min) }
+      w.stop()
+    }
   }
 }

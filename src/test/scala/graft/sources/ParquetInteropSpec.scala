@@ -413,6 +413,54 @@ class ParquetInteropSpec extends AnyFunSuite {
     }
   }
 
+  test("footer statistics: written, parsed back, and row groups prune") {
+    val tmp = java.nio.file.Files.createTempDirectory("pqst").toString
+    val path = s"$tmp/stats.parquet"
+    import org.apache.spark.sql.types._
+    val schema = StructType(Seq(
+      StructField("id", LongType),
+      StructField("name", StringType)))
+    // 10 row groups of 100 sorted ids → group g covers [100g, 100g+99]
+    val rows = (0 until 1000).map { i =>
+      org.apache.spark.sql.Row(i.toLong,
+        if (i % 17 == 0) null else f"name-$i%04d")
+    }
+    ParquetFileWriter.writeFile(path, schema, rows.iterator,
+      rowGroupRows = 100, codec = PqCodec.Snappy)
+    val bytes = java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(path))
+    val meta = ParquetFileReader.readFooter(bytes)
+    assert(meta.rowGroups.size == 10)
+    val st0 = meta.rowGroups(0).columns(0).stats.get
+    assert(graft.core.MinMax.leToLong(st0.min) == 0L)
+    assert(graft.core.MinMax.leToLong(st0.max) == 99L)
+    val stName = meta.rowGroups(3).columns(1).stats.get
+    assert(new String(stName.min, "UTF-8") == "name-0300")
+    assert(stName.nullCount > 0)
+
+    assert(ParquetFileReader.rowGroupsInRange(meta, "id", 250, 420) ==
+      Seq(2, 3, 4))
+    assert(ParquetFileReader.rowGroupsInRange(meta, "id", 5000, 6000).isEmpty)
+    assert(ParquetFileReader.rowGroupsInRangeBytes(meta, "name",
+      "name-0500".getBytes, "name-0501".getBytes) == Seq(5))
+
+    val (_, got) = ParquetFileReader.readFileRowsWhere(path, "id", 250, 420)
+    assert(got.map(_("id")) == (200L until 500L).toIndexedSeq)
+  }
+
+  test("footer statistics: externally-written files carry parseable stats") {
+    // Spark/parquet-mr testdata files — independent writers whose stats our
+    // thrift parser must understand
+    val bytes = java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get("/root/testdata/sf0.001/orders.parquet"))
+    val meta = ParquetFileReader.readFooter(bytes)
+    val leaves = ParquetFileReader.leafColumns(meta, 0)
+    val okey = leaves.find(_.path == Seq("o_orderkey")).get
+    val st = okey.meta.stats.get
+    assert(st.min.nonEmpty && st.max.nonEmpty)
+    assert(graft.core.MinMax.leToLong(st.min) <=
+      graft.core.MinMax.leToLong(st.max))
+  }
+
   test("writer roundtrip: our file reads back through our reader") {
     val tmp = java.nio.file.Files.createTempDirectory("pqw").toString
     val path = s"$tmp/rt.parquet"
