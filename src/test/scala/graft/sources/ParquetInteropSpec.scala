@@ -335,6 +335,44 @@ class ParquetInteropSpec extends AnyFunSuite {
     assert(cols(1).take(3) == IndexedSeq(-1929575853, 88299796, 1325909065))
   }
 
+  test("golden: commits.parquet (parquet-cpp, gzip, 23 cols, dict→PLAIN fallback)") {
+    // real-world file: the `message` chunk switches encodings mid-chunk
+    // (dict pages then PLAIN after dictionary overflow). Aggregates
+    // cross-checked with an independent reader (DuckDB).
+    val (names, cols) = ParquetFileReader.readFile(s"$dataDir/commits.parquet")
+    assert(names.size == 23)
+    assert(cols.forall(_.size == 14444))
+    assert(cols(names.indexOf("id")).map(str(_)).distinct.size == 14444)
+    assert(cols(names.indexOf("nfiles")).map(_.asInstanceOf[Int].toLong).sum == 60993L)
+    assert(cols(names.indexOf("ismerge")).count(_ == true) == 887)
+    assert(cols(names.indexOf("author_time")).map(_.asInstanceOf[Long]).min ==
+      1237717800000L)
+    assert(cols(names.indexOf("committer_time")).map(_.asInstanceOf[Long]).max ==
+      1515670857000L)
+  }
+
+  test("golden: stock_simulated.parquet (snappy doubles, an all-null column)") {
+    val (names, cols) =
+      ParquetFileReader.readFile(s"$dataDir/stock_simulated.parquet")
+    assert(names.size == 22)
+    assert(cols.forall(_.size == 42000))
+    val bp1 = cols(names.indexOf("bp1")).map(_.asInstanceOf[Double]).sum
+    assert(math.abs(bp1 - 2937216.7) < 0.5)
+    assert(cols(names.indexOf("valid")).forall(_ == null))
+    val idx = cols(names.indexOf("__index_level_0__")).map(_.asInstanceOf[Long])
+    assert(idx.min == 34200922L && idx.max == 57599999L)
+  }
+
+  test("golden: nation.dict-malformed.parquet still decodes") {
+    val (names, cols) =
+      ParquetFileReader.readFile(s"$dataDir/nation.dict-malformed.parquet")
+    assert(names == Seq("nation_key", "name", "region_key", "comment_col"))
+    assert(cols(0).map(_.asInstanceOf[Int]).sum == 300)
+    assert(cols(2).map(_.asInstanceOf[Int]).sum == 50)
+    val nm = cols(1).map(str(_))
+    assert(nm.min == "ALGERIA" && nm.max == "VIETNAM")
+  }
+
   test("nested writer roundtrip: LIST and MAP columns through our reader") {
     val tmp = java.nio.file.Files.createTempDirectory("pqwn").toString
     val path = s"$tmp/nested.parquet"
