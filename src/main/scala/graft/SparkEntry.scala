@@ -238,6 +238,24 @@ object SparkEntry {
           sum(col("doc_id")).as("sum_id"))
         .orderBy("lang")
     }),
+    "q_parquet_dist_read" -> ((s, dir) => {
+      // full our-writer -> our-reader loop, DISTRIBUTED both ways: sink
+      // writes per-partition files (sorted, small row groups), source
+      // parallelizes the file list and prunes row groups via footer stats
+      // inside each task before decoding; exact filter on top.
+      val in = docs(s, dir).select("doc_id", "lang", "text")
+      val out = java.nio.file.Files.createTempDirectory("graft-pqsrc").toString
+      graft.sources.ParquetSink.write(
+        in.repartition(4).sortWithinPartitions("doc_id"), out,
+        rowGroupRows = 1 << 10).count()
+      graft.sources.ParquetSource.read(s, out,
+          range = Some(("doc_id", 100L, 2000L)))
+        .filter(col("doc_id").between(100, 2000))
+        .groupBy("lang").agg(count(lit(1)).as("cnt"),
+          sum(length(col("text"))).as("chars"),
+          sum(col("doc_id")).as("sum_id"))
+        .orderBy("lang")
+    }),
     // ---- encoder lineage + selector (oracle checks the byte accounting)
     "q_enc_lineage_bytes" -> ((s, dir) => {
       val chunks = EncodeJob.encode(docs(s, dir), numPartitions = 8,
@@ -418,6 +436,8 @@ object SparkEntry {
       "SELECT lang, count(*) AS cnt, CAST(sum(length(text)) AS BIGINT) AS chars, CAST(sum(doc_id) AS BIGINT) AS sum_id FROM documents GROUP BY lang ORDER BY lang",
     "q_parquet_file_v2" ->
       "SELECT lang, count(*) AS cnt, CAST(sum(length(text)) AS BIGINT) AS chars, CAST(sum(doc_id) AS BIGINT) AS sum_id FROM documents GROUP BY lang ORDER BY lang",
+    "q_parquet_dist_read" ->
+      "SELECT lang, count(*) AS cnt, CAST(sum(length(text)) AS BIGINT) AS chars, CAST(sum(doc_id) AS BIGINT) AS sum_id FROM documents WHERE doc_id BETWEEN 100 AND 2000 GROUP BY lang ORDER BY lang",
     "q_rt_nulls" ->
       ("SELECT count(*) AS n, " +
         "count(CASE WHEN n_chars % 7 = 0 THEN NULL ELSE source END) AS nn_source, " +

@@ -497,6 +497,41 @@ class SparkE2ESpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(spark.read.parquet(dir3).count() == 50)
   }
 
+  test("distributed ParquetSource: our writer -> our reader as a DataFrame") {
+    import graft.sources.{ParquetSink, ParquetSource, PqCodec}
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    val schema = StructType(Seq(
+      StructField("id", LongType),
+      StructField("day", DateType),
+      StructField("ts", TimestampType),
+      StructField("amt", DecimalType(12, 2)),
+      StructField("tags", ArrayType(StringType)),
+      StructField("m", MapType(StringType, LongType))))
+    val rows = (0 until 400).map { i =>
+      Row(i.toLong,
+        java.sql.Date.valueOf(java.time.LocalDate.ofEpochDay(18000L + i)),
+        java.sql.Timestamp.from(java.time.Instant.ofEpochSecond(1600000000L + i, 123456000L)),
+        new java.math.BigDecimal(s"${i * 7}.25"),
+        if (i % 5 == 0) null else Seq(s"a$i", "b"),
+        if (i % 3 == 0) Map.empty[String, Long] else Map("k" -> i.toLong))
+    }
+    val df = spark.createDataFrame(
+      spark.sparkContext.parallelize(rows.toSeq, 3), schema)
+    val dir = java.nio.file.Files.createTempDirectory("graft-src").toString
+    ParquetSink.write(df, dir, codec = PqCodec.Snappy, rowGroupRows = 64).count()
+    val back = ParquetSource.read(spark, dir)
+    assert(back.schema == StructType(schema.map(_.copy(nullable = true))))
+    val a = df.orderBy("id").collect().toSeq
+    val b = back.orderBy("id").collect().toSeq
+    assert(a.zip(b).forall { case (x, y) => x == y })
+    // range read prunes to surviving row groups, exact filter on top
+    val pruned = ParquetSource.read(spark, dir, range = Some(("id", 100L, 150L)))
+    val got = pruned.filter(col("id").between(100, 150)).count()
+    assert(got == 51)
+    assert(pruned.count() < 400) // some groups actually pruned
+  }
+
   test("multimodal stub plumbing: binary in, typed features out, no shuffle") {
     val bin = spark.read.parquet(s"$sfDir/documents.parquet")
       .select(col("doc_id"), col("text").cast("binary").as("payload"))
