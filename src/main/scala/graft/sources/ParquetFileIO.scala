@@ -392,15 +392,30 @@ object ParquetFileReader {
     (names, rows.toIndexedSeq)
   }
 
-  /** Assemble one row group into records. */
-  def readRows(bytes: Array[Byte], meta: PqFileMeta, rg: Int): IndexedSeq[PqGroupVal] = {
+  /** Assemble one row group into records. `projection` (top-level field
+    * names) prunes column decode: chunks of unselected fields are never
+    * decompressed or decoded — the column-pruning half of Spark's
+    * ReadSchema pushdown, applied inside our own source. */
+  def readRows(bytes: Array[Byte], meta: PqFileMeta, rg: Int,
+      projection: Set[String] = null): IndexedSeq[PqGroupVal] = {
     val (rootChildren, _) = schemaTree(meta)
+    val kept =
+      if (projection == null) rootChildren
+      else rootChildren.filter(c => projection.contains(c.elem.name))
     val leafCols = leafColumns(meta, rg)
-    val trips = leafCols.map(lc => readTriplets(bytes, lc))
-    val readers = rootChildren.map(c => buildReader(c, 0, 0, trips))
-    val names = rootChildren.map(_.elem.name)
+    val trips = new Array[Triplets](leafCols.size)
+    kept.foreach(c => leafIdxsOf(c).foreach(i =>
+      trips(i) = readTriplets(bytes, leafCols(i))))
+    val tripsSeq = scala.collection.immutable.ArraySeq.unsafeWrapArray(trips)
+    val readers = kept.map(c => buildReader(c, 0, 0, tripsSeq))
+    val names = kept.map(_.elem.name)
     val n = meta.rowGroups(rg).numRows.toInt
     (0 until n).map(_ => PqGroupVal(names, readers.map(_.read())))
+  }
+
+  private def leafIdxsOf(node: SchemaNode): Seq[Int] = node match {
+    case l: SchemaLeaf => Seq(l.leafIdx)
+    case g: SchemaGroup => g.children.flatMap(leafIdxsOf)
   }
 
   /** Assembly reader tree — the reference's `Reader` combinators

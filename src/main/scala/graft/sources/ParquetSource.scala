@@ -71,25 +71,32 @@ object ParquetSource {
 
   /** Read a directory of `.parquet` files (or one file) as a DataFrame.
     * `range = Some((col, lo, hi))` prunes row groups via footer stats
-    * inside each task before any page decode. */
+    * inside each task before any page decode; `columns` (empty = all)
+    * prunes column decode — chunks of unselected fields are never touched. */
   def read(spark: SparkSession, dir: String,
-      range: Option[(String, Long, Long)] = None): DataFrame = {
+      range: Option[(String, Long, Long)] = None,
+      columns: Seq[String] = Nil): DataFrame = {
     val f = new java.io.File(dir)
     val files =
       if (f.isFile) Array(f.getPath)
       else f.listFiles((_, n) => n.endsWith(".parquet")).map(_.getPath).sorted
     require(files.nonEmpty, s"no parquet files in $dir")
-    val schema = sparkSchema(readFooter(
+    val full = sparkSchema(readFooter(
       java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(files.head))))
+    val schema =
+      if (columns.isEmpty) full
+      else StructType(columns.map(c => full(full.fieldIndex(c))))
+    val proj = if (columns.isEmpty) null else columns.toSet
     val rdd = spark.sparkContext
       .parallelize(files.toSeq, math.max(1, files.length))
-      .flatMap(path => fileRows(path, schema, range))
+      .flatMap(path => fileRows(path, schema, range, proj))
     spark.createDataFrame(rdd, schema)
   }
 
   /** Decode one file to Spark Rows (runs inside a task). */
   def fileRows(path: String, schema: StructType,
-      range: Option[(String, Long, Long)]): Iterator[Row] = {
+      range: Option[(String, Long, Long)],
+      projection: Set[String] = null): Iterator[Row] = {
     val bytes = java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(path))
     val meta = readFooter(bytes)
     val rgs = range match {
@@ -98,7 +105,7 @@ object ParquetSource {
       case None => meta.rowGroups.indices
     }
     rgs.iterator.flatMap { rg =>
-      ParquetFileReader.readRows(bytes, meta, rg).iterator
+      ParquetFileReader.readRows(bytes, meta, rg, projection).iterator
         .map(g => toRow(g, schema))
     }
   }

@@ -530,6 +530,10 @@ class SparkE2ESpec extends AnyFunSuite with BeforeAndAfterAll {
     val got = pruned.filter(col("id").between(100, 150)).count()
     assert(got == 51)
     assert(pruned.count() < 400) // some groups actually pruned
+    // column-pruned read (reordered projection)
+    val proj = ParquetSource.read(spark, dir, columns = Seq("amt", "id"))
+    assert(proj.schema.fieldNames.toSeq == Seq("amt", "id"))
+    assert(proj.agg(sum("id")).collect()(0).getLong(0) == (0L until 400L).sum)
   }
 
   test("multimodal stub plumbing: binary in, typed features out, no shuffle") {
