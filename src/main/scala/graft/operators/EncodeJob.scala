@@ -353,9 +353,31 @@ sealed abstract class ColBuilder {
 }
 
 object ColBuilder {
+  /** Minimal FIXED_LEN_BYTE_ARRAY width for a DECIMAL(p): smallest n with
+    * 10^p - 1 representable in signed 8n-bit two's complement (public
+    * parquet logical-types rule). */
+  def decimalFlbaLen(precision: Int): Int =
+    (java.math.BigInteger.TEN.pow(precision)
+      .subtract(java.math.BigInteger.ONE).bitLength + 1 + 7) / 8
+
+  /** Big-endian two's-complement, sign-extended to exactly `len` bytes. */
+  def decimalToFlba(unscaled: java.math.BigInteger, len: Int): Array[Byte] = {
+    val raw = unscaled.toByteArray
+    require(raw.length <= len, s"decimal overflows FLBA($len)")
+    if (raw.length == len) raw
+    else {
+      val out = new Array[Byte](len)
+      if (unscaled.signum < 0) java.util.Arrays.fill(out, 0, len - raw.length,
+        0xFF.toByte)
+      System.arraycopy(raw, 0, out, len - raw.length, raw.length)
+      out
+    }
+  }
+
   def apply(dt: DataType): ColBuilder = dt match {
-    case StringType => new BytesBuilder(fromString = true)
-    case BinaryType => new BytesBuilder(fromString = false)
+    case StringType => new BytesBuilder((r, i) =>
+      r.getString(i).getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    case BinaryType => new BytesBuilder((r, i) => r.getAs[Array[Byte]](i))
     case IntegerType => new IntBuilder(null)
     case DateType => new IntBuilder((r, i) =>
       r.getDate(i).toLocalDate.toEpochDay.toInt)
@@ -373,6 +395,11 @@ object ColBuilder {
     case BooleanType => new BoolBuilder
     case dt: DecimalType if dt.precision <= 18 => new LongBuilder((r, i) =>
       r.getDecimal(i).setScale(dt.scale).unscaledValue().longValueExact())
+    case dt: DecimalType => { // p > 18: FIXED_LEN_BYTE_ARRAY path
+      val len = decimalFlbaLen(dt.precision)
+      new BytesBuilder((r, i) =>
+        decimalToFlba(r.getDecimal(i).setScale(dt.scale).unscaledValue(), len))
+    }
     case ArrayType(et, _) => new ArrayBuilder(et)
     case MapType(kt, vt, _) => new MapBuilder(kt, vt)
     case other => throw new IllegalArgumentException(
@@ -595,7 +622,8 @@ object ColBuilder {
     }
   }
 
-  private final class BytesBuilder(fromString: Boolean) extends ColBuilder {
+  private final class BytesBuilder(conv: (Row, Int) => Array[Byte])
+      extends ColBuilder {
     // arena: the row-boundary copy lands directly in one contiguous buffer;
     // the small per-row array Spark hands us dies young
     private var data = new Array[Byte](1 << 16)
@@ -604,9 +632,7 @@ object ColBuilder {
     offsets(0) = 0
     protected def addValue(row: Row, i: Int): Long = {
       if (n + 1 == offsets.length) offsets = java.util.Arrays.copyOf(offsets, offsets.length << 1)
-      val v =
-        if (fromString) row.getString(i).getBytes(java.nio.charset.StandardCharsets.UTF_8)
-        else row.getAs[Array[Byte]](i)
+      val v = conv(row, i)
       val end = offsets(n)
       if (end + v.length > data.length) {
         var cap = data.length << 1

@@ -595,6 +595,23 @@ object ParquetFileReader {
       val out = new Array[Byte](uncLen)
       com.github.luben.zstd.Zstd.decompressByteArray(out, 0, uncLen, bytes, off, compLen)
       out
+    case PqCodec.Lz4 =>
+      // legacy LZ4 = frame format (reference compression.rs lz4::Decoder)
+      val in = new net.jpountz.lz4.LZ4FrameInputStream(
+        new java.io.ByteArrayInputStream(bytes, off, compLen))
+      val out = new Array[Byte](uncLen)
+      var o = 0
+      while (o < uncLen) {
+        val k = in.read(out, o, uncLen - o)
+        if (k < 0) throw new java.io.EOFException("lz4 page truncated")
+        o += k
+      }
+      out
+    case PqCodec.Lz4Raw =>
+      val out = new Array[Byte](uncLen)
+      net.jpountz.lz4.LZ4Factory.fastestInstance().safeDecompressor()
+        .decompress(bytes, off, compLen, out, 0)
+      out
     case other => throw new IllegalArgumentException(s"codec $other not supported")
   }
 

@@ -42,11 +42,19 @@ object ParquetFileWriter {
     case IntegerType | DateType => PqType.Int32
     case LongType | TimestampType | TimestampNTZType => PqType.Int64
     case d: DecimalType if d.precision <= 18 => PqType.Int64
+    case _: DecimalType => PqType.FixedLenByteArray // p > 18: two's-comp BE
     case FloatType => PqType.Float
     case DoubleType => PqType.Double
     case StringType | BinaryType => PqType.ByteArray
     case other => throw new IllegalArgumentException(
       s"unsupported parquet writer type $other")
+  }
+
+  /** FLBA leaves (big-decimal columns): fixed raw concat on the page, no
+    * dictionary, no unsigned-lexicographic stats (sign bit breaks order). */
+  private def isFlba(dt: DataType): Boolean = dt match {
+    case d: DecimalType => d.precision > 18
+    case _ => false
   }
 
   private def convertedTypeOf(dt: DataType): Int = dt match {
@@ -144,8 +152,10 @@ object ParquetFileWriter {
         case d: DecimalType => (d.scale, d.precision)
         case _ => (-1, -1)
       }
-      PqSchemaElement(name, typ = pqTypeOf(dt), repetition = repetition,
-        convertedType = convertedTypeOf(dt), scale = sc, precision = pr)
+      val tl = if (isFlba(dt)) ColBuilder.decimalFlbaLen(pr) else -1
+      PqSchemaElement(name, typ = pqTypeOf(dt), typeLength = tl,
+        repetition = repetition, convertedType = convertedTypeOf(dt),
+        scale = sc, precision = pr)
     }
     val schemaElems = PqSchemaElement("spark_schema", numChildren = nCols) +:
       fields.toSeq.flatMap { f =>
@@ -225,14 +235,19 @@ object ParquetFileWriter {
     }
     // chunk statistics: stat-encoded min/max over the non-null values plus
     // the null count (the reference's statistics.rs fields; its own writer
-    // left them TODO — writer.rs:352)
-    val stats = {
-      val (mn, mx) = MinMax.compute(vec)
-      Some(PqStats(mn, mx, numNulls.toLong))
-    }
+    // left them TODO — writer.rs:352). FLBA decimals skip min/max: their
+    // order is SIGNED big-endian, not the unsigned-lexicographic stat order.
+    val stats =
+      if (isFlba(dt)) Some(PqStats(Array.emptyByteArray, Array.emptyByteArray,
+        numNulls.toLong))
+      else {
+        val (mn, mx) = MinMax.compute(vec)
+        Some(PqStats(mn, mx, numNulls.toLong))
+      }
 
     // dictionary attempt (first-seen order, like the reference's writer)
-    val dictPair: Option[(Int, Array[Byte], Array[Byte])] = buildDict(vec)
+    val dictPair: Option[(Int, Array[Byte], Array[Byte])] =
+      if (isFlba(dt)) None else buildDict(vec)
 
     val startOff = tell()
     var uncTotal = 0L
@@ -251,7 +266,16 @@ object ParquetFileWriter {
       if (dictIds.isEmpty) PqEncoding.Plain
       else if (pageVersion >= 2) PqEncoding.RleDictionary
       else PqEncoding.PlainDictionary
-    val valueBytes = dictIds.getOrElse(PlainCodec.encode(vec))
+    val valueBytes = dictIds.getOrElse {
+      if (isFlba(dt)) {
+        // FLBA PLAIN: raw fixed-size concat, no length prefixes
+        val v = vec.asInstanceOf[BytesVec]
+        val nVals = v.length
+        if (nVals == 0) Array.emptyByteArray
+        else java.util.Arrays.copyOfRange(v.data, v.start(0),
+          v.start(nVals - 1) + v.len(nVals - 1))
+      } else PlainCodec.encode(vec)
+    }
     val dataOff = tell()
 
     if (pageVersion >= 2) {
@@ -363,6 +387,13 @@ object ParquetFileWriter {
       val gz = new java.util.zip.GZIPOutputStream(bos)
       gz.write(content); gz.close()
       bos.toByteArray
+    case PqCodec.Lz4Raw =>
+      // modern unambiguous LZ4 id (the legacy id-5 framing is reader-only:
+      // different ecosystems disagree on its frame layout)
+      val c = net.jpountz.lz4.LZ4Factory.fastestInstance().fastCompressor()
+      val out = new Array[Byte](c.maxCompressedLength(content.length))
+      val n = c.compress(content, 0, content.length, out, 0)
+      java.util.Arrays.copyOf(out, n)
     case other => throw new IllegalArgumentException(s"writer codec $other")
   }
 }

@@ -197,8 +197,9 @@ object PqCodec {
   val Snappy = 1
   val Gzip = 2
   val Brotli = 4
-  val Lz4 = 5
+  val Lz4 = 5 // legacy: LZ4 frame format (what the reference's lz4 crate speaks)
   val Zstd = 6
+  val Lz4Raw = 7 // raw LZ4 block format
 }
 
 object PqConvertedType {
@@ -588,6 +589,7 @@ object ParquetMeta {
   private def writeSchemaElement(w: Writer, se: PqSchemaElement): Unit = {
     var last = 0
     if (se.typ >= 0) { w.i32Field(1, last, se.typ); last = 1 }
+    if (se.typeLength > 0) { w.i32Field(2, last, se.typeLength); last = 2 }
     if (se.repetition >= 0) { w.i32Field(3, last, se.repetition); last = 3 }
     w.fieldHeader(4, TBinary, last); w.string(se.name); last = 4
     if (se.numChildren > 0) { w.i32Field(5, last, se.numChildren); last = 5 }

@@ -52,7 +52,10 @@ object ParquetSource {
   private def leafType(se: PqSchemaElement): DataType = se.typ match {
     case PqType.Boolean => BooleanType
     case PqType.Int32 =>
-      if (se.convertedType == PqConvertedType.Date) DateType else IntegerType
+      if (se.convertedType == PqConvertedType.Date) DateType
+      else if (se.convertedType == PqConvertedType.Decimal)
+        DecimalType(se.precision, se.scale)
+      else IntegerType
     case PqType.Int64 =>
       if (se.convertedType == PqConvertedType.TimestampMicros) TimestampType
       else if (se.convertedType == PqConvertedType.Decimal)
@@ -64,8 +67,13 @@ object ParquetSource {
     case PqType.ByteArray =>
       if (se.convertedType == PqConvertedType.Utf8 || se.convertedType == 4)
         StringType
+      else if (se.convertedType == PqConvertedType.Decimal)
+        DecimalType(se.precision, se.scale)
       else BinaryType
-    case PqType.FixedLenByteArray => BinaryType
+    case PqType.FixedLenByteArray =>
+      if (se.convertedType == PqConvertedType.Decimal)
+        DecimalType(se.precision, se.scale)
+      else BinaryType
     case other => throw new IllegalArgumentException(s"leaf type $other")
   }
 
@@ -128,8 +136,12 @@ object ParquetSource {
         ts.setNanos((Math.floorMod(micros, 1000000L) * 1000L).toInt)
         ts
       case d: DecimalType =>
-        BigDecimal(BigInt(v.asInstanceOf[Long]), d.scale)
-          .bigDecimal.setScale(d.scale)
+        val unscaled = v match {
+          case l: Long => java.math.BigInteger.valueOf(l)
+          case i: Int => java.math.BigInteger.valueOf(i.toLong)
+          case b: Array[Byte] => new java.math.BigInteger(b) // signed BE
+        }
+        new java.math.BigDecimal(unscaled, d.scale)
       case ArrayType(et, _) => v.asInstanceOf[Vector[Any]].map(convert(_, et))
       case MapType(kt, vt, _) =>
         v.asInstanceOf[Vector[(Any, Any)]]

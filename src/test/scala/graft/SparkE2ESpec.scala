@@ -495,6 +495,11 @@ class SparkE2ESpec extends AnyFunSuite with BeforeAndAfterAll {
     val dir3 = java.nio.file.Files.createTempDirectory("graft-pq3").toString
     ParquetSink.write(docs.limit(50), dir3, codec = PqCodec.Gzip).count()
     assert(spark.read.parquet(dir3).count() == 50)
+    // LZ4_RAW pages: consumed by Spark's reader and our own
+    val dir4 = java.nio.file.Files.createTempDirectory("graft-pq4").toString
+    ParquetSink.write(docs.limit(80), dir4, codec = PqCodec.Lz4Raw).count()
+    assert(spark.read.parquet(dir4).count() == 80)
+    assert(graft.sources.ParquetSource.read(spark, dir4).count() == 80)
   }
 
   test("distributed ParquetSource: our writer -> our reader as a DataFrame") {
@@ -534,6 +539,36 @@ class SparkE2ESpec extends AnyFunSuite with BeforeAndAfterAll {
     val proj = ParquetSource.read(spark, dir, columns = Seq("amt", "id"))
     assert(proj.schema.fieldNames.toSeq == Seq("amt", "id"))
     assert(proj.agg(sum("id")).collect()(0).getLong(0) == (0L until 400L).sum)
+  }
+
+  test("big decimals (p>18) roundtrip as FLBA through both readers") {
+    import graft.sources.{ParquetSink, ParquetSource}
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    val schema = StructType(Seq(
+      StructField("id", LongType),
+      StructField("amt", DecimalType(25, 4))))
+    val rows = (0 until 300).map { i =>
+      val sign = if (i % 2 == 0) "" else "-"
+      Row(i.toLong, new java.math.BigDecimal(
+        s"${sign}123456789012345678${i % 10}.${1000 + i % 9000}"))
+    }
+    val df = spark.createDataFrame(
+      spark.sparkContext.parallelize(rows.toSeq, 2), schema)
+    val dir = java.nio.file.Files.createTempDirectory("graft-flba").toString
+    ParquetSink.write(df, dir, rowGroupRows = 128).count()
+    // external anchor: Spark's own reader decodes our FLBA decimal pages
+    val viaSpark = spark.read.parquet(dir).orderBy("id").collect()
+    val exp = rows.sortBy(_.getLong(0))
+    assert(viaSpark.length == 300)
+    viaSpark.zip(exp).foreach { case (a, e) =>
+      assert(a.getDecimal(1).compareTo(e.getDecimal(1)) == 0)
+    }
+    // our own distributed reader agrees
+    val viaOurs = ParquetSource.read(spark, dir).orderBy("id").collect()
+    viaOurs.zip(exp).foreach { case (a, e) =>
+      assert(a.getDecimal(1).compareTo(e.getDecimal(1)) == 0)
+    }
   }
 
   test("multimodal stub plumbing: binary in, typed features out, no shuffle") {
