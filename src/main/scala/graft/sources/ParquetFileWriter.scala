@@ -34,6 +34,10 @@ object ParquetFileWriter {
 
   val DictMaxEntries = 65536
   val DictMaxBytes: Long = 1L << 20
+  /** Target data-page size — the reference's DEFAULT_PAGE_SIZE
+    * (`/root/reference/src/file/properties.rs:56`). Flat PLAIN chunks
+    * larger than this are cut into multiple pages. */
+  val PageBytes: Long = 1L << 20
 
   private final case class ChunkInfo(meta: PqColumnMeta)
 
@@ -266,52 +270,92 @@ object ParquetFileWriter {
       if (dictIds.isEmpty) PqEncoding.Plain
       else if (pageVersion >= 2) PqEncoding.RleDictionary
       else PqEncoding.PlainDictionary
-    val valueBytes = dictIds.getOrElse {
-      if (isFlba(dt)) {
-        // FLBA PLAIN: raw fixed-size concat, no length prefixes
-        val v = vec.asInstanceOf[BytesVec]
-        val nVals = v.length
-        if (nVals == 0) Array.emptyByteArray
-        else java.util.Arrays.copyOfRange(v.data, v.start(0),
-          v.start(nVals - 1) + v.len(nVals - 1))
-      } else PlainCodec.encode(vec)
-    }
     val dataOff = tell()
 
-    if (pageVersion >= 2) {
-      // DATA_PAGE_V2: prefix-free uncompressed level streams + compressed
-      // values (reference writer.rs DataPageV2 serialization path)
-      val repStream =
-        if (repLevels == null) Array.emptyByteArray
-        else levelStreamV2(repLevels, numValues, 1)
-      val defStream = levelStreamV2(defLevels, numValues, defWidth)
-      var numRows = numValues
-      if (repLevels != null) {
-        numRows = 0
-        var i = 0
-        while (i < numValues) { if (repLevels(i) == 0) numRows += 1; i += 1 }
+    /** Emit one data page: `n` slots, the page's def-level slice (null =
+      * no nulls anywhere), its rep-level slice (null for flat leaves), and
+      * its encoded values. */
+    def emitPage(n: Int, defs: Array[Byte], reps: Array[Byte],
+        vals: Array[Byte]): Unit = {
+      if (pageVersion >= 2) {
+        // DATA_PAGE_V2: prefix-free uncompressed level streams + compressed
+        // values (reference writer.rs DataPageV2 serialization path)
+        val repStream =
+          if (reps == null) Array.emptyByteArray else levelStreamV2(reps, n, 1)
+        val defStream = levelStreamV2(defs, n, defWidth)
+        var nulls = 0
+        if (defs != null) {
+          var i = 0
+          while (i < n) { if (defs(i).toInt != maxDef) nulls += 1; i += 1 }
+        }
+        var nRows = n
+        if (reps != null) {
+          nRows = 0
+          var i = 0
+          while (i < n) { if (reps(i) == 0) nRows += 1; i += 1 }
+        }
+        val comp = compress(vals, codec)
+        val lvlLen = repStream.length + defStream.length
+        val header = ParquetMeta.writePageHeaderV2(n, nulls, nRows,
+          valueEnc, lvlLen + vals.length, lvlLen + comp.length,
+          defStream.length, repStream.length)
+        write(header); write(repStream); write(defStream); write(comp)
+        uncTotal += header.length + lvlLen + vals.length
+      } else {
+        // v1 page body: [repLevels][defLevels][values], one compressed region
+        val repBytes =
+          if (reps == null) Array.emptyByteArray else levelStream(reps, n, 1)
+        val content = repBytes ++ levelStream(defs, n, defWidth) ++ vals
+        val repEnc =
+          if (reps == null) PqEncoding.BitPacked else PqEncoding.Rle
+        val comp = compress(content, codec)
+        val header = ParquetMeta.writePageHeaderV1(n, valueEnc,
+          content.length, comp.length, repEnc)
+        write(header); write(comp)
+        uncTotal += header.length + content.length
       }
-      val comp = compress(valueBytes, codec)
-      val lvlLen = repStream.length + defStream.length
-      val header = ParquetMeta.writePageHeaderV2(numValues, numNulls, numRows,
-        valueEnc, lvlLen + valueBytes.length, lvlLen + comp.length,
-        defStream.length, repStream.length)
-      write(header); write(repStream); write(defStream); write(comp)
-      uncTotal += header.length + lvlLen + valueBytes.length
+    }
+
+    // Flat PLAIN chunks above the reference's DEFAULT_PAGE_SIZE are cut into
+    // ~1 MiB pages (reference writer.rs:359-433). Dict chunks keep one id
+    // stream (bounded by the 1 MiB dict limit + id widths), FLBA and
+    // repeated leaves stay single-page (rep streams would need
+    // record-aligned splits).
+    if (dictIds.isEmpty && repLevels == null && !isFlba(dt) &&
+        plainSizeOf(vec) > PageBytes) {
+      var r0 = 0
+      var v0 = 0
+      var r = 0
+      var v = 0
+      var acc = 0L
+      def cut(rEnd: Int, vEnd: Int): Unit = {
+        val defsSlice =
+          if (defLevels == null) null
+          else java.util.Arrays.copyOfRange(defLevels, r0, rEnd)
+        val slice = ChunkCodecSupport.gather(vec, Array.range(v0, vEnd))
+        emitPage(rEnd - r0, defsSlice, null, PlainCodec.encode(slice))
+        r0 = rEnd; v0 = vEnd; acc = 0L
+      }
+      while (r < numValues) {
+        if (defLevels == null || defLevels(r).toInt == maxDef) {
+          acc += valueSizeOf(vec, v); v += 1
+        }
+        r += 1
+        if (acc >= PageBytes && r < numValues) cut(r, v)
+      }
+      cut(numValues, v)
     } else {
-      // v1 page body: [repLevels][defLevels][values], one compressed region
-      val repBytes =
-        if (repLevels == null) Array.emptyByteArray
-        else levelStream(repLevels, numValues, 1)
-      val content = repBytes ++ levelStream(defLevels, numValues, defWidth) ++
-        valueBytes
-      val repEnc =
-        if (repLevels == null) PqEncoding.BitPacked else PqEncoding.Rle
-      val comp = compress(content, codec)
-      val header = ParquetMeta.writePageHeaderV1(numValues, valueEnc,
-        content.length, comp.length, repEnc)
-      write(header); write(comp)
-      uncTotal += header.length + content.length
+      val valueBytes = dictIds.getOrElse {
+        if (isFlba(dt)) {
+          // FLBA PLAIN: raw fixed-size concat, no length prefixes
+          val v = vec.asInstanceOf[BytesVec]
+          val nVals = v.length
+          if (nVals == 0) Array.emptyByteArray
+          else java.util.Arrays.copyOfRange(v.data, v.start(0),
+            v.start(nVals - 1) + v.len(nVals - 1))
+        } else PlainCodec.encode(vec)
+      }
+      emitPage(numValues, defLevels, repLevels, valueBytes)
     }
     val endOff = tell()
     val encodings =
@@ -320,6 +364,27 @@ object ParquetFileWriter {
     PqColumnMeta(typ, encodings, path, codec, numValues.toLong, uncTotal,
       endOff - startOff, dataPageOffset = dataOff,
       dictionaryPageOffset = dictOff, stats = stats)
+  }
+
+  /** PLAIN-encoded size of a whole vector (bools counted one byte — a safe
+    * overestimate keeps page cuts conservative). */
+  private def plainSizeOf(vec: ColVec): Long = vec match {
+    case BoolVec(vs) => vs.length.toLong
+    case IntVec(vs) => 4L * vs.length
+    case FloatVec(vs) => 4L * vs.length
+    case LongVec(vs) => 8L * vs.length
+    case DoubleVec(vs) => 8L * vs.length
+    case v: BytesVec =>
+      (if (v.length == 0) 0L
+       else (v.start(v.length - 1) + v.len(v.length - 1) - v.start(0)).toLong) +
+        4L * v.length
+  }
+
+  private def valueSizeOf(vec: ColVec, i: Int): Long = vec match {
+    case _: BoolVec => 1L
+    case _: IntVec | _: FloatVec => 4L
+    case _: LongVec | _: DoubleVec => 8L
+    case v: BytesVec => 4L + v.len(i)
   }
 
   /** (entries, PLAIN dict page bytes, id page bytes incl. leading bit-width

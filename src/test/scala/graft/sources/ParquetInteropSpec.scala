@@ -499,6 +499,43 @@ class ParquetInteropSpec extends AnyFunSuite {
       graft.core.MinMax.leToLong(st.max))
   }
 
+  test("page cuts: >1MiB flat PLAIN chunks split into ~1MiB pages") {
+    val tmp = java.nio.file.Files.createTempDirectory("pqpages").toString
+    for (pv <- Seq(1, 2)) {
+      val path = s"$tmp/pages-v$pv.parquet"
+      import org.apache.spark.sql.types._
+      val schema = StructType(Seq(
+        StructField("id", LongType),
+        StructField("blob", StringType)))
+      // unique 1 KiB strings -> no dictionary, ~3 MiB of PLAIN values
+      val rows = (0 until 3000).map { i =>
+        org.apache.spark.sql.Row(i.toLong,
+          if (i % 11 == 0) null else s"row-$i-" + ("abcdefgh" * 128))
+      }
+      ParquetFileWriter.writeFile(path, schema, rows.iterator,
+        rowGroupRows = 1 << 16, codec = PqCodec.Uncompressed, pageVersion = pv)
+      val bytes = java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(path))
+      val meta = ParquetFileReader.readFooter(bytes)
+      val cm = meta.rowGroups.head.columns(1) // blob
+      // walk the chunk's page headers and count data pages
+      var off = cm.dataPageOffset
+      var pages = 0
+      var seen = 0L
+      while (seen < cm.numValues) {
+        val ph = ParquetMeta.parsePageHeader(bytes, off.toInt)
+        if (ph.pageType == 0 || ph.pageType == 3) { pages += 1; seen += ph.numValues }
+        off += ph.headerLen + ph.compressedSize
+      }
+      assert(pages >= 3, s"expected multiple pages, got $pages (v$pv)")
+      val (_, cols) = ParquetFileReader.readFile(path)
+      assert(cols(0) == (0 until 3000).map(_.toLong))
+      (0 until 3000).foreach { i =>
+        if (i % 11 == 0) assert(cols(1)(i) == null)
+        else assert(str(cols(1)(i)) == s"row-$i-" + ("abcdefgh" * 128))
+      }
+    }
+  }
+
   test("column projection: unselected chunks are never decoded") {
     val tmp = java.nio.file.Files.createTempDirectory("pqproj").toString
     val path = s"$tmp/proj.parquet"
