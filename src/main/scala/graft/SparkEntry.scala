@@ -256,6 +256,23 @@ object SparkEntry {
           sum(col("doc_id")).as("sum_id"))
         .orderBy("lang")
     }),
+    "q_parquet_sql_read" -> ((s, dir) => {
+      // DataSource V2 surface: our reader mounted via spark.read.format(),
+      // queried through spark.sql — Catalyst pushes the projection and the
+      // doc_id range into the scan (row-group stats pruning + column-pruned
+      // decode inside each task).
+      val in = docs(s, dir).select("doc_id", "lang", "text")
+      val out = java.nio.file.Files.createTempDirectory("graft-dsv2q").toString
+      graft.sources.ParquetSink.write(
+        in.repartition(4).sortWithinPartitions("doc_id"), out,
+        rowGroupRows = 1 << 10).count()
+      s.read.format(graft.sources.GraftParquetFormat.Name).load(out)
+        .createOrReplaceTempView("graft_docs_v2")
+      s.sql("""SELECT lang, count(*) AS cnt,
+                      sum(length(text)) AS chars, sum(doc_id) AS sum_id
+               FROM graft_docs_v2 WHERE doc_id BETWEEN 100 AND 2000
+               GROUP BY lang ORDER BY lang""")
+    }),
     // ---- encoder lineage + selector (oracle checks the byte accounting)
     "q_enc_lineage_bytes" -> ((s, dir) => {
       val chunks = EncodeJob.encode(docs(s, dir), numPartitions = 8,
@@ -437,6 +454,8 @@ object SparkEntry {
     "q_parquet_file_v2" ->
       "SELECT lang, count(*) AS cnt, CAST(sum(length(text)) AS BIGINT) AS chars, CAST(sum(doc_id) AS BIGINT) AS sum_id FROM documents GROUP BY lang ORDER BY lang",
     "q_parquet_dist_read" ->
+      "SELECT lang, count(*) AS cnt, CAST(sum(length(text)) AS BIGINT) AS chars, CAST(sum(doc_id) AS BIGINT) AS sum_id FROM documents WHERE doc_id BETWEEN 100 AND 2000 GROUP BY lang ORDER BY lang",
+    "q_parquet_sql_read" ->
       "SELECT lang, count(*) AS cnt, CAST(sum(length(text)) AS BIGINT) AS chars, CAST(sum(doc_id) AS BIGINT) AS sum_id FROM documents WHERE doc_id BETWEEN 100 AND 2000 GROUP BY lang ORDER BY lang",
     "q_rt_nulls" ->
       ("SELECT count(*) AS n, " +

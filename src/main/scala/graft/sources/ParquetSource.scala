@@ -119,9 +119,10 @@ object ParquetSource {
   }
 
   private def toRow(g: PqGroupVal, st: StructType): Row =
-    Row.fromSeq(st.fields.toSeq.map(f => convert(g(f.name), f.dataType)))
+    Row.fromSeq(st.fields.toSeq.map(f => externalValue(g(f.name), f.dataType)))
 
-  private def convert(v: Any, dt: DataType): Any =
+  /** Assembled parquet value -> Spark external-row value for `dt`. */
+  def externalValue(v: Any, dt: DataType): Any =
     if (v == null) null
     else dt match {
       case DateType =>
@@ -142,10 +143,10 @@ object ParquetSource {
           case b: Array[Byte] => new java.math.BigInteger(b) // signed BE
         }
         new java.math.BigDecimal(unscaled, d.scale)
-      case ArrayType(et, _) => v.asInstanceOf[Vector[Any]].map(convert(_, et))
+      case ArrayType(et, _) => v.asInstanceOf[Vector[Any]].map(externalValue(_, et))
       case MapType(kt, vt, _) =>
         v.asInstanceOf[Vector[(Any, Any)]]
-          .map { case (k, vv) => convert(k, kt) -> convert(vv, vt) }.toMap
+          .map { case (k, vv) => externalValue(k, kt) -> externalValue(vv, vt) }.toMap
       case st: StructType => toRow(v.asInstanceOf[PqGroupVal], st)
       case _ => v
     }

@@ -541,6 +541,40 @@ class SparkE2ESpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(proj.agg(sum("id")).collect()(0).getLong(0) == (0L until 400L).sum)
   }
 
+  test("DataSource V2: format() read with Catalyst pushdown into our reader") {
+    import graft.sources.{GraftParquetFormat, ParquetSink}
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+      .select("doc_id", "lang", "text", "n_chars")
+    val dir = java.nio.file.Files.createTempDirectory("graft-dsv2").toString
+    ParquetSink.write(docs.repartition(3).sortWithinPartitions("doc_id"), dir,
+      rowGroupRows = 128).count()
+
+    val df = spark.read.format(GraftParquetFormat.Name).load(dir)
+    assert(df.count() == docs.count())
+
+    // projection + range filter: Catalyst pushes both into the scan
+    val q = df.select("lang", "doc_id")
+      .where(col("doc_id") >= 100 && col("doc_id") <= 400)
+    val plan = q.queryExecution.executedPlan.toString
+    assert(plan.contains("GraftParquetScan"), plan)
+    assert(plan.contains("cols=lang,doc_id") || plan.contains("cols=doc_id,lang"),
+      plan)
+    assert(plan.contains("ranges="), plan)
+
+    val exp = docs.select("lang", "doc_id")
+      .where(col("doc_id") >= 100 && col("doc_id") <= 400)
+      .orderBy("doc_id").collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    val got = q.orderBy("doc_id").collect()
+      .map(r => (r.getString(0), r.getLong(1))).toSeq
+    assert(got == exp)
+    // aggregates over the v2 path agree with Spark's reader end to end
+    val a = df.groupBy("lang").agg(sum("n_chars").as("s")).orderBy("lang")
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    val b = docs.groupBy("lang").agg(sum("n_chars").as("s")).orderBy("lang")
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    assert(a == b)
+  }
+
   test("big decimals (p>18) roundtrip as FLBA through both readers") {
     import graft.sources.{ParquetSink, ParquetSource}
     import org.apache.spark.sql.Row
