@@ -6,9 +6,10 @@ import scala.jdk.CollectionConverters._
 
 import org.apache.spark.sql.catalyst.CatalystTypeConverters
 import org.apache.spark.sql.catalyst.InternalRow
-import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.catalog.{SupportsRead, SupportsWrite, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.read._
+import org.apache.spark.sql.connector.write._
 import org.apache.spark.sql.sources._
 import org.apache.spark.sql.types.StructType
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
@@ -67,13 +68,85 @@ object GraftParquetFormat {
 }
 
 final class GraftParquetTable(dir: String, tableSchema: StructType)
-    extends Table with SupportsRead {
+    extends Table with SupportsRead with SupportsWrite {
   override def name(): String = s"graft-parquet $dir"
   override def schema(): StructType = tableSchema
   override def capabilities(): java.util.Set[TableCapability] =
-    java.util.EnumSet.of(TableCapability.BATCH_READ)
+    java.util.EnumSet.of(TableCapability.BATCH_READ,
+      TableCapability.BATCH_WRITE, TableCapability.TRUNCATE)
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new GraftScanBuilder(dir, tableSchema)
+  override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
+    new GraftWriteBuilder(dir, info.schema(), info.options())
+}
+
+/** DSv2 write path: each task streams its rows through one
+  * [[ParquetFileWriter.IncrementalFileWriter]] into a uniquely-named part
+  * file; `truncate` (SaveMode.Overwrite) clears existing part files first.
+  * Options: `codec` (snappy|gzip|zstd|lz4_raw|uncompressed), `pageVersion`
+  * (1|2), `rowGroupRows`. */
+final class GraftWriteBuilder(dir: String, schema: StructType,
+    options: CaseInsensitiveStringMap)
+    extends WriteBuilder with SupportsTruncate {
+  private var doTruncate = false
+  override def truncate(): WriteBuilder = { doTruncate = true; this }
+  override def build(): Write = new Write {
+    override def toBatch: BatchWrite = new GraftBatchWrite(dir, schema,
+      doTruncate,
+      options.getOrDefault("codec", "snappy"),
+      options.getInt("pageversion", 1),
+      options.getInt("rowgrouprows", 1 << 16))
+  }
+}
+
+final class GraftBatchWrite(dir: String, schema: StructType,
+    truncate: Boolean, codecName: String, pageVersion: Int,
+    rowGroupRows: Int) extends BatchWrite {
+  override def createBatchWriterFactory(
+      info: PhysicalWriteInfo): DataWriterFactory = {
+    val d = new java.io.File(dir)
+    d.mkdirs()
+    if (truncate)
+      d.listFiles((_, n) => n.endsWith(".parquet")).foreach(_.delete())
+    val codec = codecName.toLowerCase match {
+      case "snappy" => PqCodec.Snappy
+      case "gzip" => PqCodec.Gzip
+      case "zstd" => PqCodec.Zstd
+      case "lz4_raw" | "lz4" => PqCodec.Lz4Raw
+      case "uncompressed" | "none" => PqCodec.Uncompressed
+      case other => throw new IllegalArgumentException(s"codec $other")
+    }
+    new GraftWriterFactory(dir, schema, codec, pageVersion, rowGroupRows)
+  }
+  override def commit(messages: Array[WriterCommitMessage]): Unit = ()
+  override def abort(messages: Array[WriterCommitMessage]): Unit = ()
+}
+
+final class GraftWriterFactory(dir: String, schema: StructType, codec: Int,
+    pageVersion: Int, rowGroupRows: Int) extends DataWriterFactory {
+  override def createWriter(partitionId: Int,
+      taskId: Long): DataWriter[InternalRow] =
+    new GraftDataWriter(
+      f"$dir/part-$partitionId%05d-$taskId.parquet",
+      schema, codec, pageVersion, rowGroupRows)
+}
+
+final case class GraftCommit(path: String, rows: Long)
+  extends WriterCommitMessage
+
+final class GraftDataWriter(path: String, schema: StructType, codec: Int,
+    pageVersion: Int, rowGroupRows: Int) extends DataWriter[InternalRow] {
+  private val toScala = CatalystTypeConverters.createToScalaConverter(schema)
+  private val w = new ParquetFileWriter.IncrementalFileWriter(path, schema,
+    rowGroupRows, codec, pageVersion)
+  override def write(r: InternalRow): Unit =
+    w.add(toScala(r).asInstanceOf[org.apache.spark.sql.Row])
+  override def commit(): WriterCommitMessage = GraftCommit(path, w.close())
+  override def abort(): Unit = {
+    try w.close() catch { case _: Throwable => () }
+    new java.io.File(path).delete()
+  }
+  override def close(): Unit = ()
 }
 
 final class GraftScanBuilder(dir: String, fullSchema: StructType)

@@ -77,19 +77,45 @@ object ParquetFileWriter {
   def writeFile(path: String, schema: StructType, rows: Iterator[Row],
       rowGroupRows: Int = 1 << 16, codec: Int = PqCodec.Snappy,
       pageVersion: Int = 1): Long = {
-    val fields = schema.fields
-    val nCols = fields.length
-    val fos = new FileOutputStream(path)
-    val out = new BufferedOutputStream(fos, 1 << 16)
-    var pos = 0L
-    def write(b: Array[Byte]): Unit = { out.write(b); pos += b.length }
+    val w = new IncrementalFileWriter(path, schema, rowGroupRows, codec,
+      pageVersion)
+    rows.foreach(w.add)
+    w.close()
+  }
+
+  /** Row-at-a-time file writer — the shape DataSource V2 DataWriters need
+    * (and what the reference's SerializedFileWriter is: an open handle you
+    * push batches through, then close). */
+  final class IncrementalFileWriter(path: String, schema: StructType,
+      rowGroupRows: Int = 1 << 16, codec: Int = PqCodec.Snappy,
+      pageVersion: Int = 1) {
+    private val fields = schema.fields
+    private val nCols = fields.length
+    private val out = new BufferedOutputStream(new FileOutputStream(path), 1 << 16)
+    private var pos = 0L
+    private def write(b: Array[Byte]): Unit = { out.write(b); pos += b.length }
 
     write("PAR1".getBytes)
-    val builders = fields.map(f => ColBuilder(f.dataType))
-    val rowGroups = ArrayBuffer.empty[PqRowGroup]
-    var totalRows = 0L
+    private val builders = fields.map(f => ColBuilder(f.dataType))
+    private val rowGroups = ArrayBuffer.empty[PqRowGroup]
+    private var totalRows = 0L
+    private var buffered = 0
 
-    def flushRowGroup(buffered: Int): Unit = {
+    def add(row: Row): Unit = {
+      var c = 0
+      while (c < nCols) { builders(c).add(row, c); c += 1 }
+      buffered += 1
+      if (buffered >= rowGroupRows) { flushRowGroup(buffered); buffered = 0 }
+    }
+
+    /** Flush the tail row group, write the footer, return total rows. */
+    def close(): Long = {
+      flushRowGroup(buffered)
+      finish()
+      totalRows
+    }
+
+    private def flushRowGroup(buffered: Int): Unit = {
       if (buffered == 0) return
       val chunks = ArrayBuffer.empty[PqColumnMeta]
       var c = 0
@@ -140,18 +166,10 @@ object ParquetFileWriter {
       totalRows += buffered
     }
 
-    var buffered = 0
-    rows.foreach { row =>
-      var c = 0
-      while (c < nCols) { builders(c).add(row, c); c += 1 }
-      buffered += 1
-      if (buffered >= rowGroupRows) { flushRowGroup(buffered); buffered = 0 }
-    }
-    flushRowGroup(buffered)
-
     // schema: root group + per column either one OPTIONAL primitive, a
     // 3-level LIST group, or a MAP key_value group
-    def primitive(name: String, dt: DataType, repetition: Int): PqSchemaElement = {
+    private def primitive(name: String, dt: DataType,
+        repetition: Int): PqSchemaElement = {
       val (sc, pr) = dt match {
         case d: DecimalType => (d.scale, d.precision)
         case _ => (-1, -1)
@@ -161,34 +179,36 @@ object ParquetFileWriter {
         repetition = repetition, convertedType = convertedTypeOf(dt),
         scale = sc, precision = pr)
     }
-    val schemaElems = PqSchemaElement("spark_schema", numChildren = nCols) +:
-      fields.toSeq.flatMap { f =>
-        f.dataType match {
-          case ArrayType(et, _) => Seq(
-            PqSchemaElement(f.name, repetition = 1, numChildren = 1,
-              convertedType = PqConvertedType.List),
-            PqSchemaElement("list", repetition = 2, numChildren = 1),
-            primitive("element", et, repetition = 1))
-          case MapType(kt, vt, _) => Seq(
-            PqSchemaElement(f.name, repetition = 1, numChildren = 1,
-              convertedType = PqConvertedType.Map),
-            PqSchemaElement("key_value", repetition = 2, numChildren = 2,
-              convertedType = PqConvertedType.MapKeyValue),
-            primitive("key", kt, repetition = 0),
-            primitive("value", vt, repetition = 1))
-          case dt => Seq(primitive(f.name, dt, repetition = 1))
+    private def finish(): Unit = {
+      val schemaElems = PqSchemaElement("spark_schema", numChildren = nCols) +:
+        fields.toSeq.flatMap { f =>
+          f.dataType match {
+            case ArrayType(et, _) => Seq(
+              PqSchemaElement(f.name, repetition = 1, numChildren = 1,
+                convertedType = PqConvertedType.List),
+              PqSchemaElement("list", repetition = 2, numChildren = 1),
+              primitive("element", et, repetition = 1))
+            case MapType(kt, vt, _) => Seq(
+              PqSchemaElement(f.name, repetition = 1, numChildren = 1,
+                convertedType = PqConvertedType.Map),
+              PqSchemaElement("key_value", repetition = 2, numChildren = 2,
+                convertedType = PqConvertedType.MapKeyValue),
+              primitive("key", kt, repetition = 0),
+              primitive("value", vt, repetition = 1))
+            case dt => Seq(primitive(f.name, dt, repetition = 1))
+          }
         }
-      }
-    val footer = ParquetMeta.writeFileMeta(PqFileMeta(
-      version = 1, schema = schemaElems, numRows = totalRows,
-      rowGroups = rowGroups.toSeq, createdBy = "graft parquet writer"))
-    write(footer)
-    val lenBytes = Array[Byte](footer.length.toByte, (footer.length >>> 8).toByte,
-      (footer.length >>> 16).toByte, (footer.length >>> 24).toByte)
-    write(lenBytes)
-    write("PAR1".getBytes)
-    out.close()
-    totalRows
+      val footer = ParquetMeta.writeFileMeta(PqFileMeta(
+        version = 1, schema = schemaElems, numRows = totalRows,
+        rowGroups = rowGroups.toSeq, createdBy = "graft parquet writer"))
+      write(footer)
+      val lenBytes = Array[Byte](footer.length.toByte,
+        (footer.length >>> 8).toByte,
+        (footer.length >>> 16).toByte, (footer.length >>> 24).toByte)
+      write(lenBytes)
+      write("PAR1".getBytes)
+      out.close()
+    }
   }
 
   /** RLE level stream with the v1 4-byte LE length prefix. `levels == null`

@@ -575,6 +575,27 @@ class SparkE2ESpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(a == b)
   }
 
+  test("DataSource V2: df.write.format() writes through our file writer") {
+    import graft.sources.GraftParquetFormat
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+      .select("doc_id", "lang", "text", "n_chars")
+    val dir = java.nio.file.Files.createTempDirectory("graft-dsv2w").toString
+    docs.repartition(3).write.format(GraftParquetFormat.Name)
+      .option("codec", "zstd").option("pageVersion", "2")
+      .mode("append").save(dir)
+    // Spark's own reader consumes what the v2 writer produced
+    val back = spark.read.parquet(dir)
+    assert(back.count() == docs.count())
+    val a = docs.orderBy("doc_id").collect().map(_.toSeq).toSeq
+    val b = back.select("doc_id", "lang", "text", "n_chars")
+      .orderBy("doc_id").collect().map(_.toSeq).toSeq
+    assert(a == b)
+    // overwrite truncates previous part files
+    docs.limit(10).repartition(1).write.format(GraftParquetFormat.Name)
+      .mode("overwrite").save(dir)
+    assert(spark.read.format(GraftParquetFormat.Name).load(dir).count() == 10)
+  }
+
   test("big decimals (p>18) roundtrip as FLBA through both readers") {
     import graft.sources.{ParquetSink, ParquetSource}
     import org.apache.spark.sql.Row
