@@ -100,9 +100,16 @@ object ParquetFileReader {
     * Long | Float | Double | Array[Byte] (BYTE_ARRAY / INT96 / FLBA raw). */
   def readTriplets(bytes: Array[Byte], col: LeafColumn): Triplets = {
     val cm = col.meta
+    // corruption guards: sizes claimed by (possibly corrupted) metadata must
+    // stay consistent with the actual file, or we fail cleanly instead of
+    // allocating per a hostile length (bools pack 8 values/byte — the
+    // loosest physical bound on values-per-file-byte)
+    require(cm.numValues >= 0 && cm.numValues <= 8L * bytes.length,
+      s"chunk claims ${cm.numValues} values in a ${bytes.length}-byte file")
     var off =
       if (cm.dictionaryPageOffset > 0) math.min(cm.dictionaryPageOffset, cm.dataPageOffset)
       else cm.dataPageOffset
+    require(off >= 0 && off < bytes.length, s"page offset $off out of file")
     var dict: IndexedSeq[Any] = null
     val values = new ArrayBuffer[Any](cm.numValues.toInt)
     val defs = if (col.maxDef > 0) new ArrayBuffer[Int](cm.numValues.toInt) else null
@@ -111,10 +118,21 @@ object ParquetFileReader {
     while (remaining > 0) {
       val ph = ParquetMeta.parsePageHeader(bytes, off.toInt)
       val dataStart = off.toInt + ph.headerLen
+      require(ph.compressedSize >= 0 &&
+        dataStart.toLong + ph.compressedSize <= bytes.length,
+        s"page claims ${ph.compressedSize} compressed bytes past EOF")
+      require(ph.uncompressedSize >= 0 &&
+        ph.uncompressedSize <= math.max(1 << 20, 1024L * ph.compressedSize),
+        s"page claims implausible uncompressed size ${ph.uncompressedSize}")
+      require(ph.numValues >= 0 && (ph.pageType == 2 ||
+        ph.numValues <= remaining),
+        s"page claims ${ph.numValues} values, chunk has $remaining left")
       ph.pageType match {
         case 2 => // dictionary page: PLAIN values
           val raw = decompress(bytes, dataStart, ph.compressedSize,
             ph.uncompressedSize, cm.codec)
+          require(ph.numValues <= raw.length, // every dict entry is >= 1 byte
+            s"dict page claims ${ph.numValues} entries in ${raw.length} bytes")
           dict = decodePlain(col.typ, col.typeLength, raw, 0, raw.length, ph.numValues)
         case 0 => // data page v1: [rep levels][def levels][values], one region
           val raw = decompress(bytes, dataStart, ph.compressedSize,
@@ -409,8 +427,10 @@ object ParquetFileReader {
     val tripsSeq = scala.collection.immutable.ArraySeq.unsafeWrapArray(trips)
     val readers = kept.map(c => buildReader(c, 0, 0, tripsSeq))
     val names = kept.map(_.elem.name)
-    val n = meta.rowGroups(rg).numRows.toInt
-    (0 until n).map(_ => PqGroupVal(names, readers.map(_.read())))
+    val n = meta.rowGroups(rg).numRows
+    require(n >= 0 && n <= 8L * bytes.length,
+      s"row group claims $n rows in a ${bytes.length}-byte file")
+    (0 until n.toInt).map(_ => PqGroupVal(names, readers.map(_.read())))
   }
 
   private def leafIdxsOf(node: SchemaNode): Seq[Int] = node match {
@@ -618,10 +638,13 @@ object ParquetFileReader {
   private def decodePlain(typ: Int, typeLength: Int, buf: Array[Byte],
       off: Int, len: Int, n: Int): IndexedSeq[Any] = typ match {
     case PqType.Int96 =>
+      require(12L * n <= len, s"$n INT96 values need ${12L * n} > $len bytes")
       (0 until n).map(i =>
         java.util.Arrays.copyOfRange(buf, off + 12 * i, off + 12 * (i + 1)))
     case PqType.FixedLenByteArray =>
       require(typeLength > 0, "FIXED_LEN_BYTE_ARRAY needs a type_length")
+      require(typeLength.toLong * n <= len,
+        s"$n FLBA($typeLength) values need more than $len bytes")
       (0 until n).map(i => java.util.Arrays.copyOfRange(buf,
         off + typeLength * i, off + typeLength * (i + 1)))
     case _ =>

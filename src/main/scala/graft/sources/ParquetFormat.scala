@@ -54,6 +54,10 @@ object ThriftCompact {
 
     def binary(): Array[Byte] = {
       val len = varint().toInt
+      // corrupted length guard: copyOfRange zero-pads past the buffer end,
+      // so a hostile varint would otherwise allocate GBs before any read fails
+      require(len >= 0 && pos + len.toLong <= buf.length,
+        s"thrift binary claims $len bytes at $pos in a ${buf.length}-byte buffer")
       val out = java.util.Arrays.copyOfRange(buf, pos, pos + len)
       pos += len
       out

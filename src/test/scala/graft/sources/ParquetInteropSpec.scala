@@ -566,6 +566,62 @@ class ParquetInteropSpec extends AnyFunSuite {
 
   private def readFooterOf(bytes: Array[Byte]) = ParquetFileReader.readFooter(bytes)
 
+  /** Fuzz sweep in the spirit of the reference's AFL target
+    * (fuzz/src/main.rs:14-37: arbitrary bytes → SerializedFileReader → full
+    * row iteration). Every mutated/truncated input must either decode or
+    * raise a clean Exception — never an Error (OOM from a hostile length,
+    * stack overflow) and never a hang.
+    */
+  test("fuzz sweep: mutated parquet bytes fail cleanly, never catastrophically") {
+    val tmp = java.nio.file.Files.createTempDirectory("pqfuzz").toString
+    val path = s"$tmp/seed.parquet"
+    import org.apache.spark.sql.types._
+    val schema = StructType(Seq(
+      StructField("id", LongType, nullable = false),
+      StructField("name", StringType),
+      StructField("score", DoubleType),
+      StructField("flag", BooleanType)))
+    val rows = (0 until 800).map(i => org.apache.spark.sql.Row(
+      i.toLong, if (i % 9 == 0) null else s"name-${i % 40}", i * 0.25, i % 2 == 0))
+    ParquetFileWriter.writeFile(path, schema, rows.iterator,
+      rowGroupRows = 300, codec = PqCodec.Snappy)
+    val seeds = Seq(
+      java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(path)),
+      java.nio.file.Files.readAllBytes(
+        java.nio.file.Paths.get(s"$dataDir/alltypes_dictionary.parquet")))
+    val rnd = new scala.util.Random(20260817L)
+    def attempt(bytes: Array[Byte]): Unit =
+      // Exception only: an Error (OOM, SOE) escapes and fails the sweep
+      try {
+        val meta = readFooterOf(bytes)
+        meta.rowGroups.indices.foreach { rg =>
+          ParquetFileReader.readRows(bytes, meta, rg).foreach(_ => ())
+        }
+      } catch { case _: Exception => () }
+    seeds.foreach { seed =>
+      // point mutations anywhere in the file (headers, pages, footer)
+      (0 until 400).foreach { _ =>
+        val b = seed.clone()
+        (0 until 1 + rnd.nextInt(8)).foreach { _ =>
+          b(rnd.nextInt(b.length)) = rnd.nextInt(256).toByte
+        }
+        attempt(b)
+      }
+      // truncations (footer gone, pages cut mid-stream)
+      (0 until 60).foreach { _ =>
+        attempt(java.util.Arrays.copyOf(seed, 1 + rnd.nextInt(seed.length)))
+      }
+      // mutations concentrated in the footer region, the parser-heaviest path
+      val footerStart = math.max(0, seed.length - 700)
+      (0 until 200).foreach { _ =>
+        val b = seed.clone()
+        b(footerStart + rnd.nextInt(b.length - footerStart)) =
+          rnd.nextInt(256).toByte
+        attempt(b)
+      }
+    }
+  }
+
   test("writer roundtrip: our file reads back through our reader") {
     val tmp = java.nio.file.Files.createTempDirectory("pqw").toString
     val path = s"$tmp/rt.parquet"
