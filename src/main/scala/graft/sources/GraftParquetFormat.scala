@@ -7,11 +7,12 @@ import scala.jdk.CollectionConverters._
 import org.apache.spark.sql.catalyst.CatalystTypeConverters
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.connector.catalog.{SupportsRead, SupportsWrite, Table, TableCapability, TableProvider}
-import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.expressions.{NamedReference, Transform}
+import org.apache.spark.sql.connector.expressions.aggregate.{AggregateFunc, Aggregation, CountStar, Max, Min}
 import org.apache.spark.sql.connector.read._
 import org.apache.spark.sql.connector.write._
 import org.apache.spark.sql.sources._
-import org.apache.spark.sql.types.StructType
+import org.apache.spark.sql.types.{IntegerType, LongType, StructField, StructType}
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
 
 /** DataSource V2 front-end for [[ParquetSource]]:
@@ -151,17 +152,22 @@ final class GraftDataWriter(path: String, schema: StructType, codec: Int,
 
 final class GraftScanBuilder(dir: String, fullSchema: StructType)
     extends ScanBuilder with SupportsPushDownRequiredColumns
-    with SupportsPushDownFilters {
+    with SupportsPushDownFilters with SupportsPushDownLimit
+    with SupportsPushDownAggregates {
 
   private var required: StructType = fullSchema
   private var pushed: Array[Filter] = Array.empty
   private var ranges: Map[String, (Long, Long)] = Map.empty
+  private var limit: Int = -1
+  private var sawFilters = false
+  private var aggSpecs: Option[Seq[GraftAggSpec]] = None
 
   override def pruneColumns(requiredSchema: StructType): Unit =
     // Spark hands a subset of fullSchema (possibly reordered)
     required = requiredSchema
 
   override def pushFilters(filters: Array[Filter]): Array[Filter] = {
+    sawFilters ||= filters.nonEmpty
     val longCols = fullSchema.fields.collect {
       case f if f.dataType == org.apache.spark.sql.types.LongType ||
         f.dataType == org.apache.spark.sql.types.IntegerType => f.name
@@ -197,15 +203,75 @@ final class GraftScanBuilder(dir: String, fullSchema: StructType)
 
   override def pushedFilters(): Array[Filter] = pushed
 
-  override def build(): Scan = new GraftScan(dir, required, ranges)
+  /** Limit pushdown (partial): each task stops decoding once it has
+    * produced `limit` rows — whole trailing row groups are skipped. Spark
+    * still applies the global limit on top. */
+  override def pushLimit(l: Int): Boolean = { limit = l; true }
+
+  /** Footer-stats aggregate pushdown: `count(*)` is answered from row-group
+    * row counts and `min`/`max` over INT32/INT64 columns from footer
+    * statistics — no page is decompressed or decoded. Partial pushdown
+    * (one row per file; Spark merges), refused whenever any filter is
+    * present: we keep all filters as residuals, so a filtered aggregate
+    * must see the raw rows. */
+  override def pushAggregation(agg: Aggregation): Boolean = {
+    if (sawFilters || agg.groupByExpressions.nonEmpty) return false
+    def colOf(e: org.apache.spark.sql.connector.expressions.Expression):
+        Option[String] = e match {
+      case nr: NamedReference if nr.fieldNames.length == 1 =>
+        fullSchema.fields.find(_.name == nr.fieldNames()(0)).collect {
+          case f if f.dataType == LongType || f.dataType == IntegerType =>
+            f.name
+        }
+      case _ => None
+    }
+    val specs = agg.aggregateExpressions.map {
+      case _: CountStar => Some(GraftAggSpec(GraftAggSpec.CountStar, null))
+      case m: Min => colOf(m.column).map(GraftAggSpec(GraftAggSpec.Min, _))
+      case m: Max => colOf(m.column).map(GraftAggSpec(GraftAggSpec.Max, _))
+      case _ => None
+    }
+    if (specs.exists(_.isEmpty)) false
+    else { aggSpecs = Some(specs.toSeq.map(_.get)); true }
+  }
+
+  override def build(): Scan = aggSpecs match {
+    case Some(specs) => new GraftAggScan(dir, fullSchema, specs)
+    case None => new GraftScan(dir, required, ranges, limit)
+  }
 }
 
-final class GraftScan(dir: String, schema: StructType,
-    ranges: Map[String, (Long, Long)]) extends Scan with Batch {
-  override def readSchema(): StructType = schema
+/** One pushed aggregate: `kind` ∈ {CountStar, Min, Max}, `col` null for
+  * CountStar. */
+final case class GraftAggSpec(kind: Int, col: String)
+
+object GraftAggSpec {
+  val CountStar = 0
+  val Min = 1
+  val Max = 2
+}
+
+/** Scan for pushed aggregates: one output row per file, computed entirely
+  * from the footer (row counts + column statistics). If a row group lacks
+  * stats for a min/max column, only that column of that row group is
+  * decoded as the fallback. At 100 TB this turns `SELECT count(*)` into a
+  * footer-tail read per file. */
+final class GraftAggScan(dir: String, fullSchema: StructType,
+    specs: Seq[GraftAggSpec]) extends Scan with Batch {
+
+  private val outSchema = StructType(specs.map { s =>
+    s.kind match {
+      case GraftAggSpec.CountStar => StructField("count(*)", LongType, nullable = false)
+      case k =>
+        val f = fullSchema.fields.find(_.name == s.col).get
+        val name = if (k == GraftAggSpec.Min) s"min(${s.col})" else s"max(${s.col})"
+        StructField(name, f.dataType, nullable = true)
+    }
+  })
+
+  override def readSchema(): StructType = outSchema
   override def description(): String =
-    s"GraftParquetScan[$dir] cols=${schema.fieldNames.mkString(",")}" +
-      (if (ranges.nonEmpty) s" ranges=$ranges" else "")
+    s"GraftParquetAggScan[$dir] ${outSchema.fieldNames.mkString(",")}"
   override def toBatch: Batch = this
 
   override def planInputPartitions(): Array[InputPartition] =
@@ -213,20 +279,121 @@ final class GraftScan(dir: String, schema: StructType,
       .map(p => GraftFilePartition(p): InputPartition).toArray
 
   override def createReaderFactory(): PartitionReaderFactory =
-    new GraftReaderFactory(schema, ranges)
+    new GraftAggReaderFactory(fullSchema, specs, outSchema)
+}
+
+final class GraftAggReaderFactory(fullSchema: StructType,
+    specs: Seq[GraftAggSpec], outSchema: StructType)
+    extends PartitionReaderFactory {
+  override def createReader(p: InputPartition): PartitionReader[InternalRow] =
+    new GraftAggPartitionReader(
+      p.asInstanceOf[GraftFilePartition].path, fullSchema, specs, outSchema)
+}
+
+final class GraftAggPartitionReader(path: String, fullSchema: StructType,
+    specs: Seq[GraftAggSpec], outSchema: StructType)
+    extends PartitionReader[InternalRow] {
+
+  private var done = false
+  private var row: InternalRow = _
+
+  override def next(): Boolean = {
+    if (done) return false
+    done = true
+    val meta = ParquetFileReader.readFooterOnly(path)
+    // full file bytes only if some row group is missing stats (lazy, rare)
+    lazy val bytes =
+      java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(path))
+    def extreme(col: String, wantMax: Boolean): Option[Long] = {
+      val perGroup = meta.rowGroups.indices.flatMap { rg =>
+        val cm = meta.rowGroups(rg).columns.find(
+          _.pathInSchema.headOption.contains(col))
+        cm.flatMap(_.stats) match {
+          case Some(st) if st.min.nonEmpty && st.max.nonEmpty =>
+            Some(graft.core.MinMax.leToLong(if (wantMax) st.max else st.min))
+          case _ => // stats missing: decode just this column of this group
+            val lc = ParquetFileReader.leafColumns(meta, rg)
+              .find(_.path == Seq(col)).get
+            val t = ParquetFileReader.readTriplets(bytes, lc)
+            val vs: Seq[Long] = t.values.map {
+              case i: Int => i.toLong
+              case l: Long => l
+            }.toSeq
+            if (vs.isEmpty) None
+            else Some(if (wantMax) vs.max else vs.min)
+        }
+      }
+      if (perGroup.isEmpty) None
+      else Some(if (wantMax) perGroup.max else perGroup.min)
+    }
+    val values: Seq[Any] = specs.zip(outSchema.fields).map { case (s, f) =>
+      s.kind match {
+        case GraftAggSpec.CountStar => meta.numRows
+        case k =>
+          val v = extreme(s.col, wantMax = k == GraftAggSpec.Max)
+          if (f.dataType == IntegerType) v.map(_.toInt).orNull else v.orNull
+      }
+    }
+    row = CatalystTypeConverters.createToCatalystConverter(outSchema)(
+      org.apache.spark.sql.Row.fromSeq(values)).asInstanceOf[InternalRow]
+    true
+  }
+
+  override def get(): InternalRow = row
+  override def close(): Unit = ()
+}
+
+final class GraftScan(dir: String, schema: StructType,
+    ranges: Map[String, (Long, Long)], limit: Int = -1)
+    extends Scan with Batch with SupportsReportStatistics {
+  override def readSchema(): StructType = schema
+  override def description(): String =
+    s"GraftParquetScan[$dir] cols=${schema.fieldNames.mkString(",")}" +
+      (if (ranges.nonEmpty) s" ranges=$ranges" else "") +
+      (if (limit >= 0) s" limit=$limit" else "")
+  override def toBatch: Batch = this
+
+  override def planInputPartitions(): Array[InputPartition] =
+    GraftParquetFormat.listFiles(dir)
+      .map(p => GraftFilePartition(p): InputPartition).toArray
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    new GraftReaderFactory(schema, ranges, limit)
+
+  /** Exact row count + uncompressed byte size from footer tails only —
+    * feeds Catalyst's join planning (a small graft-parquet table becomes
+    * broadcast-joinable without a manual hint). */
+  override def estimateStatistics(): Statistics = {
+    var rows = 0L
+    var bytes = 0L
+    GraftParquetFormat.listFiles(dir).foreach { f =>
+      val m = ParquetFileReader.readFooterOnly(f)
+      rows += m.numRows
+      bytes += m.rowGroups.map(_.totalByteSize).sum
+    }
+    val (r, b) = (rows, bytes)
+    new Statistics {
+      override def sizeInBytes(): java.util.OptionalLong =
+        java.util.OptionalLong.of(b)
+      override def numRows(): java.util.OptionalLong =
+        java.util.OptionalLong.of(r)
+    }
+  }
 }
 
 final case class GraftFilePartition(path: String) extends InputPartition
 
 final class GraftReaderFactory(schema: StructType,
-    ranges: Map[String, (Long, Long)]) extends PartitionReaderFactory {
+    ranges: Map[String, (Long, Long)], limit: Int = -1)
+    extends PartitionReaderFactory {
   override def createReader(p: InputPartition): PartitionReader[InternalRow] =
     new GraftPartitionReader(p.asInstanceOf[GraftFilePartition].path,
-      schema, ranges)
+      schema, ranges, limit)
 }
 
 final class GraftPartitionReader(path: String, schema: StructType,
-    ranges: Map[String, (Long, Long)]) extends PartitionReader[InternalRow] {
+    ranges: Map[String, (Long, Long)], limit: Int = -1)
+    extends PartitionReader[InternalRow] {
 
   private val toCatalyst =
     CatalystTypeConverters.createToCatalystConverter(schema)
@@ -241,7 +408,9 @@ final class GraftPartitionReader(path: String, schema: StructType,
       rgs = rgs.filter(keep)
     }
     val proj = schema.fieldNames.toSet
-    rgs.iterator.flatMap { rg =>
+    // rgs.iterator keeps row-group decode lazy: a pushed limit stops
+    // before trailing row groups are ever decompressed
+    val rows = rgs.iterator.flatMap { rg =>
       ParquetFileReader.readRows(bytes, meta, rg, proj).iterator.map { g =>
         toCatalyst(org.apache.spark.sql.Row.fromSeq(
           schema.fields.toSeq.map(f =>
@@ -249,6 +418,7 @@ final class GraftPartitionReader(path: String, schema: StructType,
           .asInstanceOf[InternalRow]
       }
     }
+    if (limit >= 0) rows.take(limit) else rows
   }
 
   private var cur: InternalRow = _

@@ -81,6 +81,31 @@ object ParquetFileReader {
     ParquetMeta.parseFileMeta(bytes, n - 8 - footerLen)
   }
 
+  /** Footer metadata alone, reading only the file tail (8-byte trailer →
+    * footer region) — planning-time metadata access must stay O(footer)
+    * regardless of file size. Offsets inside the returned meta remain
+    * absolute file offsets. */
+  def readFooterOnly(path: String): PqFileMeta = {
+    val raf = new java.io.RandomAccessFile(path, "r")
+    try {
+      val n = raf.length()
+      require(n > 12, s"$path too short to be a parquet file")
+      val tail = new Array[Byte](8)
+      raf.seek(n - 8)
+      raf.readFully(tail)
+      require(tail(4) == 'P' && tail(5) == 'A' && tail(6) == 'R' &&
+        tail(7) == '1', s"$path: not a parquet file (trailer magic)")
+      val footerLen = (tail(0) & 0xFF) | ((tail(1) & 0xFF) << 8) |
+        ((tail(2) & 0xFF) << 16) | ((tail(3) & 0xFF) << 24)
+      require(footerLen > 0 && footerLen <= n - 12,
+        s"$path: bad footer length $footerLen")
+      val buf = new Array[Byte](footerLen)
+      raf.seek(n - 8 - footerLen)
+      raf.readFully(buf)
+      ParquetMeta.parseFileMeta(buf, 0)
+    } finally raf.close()
+  }
+
   /** Leaf columns of row group `rg` with full level descriptors. */
   def leafColumns(meta: PqFileMeta, rg: Int): IndexedSeq[LeafColumn] = {
     val (_, leaves) = schemaTree(meta)

@@ -575,6 +575,85 @@ class SparkE2ESpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(a == b)
   }
 
+  test("DataSource V2: aggregate pushdown answers count/min/max from footers") {
+    import graft.sources.{GraftParquetFormat, ParquetSink}
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+      .select("doc_id", "lang", "n_chars")
+    val dir = java.nio.file.Files.createTempDirectory("graft-aggpd").toString
+    ParquetSink.write(docs.repartition(3), dir, rowGroupRows = 128).count()
+
+    val df = spark.read.format(GraftParquetFormat.Name).load(dir)
+    val q = df.agg(count(lit(1)).as("c"), min("doc_id").as("mn"),
+      max("doc_id").as("mx"))
+    val plan = q.queryExecution.executedPlan.toString
+    assert(plan.contains("GraftParquetAggScan"), plan)
+    val got = q.collect()(0)
+    val exp = docs.agg(count(lit(1)), min("doc_id"), max("doc_id")).collect()(0)
+    assert(got.getLong(0) == exp.getLong(0))
+    assert(got.getLong(1) == exp.getLong(1))
+    assert(got.getLong(2) == exp.getLong(2))
+
+    // with a filter present the aggregate must NOT be pushed (filters stay
+    // residual in this source) — values still exact through the row path
+    val qf = df.where(col("doc_id") >= 10)
+      .agg(count(lit(1)).as("c"), max("doc_id").as("mx"))
+    val planF = qf.queryExecution.executedPlan.toString
+    assert(!planF.contains("GraftParquetAggScan"), planF)
+    val gotF = qf.collect()(0)
+    val expF = docs.where(col("doc_id") >= 10)
+      .agg(count(lit(1)), max("doc_id")).collect()(0)
+    assert(gotF.getLong(0) == expF.getLong(0))
+    assert(gotF.getLong(1) == expF.getLong(1))
+
+    // int32 column + an all-null int32 column (stats-less → decode fallback
+    // → SQL null, matching Spark's min over an empty value set)
+    val dir2 = java.nio.file.Files.createTempDirectory("graft-aggpd2").toString
+    val custom = docs.limit(200)
+      .withColumn("small", col("doc_id").cast("int"))
+      .withColumn("allnull", lit(null).cast("int"))
+    custom.repartition(2).write.format(GraftParquetFormat.Name)
+      .mode("overwrite").save(dir2)
+    val df2 = spark.read.format(GraftParquetFormat.Name).load(dir2)
+    val q2 = df2.agg(min("small").as("mn"), max("small").as("mx"),
+      min("allnull").as("nn"))
+    assert(q2.queryExecution.executedPlan.toString.contains("GraftParquetAggScan"))
+    val g2 = q2.collect()(0)
+    val e2 = custom.agg(min("small"), max("small"), min("allnull")).collect()(0)
+    assert(g2.getInt(0) == e2.getInt(0))
+    assert(g2.getInt(1) == e2.getInt(1))
+    assert(g2.isNullAt(2) && e2.isNullAt(2))
+  }
+
+  test("DataSource V2: limit pushdown stops row-group decode early") {
+    import graft.sources.{GraftParquetFormat, ParquetSink}
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+      .select("doc_id", "lang")
+    val dir = java.nio.file.Files.createTempDirectory("graft-limitpd").toString
+    ParquetSink.write(docs.repartition(2), dir, rowGroupRows = 64).count()
+    val df = spark.read.format(GraftParquetFormat.Name).load(dir)
+    val q = df.limit(7)
+    val plan = q.queryExecution.executedPlan.toString
+    assert(plan.contains("limit=7"), plan)
+    assert(q.collect().length == 7)
+  }
+
+  test("DataSource V2: reported footer statistics drive broadcast planning") {
+    import graft.sources.{GraftParquetFormat, ParquetSink}
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+      .select("doc_id", "lang")
+    val dir = java.nio.file.Files.createTempDirectory("graft-stats").toString
+    ParquetSink.write(docs.repartition(2), dir, rowGroupRows = 256).count()
+    val small = spark.read.format(GraftParquetFormat.Name).load(dir)
+    val big = spark.range(0, 200000).toDF("doc_id")
+    // no broadcast hint: the static planner must choose a broadcast join
+    // purely from the scan's reported size (DSv2 without stats defaults to
+    // defaultSizeInBytes = huge → sort-merge)
+    val q = big.join(small, "doc_id")
+    val sparkPlan = q.queryExecution.sparkPlan.toString
+    assert(sparkPlan.contains("BroadcastHashJoin"), sparkPlan)
+    assert(q.count() == docs.count())
+  }
+
   test("DataSource V2: df.write.format() writes through our file writer") {
     import graft.sources.GraftParquetFormat
     val docs = spark.read.parquet(s"$sfDir/documents.parquet")
