@@ -273,6 +273,25 @@ object SparkEntry {
                FROM graft_docs_v2 WHERE doc_id BETWEEN 100 AND 2000
                GROUP BY lang ORDER BY lang""")
     }),
+    "q_parquet_agg_pushdown" -> ((s, dir) => {
+      // DSv2 aggregate pushdown: count(*)/min/max answered from footer
+      // metadata alone (no page decode). The plan assertion pins that the
+      // footer path — not the row path — produced the values the oracle
+      // checks.
+      val in = docs(s, dir).select("doc_id", "lang", "n_chars")
+      val out = java.nio.file.Files.createTempDirectory("graft-dsv2agg").toString
+      graft.sources.ParquetSink.write(
+        in.repartition(4).sortWithinPartitions("doc_id"), out,
+        rowGroupRows = 1 << 10).count()
+      val df = s.read.format(graft.sources.GraftParquetFormat.Name).load(out)
+      val q = df.agg(
+        count(lit(1)).as("cnt"),
+        min("doc_id").as("mn_id"), max("doc_id").as("mx_id"),
+        min("n_chars").as("mn_chars"), max("n_chars").as("mx_chars"))
+      require(q.queryExecution.executedPlan.toString
+        .contains("GraftParquetAggScan"), "aggregate was not pushed to footers")
+      q
+    }),
     // ---- encoder lineage + selector (oracle checks the byte accounting)
     "q_enc_lineage_bytes" -> ((s, dir) => {
       val chunks = EncodeJob.encode(docs(s, dir), numPartitions = 8,
@@ -457,6 +476,8 @@ object SparkEntry {
       "SELECT lang, count(*) AS cnt, CAST(sum(length(text)) AS BIGINT) AS chars, CAST(sum(doc_id) AS BIGINT) AS sum_id FROM documents WHERE doc_id BETWEEN 100 AND 2000 GROUP BY lang ORDER BY lang",
     "q_parquet_sql_read" ->
       "SELECT lang, count(*) AS cnt, CAST(sum(length(text)) AS BIGINT) AS chars, CAST(sum(doc_id) AS BIGINT) AS sum_id FROM documents WHERE doc_id BETWEEN 100 AND 2000 GROUP BY lang ORDER BY lang",
+    "q_parquet_agg_pushdown" ->
+      "SELECT count(*) AS cnt, min(doc_id) AS mn_id, max(doc_id) AS mx_id, min(n_chars) AS mn_chars, max(n_chars) AS mx_chars FROM documents",
     "q_rt_nulls" ->
       ("SELECT count(*) AS n, " +
         "count(CASE WHEN n_chars % 7 = 0 THEN NULL ELSE source END) AS nn_source, " +
