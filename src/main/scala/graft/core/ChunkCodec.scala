@@ -161,6 +161,23 @@ object ChunkCodec {
     * per-page training AND a better ratio (0.204 vs 0.227 of raw — the
     * chunk-wide stratified sample generalizes; a page of sorted rows is one
     * repo's style). Pages stay self-contained (each embeds the table). */
+  /** Page cut end-indices over `[from, vec.length)` at the 1 MiB raw-size
+    * estimate — THE single cut rule, shared by real encodes (encodePaged)
+    * and the size-only reference-policy accounting so the two can never
+    * desynchronize. */
+  private def pageCutEnds(vec: ColVec, from: Int): ArrayBuffer[Int] = {
+    val n = vec.length
+    val ends = ArrayBuffer.empty[Int]
+    var acc = 0L
+    var i = from
+    while (i < n) {
+      acc += rawSizeOf(vec, i)
+      i += 1
+      if (acc >= DataPageSizeLimit || i == n) { ends += i; acc = 0L }
+    }
+    ends
+  }
+
   private def encodePaged(vec: ColVec, codecId: Int): ArrayBuffer[Page] = {
     val fsstTable =
       if (codecId == CodecId.Fsst) FsstCodec.trainChunk(vec.asInstanceOf[BytesVec])
@@ -172,27 +189,25 @@ object ChunkCodec {
     val pages = ArrayBuffer.empty[Page]
     val n = vec.length
     var start = 0
-    var acc = 0L
-    var i = 0
-    while (i < n) {
-      acc += rawSizeOf(vec, i)
-      i += 1
-      if (acc >= DataPageSizeLimit || i == n) {
-        val part = if (start == 0 && i == n) vec else slice(vec, start, i)
-        pages += Page(codecId, i - start, encodeOne(part))
-        start = i
-        acc = 0L
-      }
+    pageCutEnds(vec, 0).foreach { end =>
+      val part = if (start == 0 && end == n) vec else slice(vec, start, end)
+      pages += Page(codecId, end - start, encodeOne(part))
+      start = end
     }
     if (n == 0) pages += Page(codecId, 0, encodeOne(vec))
     pages
   }
 
-  /** The reference write policy: dictionary-encode mini-batches until the
-    * dictionary page would exceed 1 MiB, then fall back to PLAIN for the
-    * rest of the chunk. Returns (dict | null, pages). */
-  private def encodeDictWithFallback(vec: ColVec):
-      (DictCodec.Encoder, ArrayBuffer[Page]) = {
+  /** The dict-until-limit prefix of the reference write policy:
+    * dictionary-encode mini-batches until the dictionary page would exceed
+    * 1 MiB, cutting id pages at the 1 MiB estimate. Shared by the real
+    * encoder (encodeDictWithFallback) and the size-only accountant
+    * (refPolicySizeOnly) so page cut points and the dict-header condition
+    * live in exactly one place. Returns (dict, dictPages, fallbackStart);
+    * fallbackStart == vec.length when the dictionary held for the whole
+    * chunk. */
+  private def dictPrefix(vec: ColVec):
+      (DictCodec.Encoder, ArrayBuffer[Page], Int) = {
     val n = vec.length
     val dict = new DictCodec.Encoder(vec.physicalType)
     val pages = ArrayBuffer.empty[Page]
@@ -224,11 +239,19 @@ object ChunkCodec {
         val nv = dict.numBufferedIndices
         pages += Page(CodecId.Dict, nv, dict.writeIndices())
       }
-      (dict, pages)
-    } else {
-      if (i < n) pages ++= encodePaged(slice(vec, i, n), CodecId.Plain)
-      (dict, pages)
-    }
+      (dict, pages, n)
+    } else (dict, pages, i)
+  }
+
+  /** The reference write policy: dictionary-encode mini-batches until the
+    * dictionary page would exceed 1 MiB, then fall back to PLAIN for the
+    * rest of the chunk. Returns (dict | null, pages). */
+  private def encodeDictWithFallback(vec: ColVec):
+      (DictCodec.Encoder, ArrayBuffer[Page]) = {
+    val (dict, pages, fb) = dictPrefix(vec)
+    if (fb < vec.length)
+      pages ++= encodePaged(slice(vec, fb, vec.length), CodecId.Plain)
+    (dict, pages)
   }
 
   // ----------------------------------------------------------- chunk encode
@@ -303,58 +326,28 @@ object ChunkCodec {
     * Equality with the materializing path is a tested property. */
   def refPolicySizeOnly(vec: ColVec): Long = {
     val n = vec.length
-    val dict = new DictCodec.Encoder(vec.physicalType)
-    // (codecId, numValues, pageByteLen)
-    val pages = ArrayBuffer.empty[(Int, Int, Long)]
-    var i = 0
-    var fellBack = false
-    while (i < n && !fellBack) {
-      val until = math.min(i + MiniBatch, n)
-      dict.put(slice(vec, i, until))
-      i = until
-      if (dict.dictEncodedSize >= DictPageSizeLimit) {
-        if (dict.numBufferedIndices > 0) {
-          val nv = dict.numBufferedIndices
-          pages += ((CodecId.Dict, nv, dict.writeIndices().length.toLong))
-        }
-        fellBack = true
-      } else {
-        val w = dict.bitWidth
-        val est = 1L + dict.numBufferedIndices.toLong * (w + 1) / 8 + 16
-        if (est >= DataPageSizeLimit) {
-          val nv = dict.numBufferedIndices
-          pages += ((CodecId.Dict, nv, dict.writeIndices().length.toLong))
-        }
-      }
-    }
-    if (!fellBack) {
-      if (dict.numBufferedIndices > 0 || pages.isEmpty) {
-        val nv = dict.numBufferedIndices
-        pages += ((CodecId.Dict, nv, dict.writeIndices().length.toLong))
-      }
-    } else if (i < n) {
-      // PLAIN fallback pages: identical cut points, sizes from offsets only
-      var start = i
-      var acc = 0L
-      var j = i
-      while (j < n) {
-        acc += rawSizeOf(vec, j)
-        j += 1
-        if (acc >= DataPageSizeLimit || j == n) {
-          pages += ((CodecId.Plain, j - start, plainSizeOf(vec, start, j)))
-          start = j
-          acc = 0L
-        }
+    // dict prefix: the SAME routine the real encoder runs (cut points and
+    // the dict-header condition cannot drift); only the fallback PLAIN
+    // pages are replaced by offset arithmetic over the shared cut rule
+    val (dict, dictPages, fb) = dictPrefix(vec)
+    // (numValues, pageByteLen)
+    val pages = ArrayBuffer.empty[(Int, Long)]
+    dictPages.foreach(p => pages += ((p.numValues, p.bytes.length.toLong)))
+    if (fb < n) {
+      var start = fb
+      pageCutEnds(vec, fb).foreach { end =>
+        pages += ((end - start, plainSizeOf(vec, start, end)))
+        start = end
       }
     }
     var size = 5L + vlqLen(n.toLong) + 1L // magic+ver+type+codec, vlq rows, hasDict
-    if (dict.numEntries > 0 && pages.exists(_._1 == CodecId.Dict)) {
+    if (dict.numEntries > 0 && dictPages.nonEmpty) {
       val dictBytes = dict.writeDict()
       size += vlqLen(dict.numEntries.toLong) + vlqLen(dictBytes.length.toLong) +
         dictBytes.length
     }
     size += vlqLen(pages.length.toLong)
-    pages.foreach { case (_, nv, len) =>
+    pages.foreach { case (nv, len) =>
       size += 1L + vlqLen(nv.toLong) + vlqLen(len) + len
     }
     size
