@@ -36,8 +36,8 @@ class GraftParquetFormat extends TableProvider {
   override def inferSchema(options: CaseInsensitiveStringMap): StructType = {
     val dir = GraftParquetFormat.pathOf(options)
     val files = GraftParquetFormat.listFiles(dir)
-    ParquetSource.sparkSchema(ParquetFileReader.readFooter(
-      java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(files.head))))
+    // planning-time schema inference reads only the footer tail
+    ParquetSource.sparkSchema(ParquetFileReader.readFooterOnly(files.head))
   }
 
   override def getTable(schema: StructType, partitioning: Array[Transform],

@@ -89,8 +89,8 @@ object ParquetSource {
       if (f.isFile) Array(f.getPath)
       else f.listFiles((_, n) => n.endsWith(".parquet")).map(_.getPath).sorted
     require(files.nonEmpty, s"no parquet files in $dir")
-    val full = sparkSchema(readFooter(
-      java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(files.head))))
+    // planning-time schema: footer tail only, never the whole file
+    val full = sparkSchema(ParquetFileReader.readFooterOnly(files.head))
     val schema =
       if (columns.isEmpty) full
       else StructType(columns.map(c => full(full.fieldIndex(c))))
