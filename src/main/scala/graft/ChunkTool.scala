@@ -42,18 +42,23 @@ object ChunkTool {
     }
     if (cmd == "parquet-read") {
       val n = if (args.length > 2) args(2).toInt else 10
-      val (names, cols) = sources.ParquetFileReader.readFile(dir)
-      println(names.mkString("\t"))
-      val rows = if (cols.isEmpty) 0 else cols.head.length
-      (0 until math.min(n, rows)).foreach { i =>
-        println(cols.map { c =>
-          c(i) match {
-            case null => "null"
-            case b: Array[Byte] => new String(b, java.nio.charset.StandardCharsets.UTF_8)
-            case v => v.toString
-          }
-        }.mkString("\t"))
+      // record assembly (readFileRows) handles nested LIST/MAP/struct files
+      // the same way the reference's parquet-read does (parquet-read.rs:48-90)
+      val (names, rows) = sources.ParquetFileReader.readFileRows(dir)
+      def render(v: Any): String = v match {
+        case null => "null"
+        case b: Array[Byte] => new String(b, java.nio.charset.StandardCharsets.UTF_8)
+        case g: sources.ParquetFileReader.PqGroupVal =>
+          g.names.zip(g.values).map { case (k, x) => s"$k: ${render(x)}" }
+            .mkString("{", ", ", "}")
+        case xs: Vector[_] => xs.map {
+          case (k, x) => s"${render(k)} -> ${render(x)}"
+          case x => render(x)
+        }.mkString("[", ", ", "]")
+        case v => v.toString
       }
+      println(names.mkString("\t"))
+      rows.take(n).foreach(g => println(g.values.map(render).mkString("\t")))
       return
     }
     val spark = SparkSession.builder()
