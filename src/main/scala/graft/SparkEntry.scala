@@ -209,6 +209,25 @@ object SparkEntry {
         .agg(count(lit(1)).as("n"), sum(col("l_orderkey")).as("s"),
           round(sum(col("l_quantity")), 2).as("sq"))
     }),
+    "q_rt_struct" -> ((s, dir) => {
+      // STRUCT columns through the full file loop: named_struct rows are
+      // shredded into per-subfield leaf chunks (optional group, maxDef 2)
+      // by OUR writer, read back by OUR DSv2 reader, and re-aggregated.
+      // Struct-level nulls (n_chars%9) and field-level nulls (n_chars%7)
+      // exercise both def levels.
+      val in = docs(s, dir).select(col("doc_id"),
+        when(col("n_chars") % 9 === 0, lit(null)).otherwise(
+          struct(col("lang").as("lang"), col("n_chars").as("nc"),
+            when(col("n_chars") % 7 === 0, lit(null).cast("string"))
+              .otherwise(col("source")).as("src"))).as("s"))
+      val out = java.nio.file.Files.createTempDirectory("graft-pqst").toString
+      graft.sources.ParquetSink.write(in.repartition(4), out).count()
+      s.read.format("graft.sources.GraftParquetFormat").load(out)
+        .agg(count(lit(1)).as("n"), count(col("s")).as("n_struct"),
+          count(col("s.src")).as("n_src"),
+          sum(col("s.nc")).as("sum_nc"),
+          countDistinct(col("s.lang")).as("nd_lang"))
+    }),
     "q_parquet_file_rt" -> ((s, dir) => {
       // REAL parquet-file interop: write documents through OUR PAR1 writer
       // (own thrift footer, dict/plain pages, snappy), read back through
@@ -468,6 +487,13 @@ object SparkEntry {
       "SELECT lang, count(*) AS cnt, CAST(sum(strlen(text)) AS BIGINT) AS bytes FROM documents GROUP BY lang ORDER BY lang",
     "q_rt_gzip_text" ->
       "SELECT lang, count(*) AS cnt, CAST(sum(strlen(text)) AS BIGINT) AS bytes FROM documents GROUP BY lang ORDER BY lang",
+    "q_rt_struct" ->
+      ("SELECT count(*) AS n, " +
+        "count(CASE WHEN n_chars % 9 = 0 THEN NULL ELSE 1 END) AS n_struct, " +
+        "count(CASE WHEN n_chars % 9 = 0 OR n_chars % 7 = 0 THEN NULL ELSE source END) AS n_src, " +
+        "CAST(sum(CASE WHEN n_chars % 9 = 0 THEN NULL ELSE n_chars END) AS BIGINT) AS sum_nc, " +
+        "count(DISTINCT CASE WHEN n_chars % 9 = 0 THEN NULL ELSE lang END) AS nd_lang " +
+        "FROM documents"),
     "q_parquet_file_rt" ->
       "SELECT lang, count(*) AS cnt, CAST(sum(length(text)) AS BIGINT) AS chars, CAST(sum(doc_id) AS BIGINT) AS sum_id FROM documents GROUP BY lang ORDER BY lang",
     "q_parquet_file_v2" ->

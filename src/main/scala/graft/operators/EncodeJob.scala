@@ -402,8 +402,9 @@ object ColBuilder {
     }
     case ArrayType(et, _) => new ArrayBuilder(et)
     case MapType(kt, vt, _) => new MapBuilder(kt, vt)
+    case st: StructType => new StructBuilder(st)
     case other => throw new IllegalArgumentException(
-      s"unsupported column type $other (flat + LIST/MAP schemas only)")
+      s"unsupported column type $other (flat + LIST/MAP/STRUCT schemas only)")
   }
 
   /** LIST column buffer: shreds each array row into per-slot rep/def levels
@@ -527,6 +528,66 @@ object ColBuilder {
       "use buildMap for MAP columns")
   }
 
+  /** STRUCT column buffer: a non-repeated nested group. Every subfield
+    * becomes its own leaf chunk with max def level 2 (optional group +
+    * optional field): per-row def 0 = struct null, 1 = field null,
+    * 2 = present — the write direction of the reference's group shredding
+    * for flat groups (`/root/reference/src/record/`, no rep levels needed
+    * because nothing repeats). Subfields are restricted to the ElemBuf
+    * primitive types (int/long/float/double/bool/string/binary). */
+  final class StructBuilder(val st: StructType) extends ColBuilder {
+    private val n = st.fields.length
+    private val bufs: Array[ElemBuf] = st.fields.map(f => ElemBuf(f.dataType))
+    private var defs: Array[Array[Byte]] = Array.fill(n)(new Array[Byte](1024))
+    private var nR = 0
+    private var nN = 0
+
+    override def add(row: Row, i: Int): Long = {
+      if (nR == defs(0).length) {
+        var j = 0
+        while (j < this.n) {
+          defs(j) = java.util.Arrays.copyOf(defs(j), nR << 1); j += 1
+        }
+      }
+      nR += 1
+      if (row.isNullAt(i)) {
+        nN += 1
+        var j = 0
+        while (j < this.n) { defs(j)(nR - 1) = 0; j += 1 }
+        n.toLong
+      } else {
+        val inner = row.getStruct(i)
+        var delta = 0L
+        var j = 0
+        while (j < this.n) {
+          if (inner.isNullAt(j)) defs(j)(nR - 1) = 1
+          else { defs(j)(nR - 1) = 2; delta += bufs(j).append(inner.get(j)) }
+          j += 1
+        }
+        delta + n
+      }
+    }
+
+    override def rowCount: Int = nR
+    override def numNulls: Int = nN
+    override def defLevels: Array[Byte] =
+      throw new UnsupportedOperationException("use buildStruct for STRUCT columns")
+    override def clear(): Unit = {
+      nR = 0; nN = 0; bufs.foreach(_.clear())
+    }
+
+    /** Per-subfield (values, def levels); def arrays are `rowCount` long. */
+    def buildStruct(): Array[(ColVec, Array[Byte])] =
+      Array.tabulate(n)(j =>
+        (bufs(j).build(), java.util.Arrays.copyOf(defs(j), nR)))
+
+    protected def addValue(row: Row, i: Int): Long =
+      throw new UnsupportedOperationException
+    protected def clearValues(): Unit = ()
+    def build(): ColVec = throw new UnsupportedOperationException(
+      "use buildStruct for STRUCT columns")
+  }
+
   /** Typed element-value buffer for ArrayBuilder (values arrive boxed from
     * Row.getSeq; the buffers store primitives). */
   private sealed abstract class ElemBuf {
@@ -545,7 +606,7 @@ object ColBuilder {
       case StringType => new BytesEB(fromString = true)
       case BinaryType => new BytesEB(fromString = false)
       case other => throw new IllegalArgumentException(
-        s"unsupported LIST element type $other")
+        s"unsupported LIST-element / STRUCT-field type $other")
     }
 
     private final class IntEB extends ElemBuf {

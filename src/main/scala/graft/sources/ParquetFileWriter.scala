@@ -20,8 +20,10 @@ import graft.operators.ColBuilder
   * Leaf types: Boolean / Int / Date / Long / Timestamp / Float / Double /
   * Decimal(p<=18) / String / Binary. Nested: ARRAY columns become standard
   * 3-level LIST groups (`optional group (LIST) { repeated group list {
-  * optional element } }`) and MAP columns key_value groups, with RLE
-  * rep/def level streams — the reference's nested write support
+  * optional element } }`), MAP columns key_value groups, and STRUCT
+  * columns plain optional groups (one leaf chunk per subfield, maxDef 2,
+  * no rep stream), with RLE rep/def level streams — the reference's
+  * nested write support
   * (`/root/reference/src/record/`) re-expressed over the same shredded
   * rep/def streams the chunk engine produces. Flat columns are written
   * OPTIONAL with an RLE def-level stream (bit width 1); values use the
@@ -149,6 +151,20 @@ object ParquetFileWriter {
               Seq(f.name, "key_value", "value"), vt, vals,
               rep, defsArr, rep.length, defWidth = 2, maxDef = 3, codec,
               pageVersion)
+          case sb: ColBuilder.StructBuilder =>
+            // non-repeated group: one leaf chunk per subfield, maxDef 2
+            // (optional group + optional field), no rep stream
+            val leaves = sb.buildStruct()
+            val subFields = sb.st.fields
+            var j = 0
+            while (j < subFields.length) {
+              val (vec, defsArr) = leaves(j)
+              chunks += writeColumnChunk(write, () => pos,
+                Seq(f.name, subFields(j).name), subFields(j).dataType, vec,
+                null, defsArr, sb.rowCount, defWidth = 2, maxDef = 2, codec,
+                pageVersion)
+              j += 1
+            }
           case b =>
             val vec = b.build()
             val levels = b.defLevels
@@ -195,6 +211,11 @@ object ParquetFileWriter {
                 convertedType = PqConvertedType.MapKeyValue),
               primitive("key", kt, repetition = 0),
               primitive("value", vt, repetition = 1))
+            case st: StructType =>
+              PqSchemaElement(f.name, repetition = 1,
+                numChildren = st.fields.length) +:
+                st.fields.toSeq.map(sf =>
+                  primitive(sf.name, sf.dataType, repetition = 1))
             case dt => Seq(primitive(f.name, dt, repetition = 1))
           }
         }

@@ -447,6 +447,37 @@ class SparkE2ESpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(a == b)
   }
 
+  test("parquet writer: STRUCT columns read back via Spark's native reader") {
+    import graft.sources.{ParquetSink, PqCodec}
+    val sp = spark
+    import sp.implicits._
+    val df = Seq(
+      (1L, ("x", 10, 1.5)),
+      (2L, (null: String, 20, -0.5)),
+      (3L, ("z", 30, 0.0)),
+    ).toDF("id", "s")
+      .union(spark.sql(
+        "SELECT 4L AS id, CAST(NULL AS STRUCT<_1:STRING,_2:INT,_3:DOUBLE>) AS s"))
+      .repartition(1)
+    val dir = java.nio.file.Files.createTempDirectory("graft-struct").toString
+    ParquetSink.write(df, dir, codec = PqCodec.Snappy).count()
+    val rd = spark.read.parquet(dir)
+    assert(rd.schema("s").dataType.isInstanceOf[org.apache.spark.sql.types.StructType])
+    def canon(d: org.apache.spark.sql.DataFrame) = d
+      .selectExpr("id", "s._1 AS a", "s._2 AS b", "s._3 AS c")
+      .collect().map(r => (r.getLong(0),
+        if (r.isNullAt(1)) null else r.getString(1),
+        if (r.isNullAt(2)) null else Int.box(r.getInt(2)),
+        if (r.isNullAt(3)) null else Double.box(r.getDouble(3))))
+      .toSeq.sortBy(_._1)
+    assert(canon(df) == canon(rd))
+    // and back through OUR readers: distributed source + DSv2 format()
+    val rd2 = graft.sources.ParquetSource.read(spark, dir)
+    assert(canon(rd2) == canon(df))
+    val rd3 = spark.read.format("graft.sources.GraftParquetFormat").load(dir)
+    assert(canon(rd3) == canon(df))
+  }
+
   test("decimal columns roundtrip exactly (chunk engine + parquet file)") {
     import graft.sources.{ParquetSink, PqCodec}
     val li = spark.read.parquet(s"$sfDir/lineitem.parquet")

@@ -411,6 +411,46 @@ class ParquetInteropSpec extends AnyFunSuite {
     }
   }
 
+  test("struct writer roundtrip: optional group columns through our reader") {
+    val tmp = java.nio.file.Files.createTempDirectory("pqws").toString
+    import org.apache.spark.sql.types._
+    val schema = StructType(Seq(
+      StructField("id", LongType),
+      StructField("s", StructType(Seq(
+        StructField("a", IntegerType),
+        StructField("b", StringType),
+        StructField("c", DoubleType))))))
+    val rows = (0 until 500).map { i =>
+      org.apache.spark.sql.Row(
+        i.toLong,
+        if (i % 11 == 0) null
+        else org.apache.spark.sql.Row(
+          if (i % 5 == 0) null else Int.box(i),
+          s"v${i % 7}", // dict-eligible
+          i * 0.5))
+    }
+    for (pv <- Seq(1, 2)) {
+      val path = s"$tmp/struct_v$pv.parquet"
+      val n = ParquetFileWriter.writeFile(path, schema, rows.iterator,
+        rowGroupRows = 128, codec = PqCodec.Snappy, pageVersion = pv)
+      assert(n == 500)
+      val (names, got) = ParquetFileReader.readFileRows(path)
+      assert(names == Seq("id", "s"))
+      assert(got.size == 500)
+      (0 until 500).foreach { i =>
+        val r = got(i)
+        assert(r("id") == i.toLong)
+        if (i % 11 == 0) assert(r("s") == null)
+        else {
+          val g = r("s").asInstanceOf[ParquetFileReader.PqGroupVal]
+          assert(g("a") == (if (i % 5 == 0) null else i))
+          assert(g("b") == s"v${i % 7}")
+          assert(g("c") == i * 0.5)
+        }
+      }
+    }
+  }
+
   test("writer v2 pages: flat + LIST + MAP roundtrip through our reader") {
     val tmp = java.nio.file.Files.createTempDirectory("pqw2").toString
     val path = s"$tmp/v2.parquet"
