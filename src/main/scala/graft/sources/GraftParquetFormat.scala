@@ -158,6 +158,9 @@ final class GraftScanBuilder(dir: String, fullSchema: StructType)
   private var required: StructType = fullSchema
   private var pushed: Array[Filter] = Array.empty
   private var ranges: Map[String, (Long, Long)] = Map.empty
+  // string-column byte ranges (UTF-8, unsigned lexicographic like the
+  // footer's byte-array stats); a null side is unbounded
+  private var strRanges: Map[String, (Array[Byte], Array[Byte])] = Map.empty
   private var limit: Int = -1
   private var sawFilters = false
   private var aggSpecs: Option[Seq[GraftAggSpec]] = None
@@ -183,6 +186,36 @@ final class GraftScanBuilder(dir: String, fullSchema: StructType)
       val (l0, h0) = ranges.getOrElse(col, (Long.MinValue, Long.MaxValue))
       ranges += col -> (math.max(l0, lo), math.min(h0, hi))
     }
+    val strCols = fullSchema.fields.collect {
+      case f if f.dataType == org.apache.spark.sql.types.StringType => f.name
+    }.toSet
+    def utf8(v: Any): Option[Array[Byte]] = v match {
+      case s: String => Some(s.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      case _ => None
+    }
+    def tightenStr(col: String, lo: Array[Byte], hi: Array[Byte]): Unit = {
+      val (l0, h0) = strRanges.getOrElse(col, (null, null))
+      val l =
+        if (l0 == null) lo else if (lo == null) l0
+        else if (graft.core.MinMax.compareBytes(lo, l0) > 0) lo else l0
+      val h =
+        if (h0 == null) hi else if (hi == null) h0
+        else if (graft.core.MinMax.compareBytes(hi, h0) < 0) hi else h0
+      strRanges += col -> (l, h)
+    }
+    /** Smallest byte string that is > every string with prefix `p`, or null
+      * when p is all 0xFF (no finite bound). Over-inclusive is fine — all
+      * filters stay residual. */
+    def prefixUpper(p: Array[Byte]): Array[Byte] = {
+      var i = p.length - 1
+      while (i >= 0 && p(i) == 0xFF.toByte) i -= 1
+      if (i < 0) null
+      else {
+        val u = java.util.Arrays.copyOf(p, i + 1)
+        u(i) = (u(i) + 1).toByte
+        u
+      }
+    }
     val usable = filters.filter {
       case EqualTo(c, v) if longCols(c) && num(v).isDefined =>
         tighten(c, num(v).get, num(v).get); true
@@ -194,6 +227,21 @@ final class GraftScanBuilder(dir: String, fullSchema: StructType)
         tighten(c, Long.MinValue, num(v).get - 1); true
       case LessThanOrEqual(c, v) if longCols(c) && num(v).isDefined =>
         tighten(c, Long.MinValue, num(v).get); true
+      // string predicates prune on the footer's byte-array stats; bound
+      // exclusivity is ignored (conservative — filters stay residual)
+      case EqualTo(c, v) if strCols(c) && utf8(v).isDefined =>
+        tightenStr(c, utf8(v).get, utf8(v).get); true
+      case GreaterThan(c, v) if strCols(c) && utf8(v).isDefined =>
+        tightenStr(c, utf8(v).get, null); true
+      case GreaterThanOrEqual(c, v) if strCols(c) && utf8(v).isDefined =>
+        tightenStr(c, utf8(v).get, null); true
+      case LessThan(c, v) if strCols(c) && utf8(v).isDefined =>
+        tightenStr(c, null, utf8(v).get); true
+      case LessThanOrEqual(c, v) if strCols(c) && utf8(v).isDefined =>
+        tightenStr(c, null, utf8(v).get); true
+      case StringStartsWith(c, p) if strCols(c) =>
+        val pb = p.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+        tightenStr(c, pb, prefixUpper(pb)); true
       case _ => false
     }
     pushed = usable
@@ -237,7 +285,7 @@ final class GraftScanBuilder(dir: String, fullSchema: StructType)
 
   override def build(): Scan = aggSpecs match {
     case Some(specs) => new GraftAggScan(dir, fullSchema, specs)
-    case None => new GraftScan(dir, required, ranges, limit)
+    case None => new GraftScan(dir, required, ranges, limit, strRanges)
   }
 }
 
@@ -344,12 +392,18 @@ final class GraftAggPartitionReader(path: String, fullSchema: StructType,
 }
 
 final class GraftScan(dir: String, schema: StructType,
-    ranges: Map[String, (Long, Long)], limit: Int = -1)
+    ranges: Map[String, (Long, Long)], limit: Int = -1,
+    strRanges: Map[String, (Array[Byte], Array[Byte])] = Map.empty)
     extends Scan with Batch with SupportsReportStatistics {
   override def readSchema(): StructType = schema
   override def description(): String =
     s"GraftParquetScan[$dir] cols=${schema.fieldNames.mkString(",")}" +
       (if (ranges.nonEmpty) s" ranges=$ranges" else "") +
+      (if (strRanges.nonEmpty) " strRanges=" + strRanges.map { case (c, (l, h)) =>
+        def r(b: Array[Byte]) = if (b == null) "*"
+          else new String(b, java.nio.charset.StandardCharsets.UTF_8)
+        s"$c:[${r(l)},${r(h)}]"
+      }.mkString(",") else "") +
       (if (limit >= 0) s" limit=$limit" else "")
   override def toBatch: Batch = this
 
@@ -358,7 +412,7 @@ final class GraftScan(dir: String, schema: StructType,
       .map(p => GraftFilePartition(p): InputPartition).toArray
 
   override def createReaderFactory(): PartitionReaderFactory =
-    new GraftReaderFactory(schema, ranges, limit)
+    new GraftReaderFactory(schema, ranges, limit, strRanges)
 
   /** Exact row count + uncompressed byte size from footer tails only —
     * feeds Catalyst's join planning (a small graft-parquet table becomes
@@ -384,15 +438,17 @@ final class GraftScan(dir: String, schema: StructType,
 final case class GraftFilePartition(path: String) extends InputPartition
 
 final class GraftReaderFactory(schema: StructType,
-    ranges: Map[String, (Long, Long)], limit: Int = -1)
+    ranges: Map[String, (Long, Long)], limit: Int = -1,
+    strRanges: Map[String, (Array[Byte], Array[Byte])] = Map.empty)
     extends PartitionReaderFactory {
   override def createReader(p: InputPartition): PartitionReader[InternalRow] =
     new GraftPartitionReader(p.asInstanceOf[GraftFilePartition].path,
-      schema, ranges, limit)
+      schema, ranges, limit, strRanges)
 }
 
 final class GraftPartitionReader(path: String, schema: StructType,
-    ranges: Map[String, (Long, Long)], limit: Int = -1)
+    ranges: Map[String, (Long, Long)], limit: Int = -1,
+    strRanges: Map[String, (Array[Byte], Array[Byte])] = Map.empty)
     extends PartitionReader[InternalRow] {
 
   private val toCatalyst =
@@ -405,6 +461,11 @@ final class GraftPartitionReader(path: String, schema: StructType,
     var rgs: Seq[Int] = meta.rowGroups.indices
     ranges.foreach { case (col, (lo, hi)) =>
       val keep = ParquetFileReader.rowGroupsInRange(meta, col, lo, hi).toSet
+      rgs = rgs.filter(keep)
+    }
+    strRanges.foreach { case (col, (lo, hi)) =>
+      val keep =
+        ParquetFileReader.rowGroupsInRangeBytes(meta, col, lo, hi).toSet
       rgs = rgs.filter(keep)
     }
     val proj = schema.fieldNames.toSet

@@ -383,16 +383,18 @@ object ParquetFileReader {
       }
     }
 
-  /** Same for BYTE_ARRAY columns (unsigned lexicographic compare; sound
-    * under stat truncation — truncated min is still a lower bound and the
-    * truncated max is rounded UP, an empty max meaning unbounded). */
+  /** Row groups whose [min,max] byte stats intersect [lo,hi] (unsigned
+    * lexicographic). A null `lo`/`hi` side is unbounded. Conservative with
+    * truncated stats: stored min ≤ real min and stored max ≥ real max, so
+    * a surviving group can be a false positive but never a false miss. */
   def rowGroupsInRangeBytes(meta: PqFileMeta, colName: String,
       lo: Array[Byte], hi: Array[Byte]): Seq[Int] =
     meta.rowGroups.indices.filter { rg =>
       chunkFor(meta, rg, colName).flatMap(_.stats) match {
         case Some(st) if st.min.nonEmpty =>
-          MinMax.compareBytes(st.min, hi) <= 0 &&
-            (st.max.isEmpty || MinMax.compareBytes(st.max, lo) >= 0)
+          (hi == null || MinMax.compareBytes(st.min, hi) <= 0) &&
+            (lo == null || st.max.isEmpty ||
+              MinMax.compareBytes(st.max, lo) >= 0)
         case _ => true
       }
     }

@@ -604,6 +604,25 @@ class SparkE2ESpec extends AnyFunSuite with BeforeAndAfterAll {
     val b = docs.groupBy("lang").agg(sum("n_chars").as("s")).orderBy("lang")
       .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
     assert(a == b)
+
+    // string predicates prune on byte-array footer stats: lang-sorted files
+    // give row groups disjoint lang ranges, so equality/prefix filters skip
+    // groups (results stay exact — filters remain residual)
+    val dirS = java.nio.file.Files.createTempDirectory("graft-dsv2s").toString
+    ParquetSink.write(docs.repartition(2).sortWithinPartitions("lang"), dirS,
+      rowGroupRows = 128).count()
+    val dfS = spark.read.format(GraftParquetFormat.Name).load(dirS)
+    val qs = dfS.where(col("lang") === "de").select("doc_id", "lang")
+    val planS = qs.queryExecution.executedPlan.toString
+    assert(planS.contains("strRanges=lang:[de,de]"), planS)
+    assert(qs.count() == docs.where(col("lang") === "de").count())
+    val qp = dfS.where(col("lang").startsWith("e")).select("doc_id")
+    val planP = qp.queryExecution.executedPlan.toString
+    assert(planP.contains("strRanges=lang:[e,f]"), planP)
+    assert(qp.count() == docs.where(col("lang").startsWith("e")).count())
+    val qr = dfS.where(col("lang") >= "fr").select("doc_id")
+    assert(qr.queryExecution.executedPlan.toString.contains("strRanges=lang:[fr,*]"))
+    assert(qr.count() == docs.where(col("lang") >= "fr").count())
   }
 
   test("DataSource V2: aggregate pushdown answers count/min/max from footers") {

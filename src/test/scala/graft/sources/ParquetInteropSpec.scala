@@ -520,6 +520,11 @@ class ParquetInteropSpec extends AnyFunSuite {
     assert(ParquetFileReader.rowGroupsInRange(meta, "id", 5000, 6000).isEmpty)
     assert(ParquetFileReader.rowGroupsInRangeBytes(meta, "name",
       "name-0500".getBytes, "name-0501".getBytes) == Seq(5))
+    // unbounded sides (null) — the DSv2 string-filter pruning shapes
+    assert(ParquetFileReader.rowGroupsInRangeBytes(meta, "name",
+      "name-0800".getBytes, null) == Seq(8, 9))
+    assert(ParquetFileReader.rowGroupsInRangeBytes(meta, "name",
+      null, "name-0150".getBytes) == Seq(0, 1))
 
     val (_, got) = ParquetFileReader.readFileRowsWhere(path, "id", 250, 420)
     assert(got.map(_("id")) == (200L until 500L).toIndexedSeq)
