@@ -27,6 +27,9 @@ object BitUtil {
   @inline def ceil8(bits: Int): Int = (bits + 7) >>> 3
 
   @inline def paddedByteWidth(bitWidth: Int): Int = (bitWidth + 7) >>> 3
+
+  private[core] val LongView = java.lang.invoke.MethodHandles.byteArrayViewVarHandle(
+    classOf[Array[Long]], java.nio.ByteOrder.LITTLE_ENDIAN)
 }
 
 /** Growable little-endian bit/byte writer. */
@@ -168,31 +171,33 @@ final class BitReader(buf: Array[Byte], start: Int, end: Int) {
       return
     }
     val mask = (1L << numBits) - 1
-    // accumulator decode: bits stream LSB-first into `acc`, one value
-    // extracted per shift+mask; byte loads amortize to numBits/8 per value
-    var acc = 0L
-    var accBits = 0
-    var bp = byteOffset
-    if (bitOffset != 0) {
-      acc = ((buf(bp) & 0xFF) >>> bitOffset).toLong
-      accBits = 8 - bitOffset
-      bp += 1
-    }
-    var i = 0
-    while (i < n) {
-      while (accBits < numBits) {
-        acc |= (buf(bp) & 0xFFL) << accBits
-        bp += 1
-        accBits += 8
+    // word decode: one unaligned 64-bit load yields floor((64-phase)/numBits)
+    // values via shift+mask (the phase is < 8, so any width <= 56 fits).
+    // Falls back to the bit-at-a-time path for the last < 8 buffer bytes.
+    var bitPos = byteOffset.toLong * 8 + bitOffset
+    var i = outOff
+    val stop = outOff + n
+    while (i < stop) {
+      val p = (bitPos >>> 3).toInt
+      if (p + 8 <= end) {
+        var w = (BitUtil.LongView.get(buf, p): Long) >>> (bitPos & 7).toInt
+        var avail = 64 - (bitPos & 7).toInt
+        while (i < stop && avail >= numBits) {
+          out(i) = w & mask
+          w >>>= numBits
+          avail -= numBits
+          bitPos += numBits
+          i += 1
+        }
+      } else {
+        byteOffset = p
+        bitOffset = (bitPos & 7).toInt
+        while (i < stop) { out(i) = getValue(numBits); i += 1 }
+        return
       }
-      out(outOff + i) = acc & mask
-      acc >>>= numBits
-      accBits -= numBits
-      i += 1
     }
-    val endBitPos = byteOffset.toLong * 8 + bitOffset + n.toLong * numBits
-    byteOffset = (endBitPos >>> 3).toInt
-    bitOffset = (endBitPos & 7).toInt
+    byteOffset = (bitPos >>> 3).toInt
+    bitOffset = (bitPos & 7).toInt
   }
 
   def alignToByte(): Unit = if (bitOffset != 0) { bitOffset = 0; byteOffset += 1 }

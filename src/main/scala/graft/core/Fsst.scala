@@ -123,7 +123,7 @@ object FsstCodec {
 
   /** Little-endian load of up to 8 bytes of `a` from [pos, end). */
   @inline private def loadWord(a: Array[Byte], pos: Int, end: Int): Long =
-    if (pos + 8 <= end) LongView.get(a, pos).asInstanceOf[Long]
+    if (pos + 8 <= end) (LongView.get(a, pos): Long)
     else {
       val n = end - pos
       var w = 0L
@@ -294,7 +294,7 @@ object FsstCodec {
     val hash4Packed = t.hash4Packed
     val short2 = t.short2
     while (pos <= fastEnd) {
-      val word = LongView.get(a, pos).asInstanceOf[Long]
+      val word: Long = LongView.get(a, pos)
       val h4 = hashIdx4(word)
       val p4 = hash4Packed(h4)
       if (p4 >= 0 && (word & lenMask(p4 >>> 8)) == hash4Word(h4)) {

@@ -47,6 +47,12 @@ object KernelBench {
       time("AUTO lens", lens.rawSize)(ChunkCodec.encodeAuto(lens))
       val blob = ChunkCodec.encodeAuto(content).blob
       time("decode content", content.rawSize)(ChunkCodec.decode(blob))
+      // bit-unpack-bound decode paths: dict id streams (RLE/bit-packed
+      // getBatch) and delta miniblocks
+      val dictBlob = ChunkCodec.encodeWith(path, CodecId.Dict)
+      time("decode path dict", path.rawSize)(ChunkCodec.decode(dictBlob))
+      val deltaBlob = ChunkCodec.encodeWith(lens, CodecId.DeltaBinaryPacked)
+      time("decode lens delta", lens.rawSize)(ChunkCodec.decode(deltaBlob))
     }
   }
 }
