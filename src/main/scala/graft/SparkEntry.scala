@@ -275,6 +275,23 @@ object SparkEntry {
           sum(col("doc_id")).as("sum_id"))
         .orderBy("lang")
     }),
+    "q_parquet_page_prune" -> ((s, dir) => {
+      // Page-granular pruning surface: a single-file, single-row-group
+      // table whose chunks span many ~1 MiB pages with per-page header
+      // statistics; the pushed doc_id range decodes only overlapping
+      // pages (and, via ranged I/O, reads only the needed chunks).
+      val in = docs(s, dir).select("doc_id", "text")
+      val out = java.nio.file.Files.createTempDirectory("graft-pgpq").toString
+      graft.sources.ParquetSink.write(
+        in.coalesce(1).sortWithinPartitions("doc_id"), out,
+        rowGroupRows = 1 << 20).count()
+      import org.apache.spark.sql.functions._
+      s.read.format(graft.sources.GraftParquetFormat.Name).load(out)
+        .where(col("doc_id") >= 500L && col("doc_id") <= 1499L)
+        .agg(count(lit(1)).as("n_docs"),
+          sum(length(col("text"))).cast("long").as("text_chars"),
+          sum(col("doc_id")).cast("long").as("sum_id"))
+    }),
     "q_parquet_sql_read" -> ((s, dir) => {
       // DataSource V2 surface: our reader mounted via spark.read.format(),
       // queried through spark.sql — Catalyst pushes the projection and the
@@ -500,6 +517,8 @@ object SparkEntry {
       "SELECT lang, count(*) AS cnt, CAST(sum(length(text)) AS BIGINT) AS chars, CAST(sum(doc_id) AS BIGINT) AS sum_id FROM documents GROUP BY lang ORDER BY lang",
     "q_parquet_dist_read" ->
       "SELECT lang, count(*) AS cnt, CAST(sum(length(text)) AS BIGINT) AS chars, CAST(sum(doc_id) AS BIGINT) AS sum_id FROM documents WHERE doc_id BETWEEN 100 AND 2000 GROUP BY lang ORDER BY lang",
+    "q_parquet_page_prune" ->
+      "SELECT count(*) AS n_docs, CAST(sum(length(text)) AS BIGINT) AS text_chars, CAST(sum(doc_id) AS BIGINT) AS sum_id FROM documents WHERE doc_id BETWEEN 500 AND 1499",
     "q_parquet_sql_read" ->
       "SELECT lang, count(*) AS cnt, CAST(sum(length(text)) AS BIGINT) AS chars, CAST(sum(doc_id) AS BIGINT) AS sum_id FROM documents WHERE doc_id BETWEEN 100 AND 2000 GROUP BY lang ORDER BY lang",
     "q_parquet_agg_pushdown" ->

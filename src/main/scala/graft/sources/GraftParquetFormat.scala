@@ -349,9 +349,6 @@ final class GraftAggPartitionReader(path: String, fullSchema: StructType,
     if (done) return false
     done = true
     val meta = ParquetFileReader.readFooterOnly(path)
-    // full file bytes only if some row group is missing stats (lazy, rare)
-    lazy val bytes =
-      java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(path))
     def extreme(col: String, wantMax: Boolean): Option[Long] = {
       val perGroup = meta.rowGroups.indices.flatMap { rg =>
         val cm = meta.rowGroups(rg).columns.find(
@@ -359,10 +356,15 @@ final class GraftAggPartitionReader(path: String, fullSchema: StructType,
         cm.flatMap(_.stats) match {
           case Some(st) if st.min.nonEmpty && st.max.nonEmpty =>
             Some(graft.core.MinMax.leToLong(if (wantMax) st.max else st.min))
-          case _ => // stats missing: decode just this column of this group
+          case _ => // stats missing (rare): read + decode ONLY this chunk
             val lc = ParquetFileReader.leafColumns(meta, rg)
               .find(_.path == Seq(col)).get
-            val t = ParquetFileReader.readTriplets(bytes, lc)
+            val fetch = new ParquetFileReader.ChunkFetcher(path)
+            val t =
+              try {
+                val (b, l2) = fetch.fetchLeaf(lc)
+                ParquetFileReader.readTriplets(b, l2)
+              } finally fetch.close()
             val vs: Seq[Long] = t.values.map {
               case i: Int => i.toLong
               case l: Long => l
@@ -391,6 +393,12 @@ final class GraftAggPartitionReader(path: String, fullSchema: StructType,
   override def close(): Unit = ()
 }
 
+object GraftScan {
+  /** Above this many files, planning skips the per-file footer-tail reads
+    * (row-group split + driver-side pruning) to keep the driver O(listing). */
+  val FooterPlanLimit = 4096
+}
+
 final class GraftScan(dir: String, schema: StructType,
     ranges: Map[String, (Long, Long)], limit: Int = -1,
     strRanges: Map[String, (Array[Byte], Array[Byte])] = Map.empty)
@@ -407,9 +415,33 @@ final class GraftScan(dir: String, schema: StructType,
       (if (limit >= 0) s" limit=$limit" else "")
   override def toBatch: Batch = this
 
-  override def planInputPartitions(): Array[InputPartition] =
-    GraftParquetFormat.listFiles(dir)
-      .map(p => GraftFilePartition(p): InputPartition).toArray
+  /** Row-group-granular scheduling with PLANNING-time stat pruning: one
+    * footer-tail read per file on the driver turns each surviving row
+    * group into its own task, so (a) a single huge file parallelizes
+    * across executors instead of serializing into one task, and (b) files
+    * and row groups excluded by pushed ranges never get a task at all.
+    * Past [[GraftScan.FooterPlanLimit]] files the driver skips the footer
+    * reads (planning stays O(listing) on huge directories) and falls back
+    * to per-file tasks with the same pruning done task-side. */
+  override def planInputPartitions(): Array[InputPartition] = {
+    val files = GraftParquetFormat.listFiles(dir)
+    if (files.length > GraftScan.FooterPlanLimit)
+      files.map(p => GraftFilePartition(p): InputPartition).toArray
+    else files.flatMap { p =>
+      val meta = ParquetFileReader.readFooterOnly(p)
+      var rgs: Seq[Int] = meta.rowGroups.indices
+      ranges.foreach { case (c, (lo, hi)) =>
+        val keep = ParquetFileReader.rowGroupsInRange(meta, c, lo, hi).toSet
+        rgs = rgs.filter(keep)
+      }
+      strRanges.foreach { case (c, (lo, hi)) =>
+        val keep =
+          ParquetFileReader.rowGroupsInRangeBytes(meta, c, lo, hi).toSet
+        rgs = rgs.filter(keep)
+      }
+      rgs.map(rg => GraftFilePartition(p, Seq(rg)): InputPartition)
+    }.toArray
+  }
 
   override def createReaderFactory(): PartitionReaderFactory =
     new GraftReaderFactory(schema, ranges, limit, strRanges)
@@ -435,30 +467,38 @@ final class GraftScan(dir: String, schema: StructType,
   }
 }
 
-final case class GraftFilePartition(path: String) extends InputPartition
+/** One scan task: a file, or a slice of its row groups (`rgs == null` ⇒
+  * all, with stat pruning done task-side). */
+final case class GraftFilePartition(path: String, rgs: Seq[Int] = null)
+    extends InputPartition
 
 final class GraftReaderFactory(schema: StructType,
     ranges: Map[String, (Long, Long)], limit: Int = -1,
     strRanges: Map[String, (Array[Byte], Array[Byte])] = Map.empty)
     extends PartitionReaderFactory {
-  override def createReader(p: InputPartition): PartitionReader[InternalRow] =
-    new GraftPartitionReader(p.asInstanceOf[GraftFilePartition].path,
-      schema, ranges, limit, strRanges)
+  override def createReader(p: InputPartition): PartitionReader[InternalRow] = {
+    val fp = p.asInstanceOf[GraftFilePartition]
+    new GraftPartitionReader(fp.path, schema, ranges, limit, strRanges, fp.rgs)
+  }
 }
 
 final class GraftPartitionReader(path: String, schema: StructType,
     ranges: Map[String, (Long, Long)], limit: Int = -1,
-    strRanges: Map[String, (Array[Byte], Array[Byte])] = Map.empty)
+    strRanges: Map[String, (Array[Byte], Array[Byte])] = Map.empty,
+    plannedRgs: Seq[Int] = null)
     extends PartitionReader[InternalRow] {
 
   private val toCatalyst =
     CatalystTypeConverters.createToCatalystConverter(schema)
 
   private val it: Iterator[InternalRow] = {
-    val bytes = java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(path))
-    val meta = ParquetFileReader.readFooter(bytes)
-    // intersect all pushed ranges at row-group granularity
-    var rgs: Seq[Int] = meta.rowGroups.indices
+    // footer tail only — data bytes are fetched per projected chunk below,
+    // so a k-of-n column projection reads k/n of the file's data I/O
+    val meta = ParquetFileReader.readFooterOnly(path)
+    // intersect all pushed ranges at row-group granularity (planning
+    // already pruned when plannedRgs is set — re-filtering is a no-op)
+    var rgs: Seq[Int] =
+      if (plannedRgs != null) plannedRgs else meta.rowGroups.indices
     ranges.foreach { case (col, (lo, hi)) =>
       val keep = ParquetFileReader.rowGroupsInRange(meta, col, lo, hi).toSet
       rgs = rgs.filter(keep)
@@ -469,17 +509,91 @@ final class GraftPartitionReader(path: String, schema: StructType,
       rgs = rgs.filter(keep)
     }
     val proj = schema.fieldNames.toSet
+    // FLAT schemas with pushed predicates go through page-level pruning:
+    // within each surviving row group, the filter columns' page statistics
+    // select row ranges, and only pages overlapping them are decoded.
+    val flat = schema.nonEmpty && meta.schema.size > 1 &&
+      meta.schema.drop(1).forall(se => se.numChildren == 0 && se.repetition != 2)
     // rgs.iterator keeps row-group decode lazy: a pushed limit stops
     // before trailing row groups are ever decompressed
-    val rows = rgs.iterator.flatMap { rg =>
-      ParquetFileReader.readRows(bytes, meta, rg, proj).iterator.map { g =>
-        toCatalyst(org.apache.spark.sql.Row.fromSeq(
-          schema.fields.toSeq.map(f =>
-            ParquetSource.externalValue(g(f.name), f.dataType))))
-          .asInstanceOf[InternalRow]
+    val rows =
+      if (flat && (ranges.nonEmpty || strRanges.nonEmpty))
+        rgs.iterator.flatMap(rg => pagePrunedRows(meta, rg))
+      else rgs.iterator.flatMap { rg =>
+        val fetch = new ParquetFileReader.ChunkFetcher(path)
+        // readRowsFetched materializes the row group before returning,
+        // so the fetcher can close eagerly
+        val groupRows =
+          try ParquetFileReader.readRowsFetched(fetch, meta, rg, proj)
+          finally fetch.close()
+        groupRows.iterator.map { g =>
+          toCatalyst(org.apache.spark.sql.Row.fromSeq(
+            schema.fields.toSeq.map(f =>
+              ParquetSource.externalValue(g(f.name), f.dataType))))
+            .asInstanceOf[InternalRow]
+        }
+      }
+    if (limit >= 0) rows.take(limit) else rows
+  }
+
+  /** Rows of one row group surviving the pushed ranges at PAGE granularity:
+    * page statistics of each filter column narrow the kept chunk-row
+    * ranges, then only overlapping pages of the projected columns are
+    * decoded. Residual Spark-side filters still apply afterwards, so
+    * stat-less pages surviving is only a missed skip, never a wrong row. */
+  private def pagePrunedRows(meta: PqFileMeta,
+      rg: Int): Iterator[InternalRow] = {
+    val fetch = new ParquetFileReader.ChunkFetcher(path)
+    try pagePrunedRowsFetched(fetch, meta, rg) finally fetch.close()
+  }
+
+  private def pagePrunedRowsFetched(fetch: ParquetFileReader.ChunkFetcher,
+      meta: PqFileMeta, rg: Int): Iterator[InternalRow] = {
+    // fetched (buffer, rebased meta) per column name: a filter column that
+    // is also projected reads its byte range once, not twice
+    val cache = scala.collection.mutable.Map.empty[String,
+      (Array[Byte], PqColumnMeta)]
+    def fetched(name: String, cm: PqColumnMeta): (Array[Byte], PqColumnMeta) =
+      cache.getOrElseUpdate(name, fetch.fetch(cm))
+    val nRows = meta.rowGroups(rg).numRows
+    var keep: Seq[(Long, Long)] = Seq((0L, nRows))
+    ranges.foreach { case (c, (lo, hi)) =>
+      ParquetFileReader.chunkFor(meta, rg, c).foreach { cm =>
+        val (b, rcm) = fetched(c, cm)
+        keep = ParquetFileReader.intersectRowRanges(keep,
+          ParquetFileReader.pageRowRanges(b, rcm,
+            st => ParquetFileReader.intStatsOverlap(st, lo, hi)))
       }
     }
-    if (limit >= 0) rows.take(limit) else rows
+    strRanges.foreach { case (c, (lo, hi)) =>
+      ParquetFileReader.chunkFor(meta, rg, c).foreach { cm =>
+        val (b, rcm) = fetched(c, cm)
+        keep = ParquetFileReader.intersectRowRanges(keep,
+          ParquetFileReader.pageRowRanges(b, rcm,
+            st => ParquetFileReader.byteStatsOverlap(st, lo, hi)))
+      }
+    }
+    if (keep.isEmpty) return Iterator.empty
+    val byName = ParquetFileReader.flatColumns(meta, rg)
+      .map(c => c.name -> c).toMap
+    val colVals: Array[IndexedSeq[Any]] = schema.fields.map { f =>
+      val col = byName(f.name)
+      val (b, rcm) = fetched(f.name, col.meta)
+      val vals = ParquetFileReader.readColumnRowRanges(b,
+        col.copy(meta = rcm), keep)
+      if (f.dataType == org.apache.spark.sql.types.StringType)
+        vals.map(v => if (v == null) null
+          else new String(v.asInstanceOf[Array[Byte]],
+            java.nio.charset.StandardCharsets.UTF_8))
+      else vals
+    }
+    val n = colVals.head.length
+    (0 until n).iterator.map { i =>
+      toCatalyst(org.apache.spark.sql.Row.fromSeq(
+        schema.fields.indices.map(j =>
+          ParquetSource.externalValue(colVals(j)(i), schema.fields(j).dataType))))
+        .asInstanceOf[InternalRow]
+    }
   }
 
   private var cur: InternalRow = _

@@ -132,7 +132,7 @@ object ParquetFileReader {
     require(cm.numValues >= 0 && cm.numValues <= 8L * bytes.length,
       s"chunk claims ${cm.numValues} values in a ${bytes.length}-byte file")
     var off =
-      if (cm.dictionaryPageOffset > 0) math.min(cm.dictionaryPageOffset, cm.dataPageOffset)
+      if (cm.dictionaryPageOffset >= 0) math.min(cm.dictionaryPageOffset, cm.dataPageOffset)
       else cm.dataPageOffset
     require(off >= 0 && off < bytes.length, s"page offset $off out of file")
     var dict: IndexedSeq[Any] = null
@@ -154,65 +154,13 @@ object ParquetFileReader {
         s"page claims ${ph.numValues} values, chunk has $remaining left")
       ph.pageType match {
         case 2 => // dictionary page: PLAIN values
-          val raw = decompress(bytes, dataStart, ph.compressedSize,
-            ph.uncompressedSize, cm.codec)
-          require(ph.numValues <= raw.length, // every dict entry is >= 1 byte
-            s"dict page claims ${ph.numValues} entries in ${raw.length} bytes")
-          dict = decodePlain(col.typ, col.typeLength, raw, 0, raw.length, ph.numValues)
-        case 0 => // data page v1: [rep levels][def levels][values], one region
-          val raw = decompress(bytes, dataStart, ph.compressedSize,
-            ph.uncompressedSize, cm.codec)
-          val n = ph.numValues
-          var pos = 0
-          if (col.maxRep > 0) {
-            val (lv, p2) = readLevelStream(raw, pos, n, col.maxRep, ph.repLevelEncoding)
-            pos = p2
-            reps ++= lv
-          }
-          if (col.maxDef > 0) {
-            val (lv, p2) = readLevelStream(raw, pos, n, col.maxDef, ph.defLevelEncoding)
-            pos = p2
-            defs ++= lv
-            values ++= decodeValues(ph.encoding, col, raw, pos,
-              countMax(lv, col.maxDef), dict)
-          } else {
-            values ++= decodeValues(ph.encoding, col, raw, pos, n, dict)
-          }
-          remaining -= n
-        case 3 =>
-          // data page v2 (reference reader.rs:449-533): rep + def level
-          // streams sit UNCOMPRESSED right after the header, RLE with NO
-          // 4-byte length prefix (lengths come from the header); only the
-          // value region is block-compressed (unless is_compressed=false).
-          val n = ph.numValues
-          val repLen = ph.repLevelsByteLen
-          val defLen = ph.defLevelsByteLen
-          if (col.maxRep > 0) {
-            val dec = new RleHybridDecoder(levelBitWidth(col.maxRep), bytes,
-              dataStart, dataStart + repLen)
-            val tmp = new Array[Long](n)
-            dec.get(tmp, 0, n)
-            reps ++= tmp.map(_.toInt)
-          }
-          var nNonNull = n - ph.numNulls
-          if (col.maxDef > 0) {
-            val dec = new RleHybridDecoder(levelBitWidth(col.maxDef), bytes,
-              dataStart + repLen, dataStart + repLen + defLen)
-            val tmp = new Array[Long](n)
-            dec.get(tmp, 0, n)
-            val lv = tmp.map(_.toInt)
-            defs ++= lv
-            nNonNull = countMax(lv, col.maxDef)
-          }
-          val vOff = dataStart + repLen + defLen
-          val vUnc = ph.uncompressedSize - repLen - defLen
-          val vraw =
-            if (ph.isCompressed && cm.codec != PqCodec.Uncompressed)
-              decompress(bytes, vOff, ph.compressedSize - repLen - defLen,
-                vUnc, cm.codec)
-            else java.util.Arrays.copyOfRange(bytes, vOff, vOff + vUnc)
-          values ++= decodeValues(ph.encoding, col, vraw, 0, nNonNull, dict)
-          remaining -= n
+          dict = decodeDictPage(bytes, dataStart, ph, col)
+        case 0 | 3 =>
+          val (vals, dl, rl) = decodeDataPage(bytes, dataStart, ph, col, dict)
+          if (rl != null) reps ++= rl
+          if (dl != null) defs ++= dl
+          values ++= vals
+          remaining -= ph.numValues
         case other => throw new IllegalArgumentException(
           s"page type $other not supported")
       }
@@ -222,6 +170,81 @@ object ParquetFileReader {
       if (defs != null) defs.toArray else null,
       if (reps != null) reps.toArray else null,
       col.maxDef)
+  }
+
+  private def decodeDictPage(bytes: Array[Byte], dataStart: Int,
+      ph: PqPageHeader, col: LeafColumn): IndexedSeq[Any] = {
+    val raw = decompress(bytes, dataStart, ph.compressedSize,
+      ph.uncompressedSize, col.meta.codec)
+    require(ph.numValues <= raw.length, // every dict entry is >= 1 byte
+      s"dict page claims ${ph.numValues} entries in ${raw.length} bytes")
+    decodePlain(col.typ, col.typeLength, raw, 0, raw.length, ph.numValues)
+  }
+
+  /** Decode one DATA page (v1 or v2) of `col`: (null-suppressed values,
+    * def levels or null, rep levels or null). Shared by the whole-chunk
+    * [[readTriplets]] loop and the page-pruned flat read. */
+  private def decodeDataPage(bytes: Array[Byte], dataStart: Int,
+      ph: PqPageHeader, col: LeafColumn, dict: IndexedSeq[Any]):
+      (IndexedSeq[Any], Array[Int], Array[Int]) = {
+    val cm = col.meta
+    ph.pageType match {
+      case 0 => // data page v1: [rep levels][def levels][values], one region
+        val raw = decompress(bytes, dataStart, ph.compressedSize,
+          ph.uncompressedSize, cm.codec)
+        val n = ph.numValues
+        var pos = 0
+        var reps: Array[Int] = null
+        if (col.maxRep > 0) {
+          val (lv, p2) = readLevelStream(raw, pos, n, col.maxRep, ph.repLevelEncoding)
+          pos = p2
+          reps = lv
+        }
+        if (col.maxDef > 0) {
+          val (lv, p2) = readLevelStream(raw, pos, n, col.maxDef, ph.defLevelEncoding)
+          pos = p2
+          (decodeValues(ph.encoding, col, raw, pos,
+            countMax(lv, col.maxDef), dict), lv, reps)
+        } else {
+          (decodeValues(ph.encoding, col, raw, pos, n, dict), null, reps)
+        }
+      case 3 =>
+        // data page v2 (reference reader.rs:449-533): rep + def level
+        // streams sit UNCOMPRESSED right after the header, RLE with NO
+        // 4-byte length prefix (lengths come from the header); only the
+        // value region is block-compressed (unless is_compressed=false).
+        val n = ph.numValues
+        val repLen = ph.repLevelsByteLen
+        val defLen = ph.defLevelsByteLen
+        var reps: Array[Int] = null
+        if (col.maxRep > 0) {
+          val dec = new RleHybridDecoder(levelBitWidth(col.maxRep), bytes,
+            dataStart, dataStart + repLen)
+          val tmp = new Array[Long](n)
+          dec.get(tmp, 0, n)
+          reps = tmp.map(_.toInt)
+        }
+        var nNonNull = n - ph.numNulls
+        var defs: Array[Int] = null
+        if (col.maxDef > 0) {
+          val dec = new RleHybridDecoder(levelBitWidth(col.maxDef), bytes,
+            dataStart + repLen, dataStart + repLen + defLen)
+          val tmp = new Array[Long](n)
+          dec.get(tmp, 0, n)
+          defs = tmp.map(_.toInt)
+          nNonNull = countMax(defs, col.maxDef)
+        }
+        val vOff = dataStart + repLen + defLen
+        val vUnc = ph.uncompressedSize - repLen - defLen
+        val vraw =
+          if (ph.isCompressed && cm.codec != PqCodec.Uncompressed)
+            decompress(bytes, vOff, ph.compressedSize - repLen - defLen,
+              vUnc, cm.codec)
+          else java.util.Arrays.copyOfRange(bytes, vOff, vOff + vUnc)
+        (decodeValues(ph.encoding, col, vraw, 0, nNonNull, dict), defs, reps)
+      case other => throw new IllegalArgumentException(
+        s"page type $other not supported")
+    }
   }
 
   private def countMax(lv: Array[Int], max: Int): Int = {
@@ -317,6 +340,62 @@ object ParquetFileReader {
     }
   }
 
+  // ------------------------------------------------------------ ranged I/O
+  // A projected scan must not READ unprojected bytes, not merely skip
+  // decoding them: at 100 TB a 2-of-20-column projection that slurps whole
+  // files does 10× the I/O the query needs. Chunk offsets in the footer
+  // (data/dictionary page offset + total_compressed_size) delimit each
+  // column chunk's byte range exactly, so a task reads the footer tail plus
+  // only the projected chunks' ranges.
+
+  /** Byte range [start, end) of one column chunk inside its file. */
+  def chunkByteRange(cm: PqColumnMeta): (Long, Long) = {
+    val start =
+      if (cm.dictionaryPageOffset >= 0)
+        math.min(cm.dictionaryPageOffset, cm.dataPageOffset)
+      else cm.dataPageOffset
+    (start, start + cm.totalCompressedSize)
+  }
+
+  /** The same chunk metadata with page offsets rebased to a buffer whose
+    * byte 0 is the chunk's first byte (what [[ChunkFetcher.fetch]] returns). */
+  def rebaseChunk(cm: PqColumnMeta): PqColumnMeta = {
+    val start = chunkByteRange(cm)._1
+    cm.copy(
+      dataPageOffset = cm.dataPageOffset - start,
+      dictionaryPageOffset =
+        if (cm.dictionaryPageOffset >= 0) cm.dictionaryPageOffset - start
+        else -1L)
+  }
+
+  /** Random-access per-chunk reader: each fetch reads ONLY that chunk's
+    * byte range, never the rest of the file. All downstream decode
+    * entry points take (buffer, chunk meta) with offsets drawn from the
+    * meta, so handing them the fetched buffer plus rebased meta reuses
+    * the whole decode layer unchanged. */
+  final class ChunkFetcher(path: String) extends AutoCloseable {
+    private val raf = new java.io.RandomAccessFile(path, "r")
+    private val fileLen = raf.length()
+    def fetch(cm: PqColumnMeta): (Array[Byte], PqColumnMeta) = {
+      val (s, e) = chunkByteRange(cm)
+      require(s >= 0 && s <= e && e <= fileLen,
+        s"chunk byte range [$s,$e) outside $fileLen-byte file")
+      val buf = new Array[Byte]((e - s).toInt)
+      raf.seek(s)
+      raf.readFully(buf)
+      (buf, rebaseChunk(cm))
+    }
+    def fetchLeaf(col: LeafColumn): (Array[Byte], LeafColumn) = {
+      val (b, cm) = fetch(col.meta)
+      (b, col.copy(meta = cm))
+    }
+    def fetchColumn(col: Column): (Array[Byte], Column) = {
+      val (b, cm) = fetch(col.meta)
+      (b, col.copy(meta = cm))
+    }
+    override def close(): Unit = raf.close()
+  }
+
   // ------------------------------------------------------------- flat reads
 
   final case class Column(name: String, typ: Int, maxDef: Int, meta: PqColumnMeta)
@@ -366,7 +445,7 @@ object ParquetFileReader {
   // TODO (`/root/reference/src/file/reader.rs:198`); stats themselves are
   // its statistics.rs layer. Pruned groups are never read or decoded.
 
-  private def chunkFor(meta: PqFileMeta, rg: Int,
+  def chunkFor(meta: PqFileMeta, rg: Int,
       colName: String): Option[PqColumnMeta] =
     meta.rowGroups(rg).columns.find(c =>
       c.pathInSchema.headOption.contains(colName))
@@ -403,13 +482,147 @@ object ParquetFileReader {
     * predicate on an INT32/INT64 column. */
   def readFileRowsWhere(path: String, colName: String, lo: Long,
       hi: Long): (Seq[String], IndexedSeq[PqGroupVal]) = {
-    val bytes = java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(path))
-    val meta = readFooter(bytes)
+    val meta = readFooterOnly(path)
     val (rootChildren, _) = schemaTree(meta)
     val names = rootChildren.map(_.elem.name)
-    val rows = rowGroupsInRange(meta, colName, lo, hi)
-      .flatMap(rg => readRows(bytes, meta, rg))
-    (names, rows.toIndexedSeq)
+    val fetch = new ChunkFetcher(path)
+    try {
+      // pruned row groups are never read from disk, not just never decoded
+      val rows = rowGroupsInRange(meta, colName, lo, hi)
+        .flatMap(rg => readRowsFetched(fetch, meta, rg))
+      (names, rows.toIndexedSeq)
+    } finally fetch.close()
+  }
+
+  // --------------------------------------------------- page-level pruning
+  // Finer granularity than row groups: every data page of our writer's
+  // multi-page chunks carries min/max/null-count statistics in its header
+  // (DataPageHeader field 5 / DataPageHeaderV2 field 8), so a range
+  // predicate can skip individual ~1 MiB pages — they are never
+  // decompressed or decoded. Pages without statistics always survive.
+
+  /** One data page of a flat chunk: header file offset, parsed header, and
+    * the first chunk row it covers (it spans `header.numValues` rows). */
+  final case class PageSpan(off: Int, header: PqPageHeader, rowStart: Long)
+
+  /** Walk a FLAT (maxRep == 0) chunk's page headers without decompressing
+    * anything. Returns (dictionary page offset or -1, data page spans). */
+  def pageSpans(bytes: Array[Byte], cm: PqColumnMeta): (Long, Seq[PageSpan]) = {
+    var off =
+      if (cm.dictionaryPageOffset >= 0)
+        math.min(cm.dictionaryPageOffset, cm.dataPageOffset)
+      else cm.dataPageOffset
+    require(off >= 0 && off < bytes.length, s"page offset $off out of file")
+    var dictOff = -1L
+    var row = 0L
+    var remaining = cm.numValues
+    val out = Seq.newBuilder[PageSpan]
+    while (remaining > 0) {
+      val ph = ParquetMeta.parsePageHeader(bytes, off.toInt)
+      val dataStart = off.toInt + ph.headerLen
+      require(ph.compressedSize >= 0 &&
+        dataStart.toLong + ph.compressedSize <= bytes.length,
+        s"page claims ${ph.compressedSize} compressed bytes past EOF")
+      if (ph.pageType == 2) dictOff = off
+      else {
+        require(ph.numValues > 0 && ph.numValues <= remaining,
+          s"page claims ${ph.numValues} values, chunk has $remaining left")
+        out += PageSpan(off.toInt, ph, row)
+        row += ph.numValues
+        remaining -= ph.numValues
+      }
+      off = dataStart.toLong + ph.compressedSize
+    }
+    (dictOff, out.result())
+  }
+
+  /** Does an INT32/INT64 stats pair intersect [lo, hi]? Empty stats ⇒ yes. */
+  def intStatsOverlap(st: PqStats, lo: Long, hi: Long): Boolean =
+    st.min.isEmpty || st.max.isEmpty ||
+      (MinMax.leToLong(st.max) >= lo && MinMax.leToLong(st.min) <= hi)
+
+  /** Byte-stats intersection with [lo, hi] (unsigned lexicographic; null
+    * side unbounded). Conservative under stat truncation, like
+    * [[rowGroupsInRangeBytes]]. */
+  def byteStatsOverlap(st: PqStats, lo: Array[Byte], hi: Array[Byte]): Boolean =
+    st.min.isEmpty ||
+      ((hi == null || MinMax.compareBytes(st.min, hi) <= 0) &&
+        (lo == null || st.max.isEmpty || MinMax.compareBytes(st.max, lo) >= 0))
+
+  /** Chunk row ranges (ascending, disjoint, end-exclusive) covered by the
+    * pages whose statistics pass `keep`; stat-less pages always pass. */
+  def pageRowRanges(bytes: Array[Byte], cm: PqColumnMeta,
+      keep: PqStats => Boolean): Seq[(Long, Long)] = {
+    val (_, spans) = pageSpans(bytes, cm)
+    val out = new ArrayBuffer[(Long, Long)]()
+    spans.foreach { s =>
+      if (s.header.stats.forall(keep)) {
+        val r = (s.rowStart, s.rowStart + s.header.numValues)
+        if (out.nonEmpty && out.last._2 == r._1)
+          out(out.length - 1) = (out.last._1, r._2)
+        else out += r
+      }
+    }
+    out.toSeq
+  }
+
+  /** Intersect two ascending disjoint range lists. */
+  def intersectRowRanges(a: Seq[(Long, Long)],
+      b: Seq[(Long, Long)]): Seq[(Long, Long)] = {
+    val out = new ArrayBuffer[(Long, Long)]()
+    var i = 0
+    var j = 0
+    while (i < a.length && j < b.length) {
+      val lo = math.max(a(i)._1, b(j)._1)
+      val hi = math.min(a(i)._2, b(j)._2)
+      if (lo < hi) out += ((lo, hi))
+      if (a(i)._2 <= b(j)._2) i += 1 else j += 1
+    }
+    out.toSeq
+  }
+
+  /** Decode only the pages of a FLAT column chunk intersecting `ranges`
+    * (ascending disjoint chunk-row intervals): returns values (nulls
+    * inline) of exactly those rows, in row order. Pages outside the
+    * ranges are never decompressed or decoded. */
+  def readColumnRowRanges(bytes: Array[Byte], col: Column,
+      ranges: Seq[(Long, Long)]): IndexedSeq[Any] = {
+    if (ranges.isEmpty) return IndexedSeq.empty
+    val leaf = LeafColumn(Seq(col.name), col.typ, -1, -1, col.maxDef, 0, col.meta)
+    val (dictOff, spans) = pageSpans(bytes, col.meta)
+    var dict: IndexedSeq[Any] = null
+    if (dictOff >= 0) {
+      val ph = ParquetMeta.parsePageHeader(bytes, dictOff.toInt)
+      dict = decodeDictPage(bytes, dictOff.toInt + ph.headerLen, ph, leaf)
+    }
+    val out = new ArrayBuffer[Any]()
+    spans.foreach { s =>
+      val pStart = s.rowStart
+      val pEnd = s.rowStart + s.header.numValues
+      if (ranges.exists(r => r._1 < pEnd && r._2 > pStart)) {
+        val (vals, defs, _) =
+          decodeDataPage(bytes, s.off + s.header.headerLen, s.header, leaf, dict)
+        // rows of this page with nulls expanded inline
+        val rowVals: IndexedSeq[Any] =
+          if (defs == null) vals
+          else {
+            val b = new ArrayBuffer[Any](defs.length)
+            var vi = 0
+            var i = 0
+            while (i < defs.length) {
+              if (defs(i) == col.maxDef) { b += vals(vi); vi += 1 } else b += null
+              i += 1
+            }
+            b.toIndexedSeq
+          }
+        ranges.foreach { r =>
+          var row = math.max(r._1, pStart)
+          val until = math.min(r._2, pEnd)
+          while (row < until) { out += rowVals((row - pStart).toInt); row += 1 }
+        }
+      }
+    }
+    out.toIndexedSeq
   }
 
   // --------------------------------------------------- record assembly
@@ -429,12 +642,15 @@ object ParquetFileReader {
     * String. The reference's `RowIter` equivalent
     * (`/root/reference/src/record/reader.rs:731-903`). */
   def readFileRows(path: String): (Seq[String], IndexedSeq[PqGroupVal]) = {
-    val bytes = java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(path))
-    val meta = readFooter(bytes)
+    val meta = readFooterOnly(path)
     val (rootChildren, _) = schemaTree(meta)
     val names = rootChildren.map(_.elem.name)
-    val rows = (0 until meta.rowGroups.size).flatMap(rg => readRows(bytes, meta, rg))
-    (names, rows.toIndexedSeq)
+    val fetch = new ChunkFetcher(path)
+    try {
+      val rows = (0 until meta.rowGroups.size)
+        .flatMap(rg => readRowsFetched(fetch, meta, rg))
+      (names, rows.toIndexedSeq)
+    } finally fetch.close()
   }
 
   /** Assemble one row group into records. `projection` (top-level field
@@ -442,7 +658,21 @@ object ParquetFileReader {
     * decompressed or decoded — the column-pruning half of Spark's
     * ReadSchema pushdown, applied inside our own source. */
   def readRows(bytes: Array[Byte], meta: PqFileMeta, rg: Int,
-      projection: Set[String] = null): IndexedSeq[PqGroupVal] = {
+      projection: Set[String] = null): IndexedSeq[PqGroupVal] =
+    readRowsVia(lc => readTriplets(bytes, lc), meta, rg, projection)
+
+  /** [[readRows]] over a [[ChunkFetcher]]: only the projected chunks'
+    * byte ranges are ever read from disk. */
+  def readRowsFetched(fetch: ChunkFetcher, meta: PqFileMeta, rg: Int,
+      projection: Set[String] = null): IndexedSeq[PqGroupVal] =
+    readRowsVia(lc => {
+      val (b, c) = fetch.fetchLeaf(lc)
+      readTriplets(b, c)
+    }, meta, rg, projection)
+
+  private def readRowsVia(tripletsOf: LeafColumn => Triplets,
+      meta: PqFileMeta, rg: Int,
+      projection: Set[String]): IndexedSeq[PqGroupVal] = {
     val (rootChildren, _) = schemaTree(meta)
     val kept =
       if (projection == null) rootChildren
@@ -450,13 +680,14 @@ object ParquetFileReader {
     val leafCols = leafColumns(meta, rg)
     val trips = new Array[Triplets](leafCols.size)
     kept.foreach(c => leafIdxsOf(c).foreach(i =>
-      trips(i) = readTriplets(bytes, leafCols(i))))
+      trips(i) = tripletsOf(leafCols(i))))
     val tripsSeq = scala.collection.immutable.ArraySeq.unsafeWrapArray(trips)
     val readers = kept.map(c => buildReader(c, 0, 0, tripsSeq))
     val names = kept.map(_.elem.name)
     val n = meta.rowGroups(rg).numRows
-    require(n >= 0 && n <= 8L * bytes.length,
-      s"row group claims $n rows in a ${bytes.length}-byte file")
+    // loosest physical bound: bools pack 8 values per uncompressed byte
+    require(n >= 0 && n <= 8L * math.max(16L, meta.rowGroups(rg).totalByteSize),
+      s"row group claims $n rows in ${meta.rowGroups(rg).totalByteSize} bytes")
     (0 until n.toInt).map(_ => PqGroupVal(names, readers.map(_.read())))
   }
 

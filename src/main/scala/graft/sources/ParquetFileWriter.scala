@@ -317,7 +317,7 @@ object ParquetFileWriter {
       * no nulls anywhere), its rep-level slice (null for flat leaves), and
       * its encoded values. */
     def emitPage(n: Int, defs: Array[Byte], reps: Array[Byte],
-        vals: Array[Byte]): Unit = {
+        vals: Array[Byte], pageStats: Option[PqStats]): Unit = {
       if (pageVersion >= 2) {
         // DATA_PAGE_V2: prefix-free uncompressed level streams + compressed
         // values (reference writer.rs DataPageV2 serialization path)
@@ -339,7 +339,7 @@ object ParquetFileWriter {
         val lvlLen = repStream.length + defStream.length
         val header = ParquetMeta.writePageHeaderV2(n, nulls, nRows,
           valueEnc, lvlLen + vals.length, lvlLen + comp.length,
-          defStream.length, repStream.length)
+          defStream.length, repStream.length, stats = pageStats)
         write(header); write(repStream); write(defStream); write(comp)
         uncTotal += header.length + lvlLen + vals.length
       } else {
@@ -351,7 +351,7 @@ object ParquetFileWriter {
           if (reps == null) PqEncoding.BitPacked else PqEncoding.Rle
         val comp = compress(content, codec)
         val header = ParquetMeta.writePageHeaderV1(n, valueEnc,
-          content.length, comp.length, repEnc)
+          content.length, comp.length, repEnc, stats = pageStats)
         write(header); write(comp)
         uncTotal += header.length + content.length
       }
@@ -374,7 +374,12 @@ object ParquetFileWriter {
           if (defLevels == null) null
           else java.util.Arrays.copyOfRange(defLevels, r0, rEnd)
         val slice = ChunkCodecSupport.gather(vec, Array.range(v0, vEnd))
-        emitPage(rEnd - r0, defsSlice, null, PlainCodec.encode(slice))
+        // page-level statistics over this page's values (the page-skipping
+        // granularity the reference never reached — its writer left even
+        // chunk stats TODO, writer.rs:352)
+        val (pMn, pMx) = MinMax.compute(slice)
+        val pStats = Some(PqStats(pMn, pMx, (rEnd - r0 - (vEnd - v0)).toLong))
+        emitPage(rEnd - r0, defsSlice, null, PlainCodec.encode(slice), pStats)
         r0 = rEnd; v0 = vEnd; acc = 0L
       }
       while (r < numValues) {
@@ -396,7 +401,8 @@ object ParquetFileWriter {
             v.start(nVals - 1) + v.len(nVals - 1))
         } else PlainCodec.encode(vec)
       }
-      emitPage(numValues, defLevels, repLevels, valueBytes)
+      // single data page == whole chunk: page stats are the chunk stats
+      emitPage(numValues, defLevels, repLevels, valueBytes, stats)
     }
     val endOff = tell()
     val encodings =

@@ -85,7 +85,9 @@ object ThriftCompact {
       if (sz == 0x0F) (tpe, varint().toInt) else (tpe, sz)
     }
 
-    def skip(tpe: Int): Unit = tpe match {
+    def skip(tpe: Int): Unit = skipDepth(tpe, 0)
+
+    private def skipDepth(tpe: Int, depth: Int): Unit = tpe match {
       case TBoolTrue | TBoolFalse => ()
       case TByte => u8()
       case TI16 | TI32 | TI64 => varint()
@@ -98,7 +100,7 @@ object ThriftCompact {
       case TList | TSet =>
         val (et, n) = listHeader()
         var i = 0
-        while (i < n) { skipListElem(et); i += 1 }
+        while (i < n) { skipListElem(et, depth); i += 1 }
       case TMap =>
         // compact map: ULEB size, then (if size > 0) one key/value-type byte
         val n = varint().toInt
@@ -107,15 +109,20 @@ object ThriftCompact {
           val kt = (b >>> 4) & 0x0F
           val vt = b & 0x0F
           var i = 0
-          while (i < n) { skipListElem(kt); skipListElem(vt); i += 1 }
+          while (i < n) { skipListElem(kt, depth); skipListElem(vt, depth); i += 1 }
         }
       case TStruct =>
+        // depth cap: hostile/corrupted bytes can encode arbitrarily nested
+        // structs — real parquet metadata never nests past a handful of
+        // levels, and unbounded recursion here is a stack overflow (an
+        // Error, not a clean failure) on garbage input
+        require(depth < 64, s"thrift struct nesting exceeds 64 at $pos")
         var last = 0
         var done = false
         while (!done) {
           val (id, t) = fieldHeader(last)
           if (t == TStop) done = true
-          else { skip(t); last = id }
+          else { skipDepth(t, depth + 1); last = id }
         }
       case other => throw new IllegalArgumentException(
         s"thrift type $other at pos $pos ctx " +
@@ -123,9 +130,12 @@ object ThriftCompact {
             .map(b => f"${b & 0xFF}%02x").mkString(" "))
     }
 
-    private def skipListElem(tpe: Int): Unit = tpe match {
+    private def skipListElem(tpe: Int, depth: Int = 0): Unit = tpe match {
       case TBoolTrue | TBoolFalse => u8() // bools in lists are 1 byte
-      case other => skip(other)
+      case TList | TSet | TMap =>
+        require(depth < 64, s"thrift container nesting exceeds 64 at $pos")
+        skipDepth(tpe, depth + 1)
+      case other => skipDepth(other, depth)
     }
   }
 
@@ -273,7 +283,10 @@ final case class PqPageHeader(
     numRows: Int = 0,
     defLevelsByteLen: Int = 0,
     repLevelsByteLen: Int = 0,
-    isCompressed: Boolean = true)
+    isCompressed: Boolean = true,
+    /** page-level min/max/null-count (DataPageHeader field 5 /
+      * DataPageHeaderV2 field 8) — absent in most files */
+    stats: Option[PqStats] = None)
 
 /** Parse/serialize the metadata subset. Field ids follow parquet.thrift. */
 object ParquetMeta {
@@ -412,7 +425,14 @@ object ParquetMeta {
           case 6 => totalUnc = r.zigzag()
           case 7 => totalComp = r.zigzag()
           case 9 => dataOff = r.zigzag()
-          case 11 => dictOff = r.zigzag()
+          // normalize "no dictionary" to -1: some writers emit an explicit
+          // 0 for absent, and 0 is never a valid absolute page offset (the
+          // 4-byte PAR1 magic occupies it) — while REBASED chunk metas
+          // (ParquetFileReader.rebaseChunk) legitimately put a present
+          // dictionary at offset 0, so presence tests must be `>= 0`
+          case 11 =>
+            val v = r.zigzag()
+            dictOff = if (v <= 0) -1L else v
           case 12 => stats = parseStatistics(r)
           case _ => r.skip(t)
         }
@@ -472,6 +492,7 @@ object ParquetMeta {
     var defLen = 0
     var repLen = 0
     var isComp = true
+    var pageStats: Option[PqStats] = None
     var last = 0
     var done = false
     while (!done) {
@@ -494,6 +515,9 @@ object ParquetMeta {
                   case (5, 2) => encoding = r.zigzag().toInt
                   case (5, 3) => defEnc = r.zigzag().toInt
                   case (5, 4) => repEnc = r.zigzag().toInt
+                  case (5, 5) =>
+                    if (t2 == TStruct) pageStats = parseStatistics(r)
+                    else r.skip(t2)
                   case (7, 1) => numValues = r.zigzag().toInt
                   case (7, 2) => encoding = r.zigzag().toInt
                   case (8, 1) => numValues = r.zigzag().toInt
@@ -503,6 +527,9 @@ object ParquetMeta {
                   case (8, 5) => defLen = r.zigzag().toInt
                   case (8, 6) => repLen = r.zigzag().toInt
                   case (8, 7) => isComp = t2 == TBoolTrue // bool lives in type
+                  case (8, 8) =>
+                    if (t2 == TStruct) pageStats = parseStatistics(r)
+                    else r.skip(t2)
                   case _ => r.skip(t2)
                 }
                 l2 = id2
@@ -515,13 +542,29 @@ object ParquetMeta {
     }
     PqPageHeader(pageType, unc, comp, numValues, encoding, defEnc, repEnc,
       headerLen = r.pos - off, numNulls = numNulls, numRows = numRows,
-      defLevelsByteLen = defLen, repLevelsByteLen = repLen, isCompressed = isComp)
+      defLevelsByteLen = defLen, repLevelsByteLen = repLen, isCompressed = isComp,
+      stats = pageStats)
   }
 
   // -------------------------------------------------------------- writing
 
+  /** Statistics struct body (modern 5/6 + legacy 1/2 pairs, like
+    * parquet-mr) — shared by column-chunk metadata and page headers. */
+  private[sources] def writeStatisticsStruct(w: Writer, st: PqStats,
+      fieldId: Int, last: Int): Unit = {
+    w.fieldHeader(fieldId, TStruct, last)
+    var l2 = 0
+    if (st.max.nonEmpty) { w.fieldHeader(1, TBinary, l2); w.binary(st.max); l2 = 1 }
+    if (st.min.nonEmpty) { w.fieldHeader(2, TBinary, l2); w.binary(st.min); l2 = 2 }
+    w.i64Field(3, l2, st.nullCount); l2 = 3
+    if (st.max.nonEmpty) { w.fieldHeader(5, TBinary, l2); w.binary(st.max); l2 = 5 }
+    if (st.min.nonEmpty) { w.fieldHeader(6, TBinary, l2); w.binary(st.min) }
+    w.stop()
+  }
+
   def writePageHeaderV1(numValues: Int, encoding: Int, uncompressed: Int,
-      compressed: Int, repEncoding: Int = PqEncoding.BitPacked): Array[Byte] = {
+      compressed: Int, repEncoding: Int = PqEncoding.BitPacked,
+      stats: Option[PqStats] = None): Array[Byte] = {
     val w = new Writer
     w.i32Field(1, 0, 0) // type = DATA_PAGE
     w.i32Field(2, 1, uncompressed)
@@ -532,6 +575,7 @@ object ParquetMeta {
     w.i32Field(3, 2, PqEncoding.Rle) // def levels
     // rep levels: RLE for repeated leaves; BitPacked when maxRep=0 (no bytes)
     w.i32Field(4, 3, repEncoding)
+    stats.foreach(st => writeStatisticsStruct(w, st, 5, 4))
     w.stop()
     w.stop()
     w.result()
@@ -543,7 +587,8 @@ object ParquetMeta {
     * treat decompression as identity. */
   def writePageHeaderV2(numValues: Int, numNulls: Int, numRows: Int,
       encoding: Int, uncompressed: Int, compressed: Int,
-      defLevelsByteLen: Int, repLevelsByteLen: Int): Array[Byte] = {
+      defLevelsByteLen: Int, repLevelsByteLen: Int,
+      stats: Option[PqStats] = None): Array[Byte] = {
     val w = new Writer
     w.i32Field(1, 0, 3) // type = DATA_PAGE_V2
     w.i32Field(2, 1, uncompressed)
@@ -555,6 +600,8 @@ object ParquetMeta {
     w.i32Field(4, 3, encoding)
     w.i32Field(5, 4, defLevelsByteLen)
     w.i32Field(6, 5, repLevelsByteLen)
+    // is_compressed (7) keeps its thrift default; statistics is field 8
+    stats.foreach(st => writeStatisticsStruct(w, st, 8, 6))
     w.stop()
     w.stop()
     w.result()
@@ -637,16 +684,6 @@ object ParquetMeta {
       w.i64Field(11, 9, cm.dictionaryPageOffset)
       last = 11
     }
-    cm.stats.foreach { st =>
-      // write both the modern (5/6) and legacy (1/2) pairs, like parquet-mr
-      w.fieldHeader(12, TStruct, last)
-      var l2 = 0
-      if (st.max.nonEmpty) { w.fieldHeader(1, TBinary, l2); w.binary(st.max); l2 = 1 }
-      if (st.min.nonEmpty) { w.fieldHeader(2, TBinary, l2); w.binary(st.min); l2 = 2 }
-      w.i64Field(3, l2, st.nullCount); l2 = 3
-      if (st.max.nonEmpty) { w.fieldHeader(5, TBinary, l2); w.binary(st.max); l2 = 5 }
-      if (st.min.nonEmpty) { w.fieldHeader(6, TBinary, l2); w.binary(st.min) }
-      w.stop()
-    }
+    cm.stats.foreach(st => writeStatisticsStruct(w, st, 12, last))
   }
 }

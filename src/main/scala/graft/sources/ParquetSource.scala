@@ -105,16 +105,20 @@ object ParquetSource {
   def fileRows(path: String, schema: StructType,
       range: Option[(String, Long, Long)],
       projection: Set[String] = null): Iterator[Row] = {
-    val bytes = java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(path))
-    val meta = readFooter(bytes)
+    // footer tail + projected chunk ranges only — pruned row groups and
+    // unprojected columns are never read from disk
+    val meta = ParquetFileReader.readFooterOnly(path)
     val rgs = range match {
       case Some((col, lo, hi)) =>
         ParquetFileReader.rowGroupsInRange(meta, col, lo, hi)
       case None => meta.rowGroups.indices
     }
     rgs.iterator.flatMap { rg =>
-      ParquetFileReader.readRows(bytes, meta, rg, projection).iterator
-        .map(g => toRow(g, schema))
+      val fetch = new ParquetFileReader.ChunkFetcher(path)
+      val groupRows =
+        try ParquetFileReader.readRowsFetched(fetch, meta, rg, projection)
+        finally fetch.close()
+      groupRows.iterator.map(g => toRow(g, schema))
     }
   }
 

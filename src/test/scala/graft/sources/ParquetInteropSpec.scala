@@ -581,6 +581,131 @@ class ParquetInteropSpec extends AnyFunSuite {
     }
   }
 
+  test("page statistics: written per page, pruned reads skip excluded pages") {
+    val tmp = java.nio.file.Files.createTempDirectory("pqpstats").toString
+    for (pv <- Seq(1, 2)) {
+      val path = s"$tmp/pstats-v$pv.parquet"
+      import org.apache.spark.sql.types._
+      val schema = StructType(Seq(
+        StructField("id", LongType, nullable = false),
+        StructField("tag", StringType)))
+      // sorted ids; tag sorts with id; 400k longs ≈ 3.2 MiB PLAIN -> >= 3
+      // pages; tag ~ 26 B * 400k ≈ 10 MiB -> ~10 pages
+      val n = 400000
+      val rows = (0 until n).map { i =>
+        org.apache.spark.sql.Row(i.toLong,
+          if (i % 97 == 0) null else f"tag-$i%09d-${"x" * 10}")
+      }
+      // snappy: a decompress of any corrupted page body throws, so the
+      // skipped-page proof below is airtight
+      ParquetFileWriter.writeFile(path, schema, rows.iterator,
+        rowGroupRows = 1 << 20, codec = PqCodec.Snappy, pageVersion = pv)
+      val bytes = java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(path))
+      val meta = ParquetFileReader.readFooter(bytes)
+      val idMeta = meta.rowGroups.head.columns(0)
+      val (_, idSpans) = ParquetFileReader.pageSpans(bytes, idMeta)
+      assert(idSpans.size >= 3, s"id pages: ${idSpans.size} (v$pv)")
+      // every page carries parseable min/max + null-count statistics
+      idSpans.foreach { s =>
+        val st = s.header.stats.getOrElse(fail(s"page without stats (v$pv)"))
+        assert(st.min.nonEmpty && st.max.nonEmpty && st.nullCount == 0L)
+      }
+      // a narrow id window survives in far fewer rows than the chunk
+      val (lo, hi) = (250000L, 250999L)
+      val keep = ParquetFileReader.pageRowRanges(bytes, idMeta,
+        st => ParquetFileReader.intStatsOverlap(st, lo, hi))
+      val kept = keep.map(r => r._2 - r._1).sum
+      assert(kept < n / 2, s"page pruning kept $kept of $n rows (v$pv)")
+      val ids = ParquetFileReader.readColumnRowRanges(bytes,
+        ParquetFileReader.flatColumns(meta, 0).head, keep)
+      val idSet = ids.toSet
+      assert((lo to hi).forall(idSet.contains), s"pruned read lost rows (v$pv)")
+      // string-stat pruning on tag behaves the same way
+      val tagMeta = meta.rowGroups.head.columns(1)
+      val slo = "tag-000300000".getBytes("UTF-8")
+      val shi = "tag-000300999~".getBytes("UTF-8")
+      val keepS = ParquetFileReader.pageRowRanges(bytes, tagMeta,
+        st => ParquetFileReader.byteStatsOverlap(st, slo, shi))
+      assert(keepS.map(r => r._2 - r._1).sum < n / 2, s"tag pages kept all rows (v$pv)")
+      // skipped pages are never decompressed or decoded: corrupt a page
+      // body far outside the kept ranges, pruned read still succeeds
+      val farSpan = idSpans.find(s =>
+        s.header.stats.exists(st => graft.core.MinMax.leToLong(st.max) < lo)).get
+      val corrupt = bytes.clone()
+      val bodyOff = farSpan.off + farSpan.header.headerLen
+      (bodyOff until bodyOff + 64).foreach(i =>
+        corrupt(i) = (corrupt(i) ^ 0x5A).toByte)
+      val ids2 = ParquetFileReader.readColumnRowRanges(corrupt,
+        ParquetFileReader.flatColumns(meta, 0).head, keep)
+      assert(ids2 == ids, s"pruned read touched a skipped page (v$pv)")
+    }
+  }
+
+  test("ranged I/O: projected reads never touch unprojected bytes on disk") {
+    val tmp = java.nio.file.Files.createTempDirectory("pqranged").toString
+    val path = s"$tmp/ranged.parquet"
+    import org.apache.spark.sql.types._
+    val schema = StructType(Seq(
+      StructField("id", LongType, nullable = false),
+      StructField("payload", StringType)))
+    val rows = (0 until 4000).map(i =>
+      org.apache.spark.sql.Row(i.toLong,
+        if (i % 11 == 0) null else s"payload-$i-" + ("y" * 40)))
+    ParquetFileWriter.writeFile(path, schema, rows.iterator,
+      rowGroupRows = 1500, codec = PqCodec.Snappy)
+    // fetch-based full read == in-memory full read, value-exactly
+    val bytes = java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(path))
+    val meta = readFooterOf(bytes)
+    assert(meta.rowGroups.size == 3)
+    val inMem = (0 until 3).flatMap(rg => ParquetFileReader.readRows(bytes, meta, rg))
+    val (_, fetched) = ParquetFileReader.readFileRows(path)
+    assert(fetched.map(_.values) == inMem.map(_.values))
+    // obliterate the ENTIRE payload chunk byte range of every row group ON
+    // DISK (footer untouched): a projected read of `id` alone must succeed,
+    // proving those bytes are never even read, let alone decoded
+    val raf = new java.io.RandomAccessFile(path, "rw")
+    try meta.rowGroups.foreach { rg =>
+      val cm = rg.columns(1)
+      val (s, e) = ParquetFileReader.chunkByteRange(cm)
+      raf.seek(s)
+      raf.write(Array.fill((e - s).toInt)(0x5A.toByte))
+    } finally raf.close()
+    val fetch = new ParquetFileReader.ChunkFetcher(path)
+    val ids =
+      try (0 until 3).flatMap(rg =>
+        ParquetFileReader.readRowsFetched(fetch, meta, rg, Set("id"))
+          .map(_("id").asInstanceOf[Long]))
+      finally fetch.close()
+    assert(ids == (0L until 4000L))
+    // the corruption is real: a projected read of payload fails
+    intercept[Exception] {
+      val fetch2 = new ParquetFileReader.ChunkFetcher(path)
+      try (0 until 3).flatMap(rg =>
+        ParquetFileReader.readRowsFetched(fetch2, meta, rg, Set("payload")))
+      finally fetch2.close()
+    }
+    // row-group pruning prunes at the I/O layer too: on a fresh copy,
+    // corrupt the whole byte region of the last row group; a range read
+    // excluding that group still succeeds
+    val path2 = s"$tmp/ranged2.parquet"
+    ParquetFileWriter.writeFile(path2, schema, rows.iterator,
+      rowGroupRows = 1500, codec = PqCodec.Snappy)
+    val meta2 = ParquetFileReader.readFooterOnly(path2)
+    val raf2 = new java.io.RandomAccessFile(path2, "rw")
+    try meta2.rowGroups(2).columns.foreach { cm =>
+      val (s, e) = ParquetFileReader.chunkByteRange(cm)
+      raf2.seek(s)
+      raf2.write(Array.fill((e - s).toInt)(0x33.toByte))
+    } finally raf2.close()
+    val (_, pruned) = ParquetFileReader.readFileRowsWhere(path2, "id", 0L, 2999L)
+    assert(pruned.map(_("id").asInstanceOf[Long]) == (0L until 3000L))
+    assert(pruned.map(_("payload")) ==
+      rows.take(3000).map(_.get(1)).map {
+        case null => null
+        case s: String => s
+      })
+  }
+
   test("column projection: unselected chunks are never decoded") {
     val tmp = java.nio.file.Files.createTempDirectory("pqproj").toString
     val path = s"$tmp/proj.parquet"
@@ -594,9 +719,11 @@ class ParquetInteropSpec extends AnyFunSuite {
       rowGroupRows = 500, codec = PqCodec.Snappy)
     val bytes = java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(path))
     val meta = readFooterOf(bytes)
-    // corrupt the middle of the `payload` chunk's page region
+    // corrupt the middle of the `payload` chunk's compressed page BODY
+    // (header length varies now that headers carry statistics)
     val payloadMeta = meta.rowGroups.head.columns(1)
-    val off = payloadMeta.dataPageOffset.toInt + 40
+    val ph = ParquetMeta.parsePageHeader(bytes, payloadMeta.dataPageOffset.toInt)
+    val off = payloadMeta.dataPageOffset.toInt + ph.headerLen + 8
     (off until off + 32).foreach(i => bytes(i) = (bytes(i) ^ 0x5A).toByte)
     // projected read of `id` alone succeeds — payload pages untouched
     val got = ParquetFileReader.readRows(bytes, meta, 0, Set("id"))
