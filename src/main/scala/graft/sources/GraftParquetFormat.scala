@@ -429,6 +429,7 @@ final class GraftScan(dir: String, schema: StructType,
       files.map(p => GraftFilePartition(p): InputPartition).toArray
     else files.flatMap { p =>
       val meta = ParquetFileReader.readFooterOnly(p)
+      val flatOk = GraftFlatScan.isFlat(meta)
       var rgs: Seq[Int] = meta.rowGroups.indices
       ranges.foreach { case (c, (lo, hi)) =>
         val keep = ParquetFileReader.rowGroupsInRange(meta, c, lo, hi).toSet
@@ -439,7 +440,7 @@ final class GraftScan(dir: String, schema: StructType,
           ParquetFileReader.rowGroupsInRangeBytes(meta, c, lo, hi).toSet
         rgs = rgs.filter(keep)
       }
-      rgs.map(rg => GraftFilePartition(p, Seq(rg)): InputPartition)
+      rgs.map(rg => GraftFilePartition(p, Seq(rg), flatOk): InputPartition)
     }.toArray
   }
 
@@ -468,9 +469,99 @@ final class GraftScan(dir: String, schema: StructType,
 }
 
 /** One scan task: a file, or a slice of its row groups (`rgs == null` ⇒
-  * all, with stat pruning done task-side). */
-final case class GraftFilePartition(path: String, rgs: Seq[Int] = null)
-    extends InputPartition
+  * all, with stat pruning done task-side). `flatOk` is stamped at planning
+  * time (footer already in hand) and gates the columnar fast path — only a
+  * fully flat file qualifies; the >FooterPlanLimit fallback leaves it
+  * false, keeping the always-correct row path. */
+final case class GraftFilePartition(path: String, rgs: Seq[Int] = null,
+    flatOk: Boolean = false) extends InputPartition
+
+/** Shared flat-scan core: row-group + page-level pruning resolved into
+  * column-major value batches (nulls inline, strings as raw UTF-8 bytes).
+  * Feeds both the columnar batch reader and the page-pruned row path. */
+private[sources] object GraftFlatScan {
+
+  /** Root group of primitives only — no nesting, no repeated fields. */
+  def isFlat(meta: PqFileMeta): Boolean = meta.schema.size > 1 &&
+    meta.schema.drop(1).forall(se => se.numChildren == 0 && se.repetition != 2)
+
+  /** Row groups surviving the pushed ranges (planning-time list reused
+    * when present — re-filtering stat ranges is a no-op). */
+  def pruneRowGroups(meta: PqFileMeta, plannedRgs: Seq[Int],
+      ranges: Map[String, (Long, Long)],
+      strRanges: Map[String, (Array[Byte], Array[Byte])]): Seq[Int] = {
+    var rgs: Seq[Int] =
+      if (plannedRgs != null) plannedRgs else meta.rowGroups.indices
+    ranges.foreach { case (col, (lo, hi)) =>
+      val keep = ParquetFileReader.rowGroupsInRange(meta, col, lo, hi).toSet
+      rgs = rgs.filter(keep)
+    }
+    strRanges.foreach { case (col, (lo, hi)) =>
+      val keep =
+        ParquetFileReader.rowGroupsInRangeBytes(meta, col, lo, hi).toSet
+      rgs = rgs.filter(keep)
+    }
+    rgs
+  }
+
+  /** Projected columns' values for one row group: page statistics of the
+    * filter columns narrow the decoded row ranges; only overlapping pages
+    * of projected chunks are decoded, and only fetched chunks are read
+    * from disk at all. Residual Spark-side filters re-apply afterwards, so
+    * a stat-less page surviving is only a missed skip, never a wrong row. */
+  def columnBatch(fetch: ParquetFileReader.ChunkFetcher, meta: PqFileMeta,
+      rg: Int, fields: Array[StructField],
+      ranges: Map[String, (Long, Long)],
+      strRanges: Map[String, (Array[Byte], Array[Byte])]):
+      Array[IndexedSeq[Any]] = {
+    // fetched (buffer, rebased meta) per column name: a filter column that
+    // is also projected reads its byte range once, not twice
+    val cache = scala.collection.mutable.Map.empty[String,
+      (Array[Byte], PqColumnMeta)]
+    def fetched(name: String, cm: PqColumnMeta): (Array[Byte], PqColumnMeta) =
+      cache.getOrElseUpdate(name, fetch.fetch(cm))
+    val nRows = meta.rowGroups(rg).numRows
+    var keep: Seq[(Long, Long)] = Seq((0L, nRows))
+    ranges.foreach { case (c, (lo, hi)) =>
+      ParquetFileReader.chunkFor(meta, rg, c).foreach { cm =>
+        val (b, rcm) = fetched(c, cm)
+        keep = ParquetFileReader.intersectRowRanges(keep,
+          ParquetFileReader.pageRowRanges(b, rcm,
+            st => ParquetFileReader.intStatsOverlap(st, lo, hi)))
+      }
+    }
+    strRanges.foreach { case (c, (lo, hi)) =>
+      ParquetFileReader.chunkFor(meta, rg, c).foreach { cm =>
+        val (b, rcm) = fetched(c, cm)
+        keep = ParquetFileReader.intersectRowRanges(keep,
+          ParquetFileReader.pageRowRanges(b, rcm,
+            st => ParquetFileReader.byteStatsOverlap(st, lo, hi)))
+      }
+    }
+    if (keep.isEmpty) return fields.map(_ => IndexedSeq.empty[Any])
+    val byName = ParquetFileReader.flatColumns(meta, rg)
+      .map(c => c.name -> c).toMap
+    val whole = keep == Seq((0L, nRows))
+    fields.map { f =>
+      val col = byName(f.name)
+      val (b, rcm) = fetched(f.name, col.meta)
+      val rebased = col.copy(meta = rcm)
+      if (whole) ParquetFileReader.readColumn(b, rebased)
+      else ParquetFileReader.readColumnRowRanges(b, rebased, keep)
+    }
+  }
+
+  /** Spark types the columnar fill supports (covers every flat type our
+    * writer emits except decimals). */
+  def columnarType(dt: org.apache.spark.sql.types.DataType): Boolean = {
+    import org.apache.spark.sql.types._
+    dt match {
+      case BooleanType | IntegerType | LongType | FloatType | DoubleType |
+           StringType | BinaryType | DateType | TimestampType => true
+      case _ => false
+    }
+  }
+}
 
 final class GraftReaderFactory(schema: StructType,
     ranges: Map[String, (Long, Long)], limit: Int = -1,
@@ -480,6 +571,94 @@ final class GraftReaderFactory(schema: StructType,
     val fp = p.asInstanceOf[GraftFilePartition]
     new GraftPartitionReader(fp.path, schema, ranges, limit, strRanges, fp.rgs)
   }
+
+  /** Columnar fast path: flat file (stamped at planning) + supported
+    * types. Spark then plans a codegen'd ColumnarToRow instead of this
+    * source converting row-by-row through external Rows. */
+  override def supportColumnarReads(p: InputPartition): Boolean =
+    p.asInstanceOf[GraftFilePartition].flatOk && schema.nonEmpty &&
+      schema.fields.forall(f => GraftFlatScan.columnarType(f.dataType))
+
+  override def createColumnarReader(p: InputPartition):
+      PartitionReader[org.apache.spark.sql.vectorized.ColumnarBatch] = {
+    val fp = p.asInstanceOf[GraftFilePartition]
+    new GraftColumnarPartitionReader(fp.path, schema, ranges, limit,
+      strRanges, fp.rgs)
+  }
+}
+
+/** Vectorized scan output: one ColumnarBatch per (pruned) row group,
+  * values filled straight from the decode layer — no external Row, no
+  * per-row converter, and string bytes go into the vector without ever
+  * materializing a java.lang.String. */
+final class GraftColumnarPartitionReader(path: String, schema: StructType,
+    ranges: Map[String, (Long, Long)], limit: Int,
+    strRanges: Map[String, (Array[Byte], Array[Byte])],
+    plannedRgs: Seq[Int])
+    extends PartitionReader[org.apache.spark.sql.vectorized.ColumnarBatch] {
+  import org.apache.spark.sql.execution.vectorized.OnHeapColumnVector
+  import org.apache.spark.sql.vectorized.ColumnarBatch
+
+  private val meta = ParquetFileReader.readFooterOnly(path)
+  private val rgIt =
+    GraftFlatScan.pruneRowGroups(meta, plannedRgs, ranges, strRanges).iterator
+  private var remaining = if (limit >= 0) limit else Int.MaxValue
+  private var batch: ColumnarBatch = _
+
+  override def next(): Boolean = {
+    if (batch != null) { batch.close(); batch = null }
+    while (rgIt.hasNext && remaining > 0) {
+      val rg = rgIt.next()
+      val fetch = new ParquetFileReader.ChunkFetcher(path)
+      val cols =
+        try GraftFlatScan.columnBatch(fetch, meta, rg, schema.fields,
+          ranges, strRanges)
+        finally fetch.close()
+      val n = math.min(cols.head.length, remaining)
+      if (n > 0) {
+        val vecs = schema.fields.indices.map(j =>
+          fill(schema.fields(j).dataType, cols(j), n))
+        batch = new ColumnarBatch(vecs.toArray, n)
+        remaining -= n
+        return true
+      }
+    }
+    false
+  }
+
+  private def fill(dt: org.apache.spark.sql.types.DataType,
+      vals: IndexedSeq[Any], n: Int): OnHeapColumnVector = {
+    import org.apache.spark.sql.types._
+    val v = new OnHeapColumnVector(n, dt)
+    var i = 0
+    while (i < n) {
+      val x = vals(i)
+      if (x == null) v.putNull(i)
+      else dt match {
+        case LongType => v.putLong(i, x.asInstanceOf[Long])
+        case IntegerType => v.putInt(i, x.asInstanceOf[Int])
+        case DoubleType => v.putDouble(i, x.asInstanceOf[Double])
+        case FloatType => v.putFloat(i, x.asInstanceOf[Float])
+        case BooleanType => v.putBoolean(i, x.asInstanceOf[Boolean])
+        case StringType | BinaryType =>
+          val b = x.asInstanceOf[Array[Byte]]
+          v.putByteArray(i, b, 0, b.length)
+        case DateType => v.putInt(i, x.asInstanceOf[Int]) // epoch days
+        case TimestampType => x match { // micros, or raw INT96
+          case l: Long => v.putLong(i, l)
+          case b: Array[Byte] =>
+            v.putLong(i, ParquetFileReader.int96ToMicros(b))
+        }
+        case other =>
+          throw new IllegalArgumentException(s"columnar fill: $other")
+      }
+      i += 1
+    }
+    v
+  }
+
+  override def get(): ColumnarBatch = batch
+  override def close(): Unit = if (batch != null) batch.close()
 }
 
 final class GraftPartitionReader(path: String, schema: StructType,
@@ -495,25 +674,12 @@ final class GraftPartitionReader(path: String, schema: StructType,
     // footer tail only — data bytes are fetched per projected chunk below,
     // so a k-of-n column projection reads k/n of the file's data I/O
     val meta = ParquetFileReader.readFooterOnly(path)
-    // intersect all pushed ranges at row-group granularity (planning
-    // already pruned when plannedRgs is set — re-filtering is a no-op)
-    var rgs: Seq[Int] =
-      if (plannedRgs != null) plannedRgs else meta.rowGroups.indices
-    ranges.foreach { case (col, (lo, hi)) =>
-      val keep = ParquetFileReader.rowGroupsInRange(meta, col, lo, hi).toSet
-      rgs = rgs.filter(keep)
-    }
-    strRanges.foreach { case (col, (lo, hi)) =>
-      val keep =
-        ParquetFileReader.rowGroupsInRangeBytes(meta, col, lo, hi).toSet
-      rgs = rgs.filter(keep)
-    }
+    val rgs = GraftFlatScan.pruneRowGroups(meta, plannedRgs, ranges, strRanges)
     val proj = schema.fieldNames.toSet
     // FLAT schemas with pushed predicates go through page-level pruning:
     // within each surviving row group, the filter columns' page statistics
     // select row ranges, and only pages overlapping them are decoded.
-    val flat = schema.nonEmpty && meta.schema.size > 1 &&
-      meta.schema.drop(1).forall(se => se.numChildren == 0 && se.repetition != 2)
+    val flat = schema.nonEmpty && GraftFlatScan.isFlat(meta)
     // rgs.iterator keeps row-group decode lazy: a pushed limit stops
     // before trailing row groups are ever decompressed
     val rows =
@@ -549,44 +715,16 @@ final class GraftPartitionReader(path: String, schema: StructType,
 
   private def pagePrunedRowsFetched(fetch: ParquetFileReader.ChunkFetcher,
       meta: PqFileMeta, rg: Int): Iterator[InternalRow] = {
-    // fetched (buffer, rebased meta) per column name: a filter column that
-    // is also projected reads its byte range once, not twice
-    val cache = scala.collection.mutable.Map.empty[String,
-      (Array[Byte], PqColumnMeta)]
-    def fetched(name: String, cm: PqColumnMeta): (Array[Byte], PqColumnMeta) =
-      cache.getOrElseUpdate(name, fetch.fetch(cm))
-    val nRows = meta.rowGroups(rg).numRows
-    var keep: Seq[(Long, Long)] = Seq((0L, nRows))
-    ranges.foreach { case (c, (lo, hi)) =>
-      ParquetFileReader.chunkFor(meta, rg, c).foreach { cm =>
-        val (b, rcm) = fetched(c, cm)
-        keep = ParquetFileReader.intersectRowRanges(keep,
-          ParquetFileReader.pageRowRanges(b, rcm,
-            st => ParquetFileReader.intStatsOverlap(st, lo, hi)))
+    val colVals: Array[IndexedSeq[Any]] =
+      GraftFlatScan.columnBatch(fetch, meta, rg, schema.fields,
+        ranges, strRanges).zip(schema.fields).map { case (vals, f) =>
+        if (f.dataType == org.apache.spark.sql.types.StringType)
+          vals.map(v => if (v == null) null
+            else new String(v.asInstanceOf[Array[Byte]],
+              java.nio.charset.StandardCharsets.UTF_8))
+        else vals
       }
-    }
-    strRanges.foreach { case (c, (lo, hi)) =>
-      ParquetFileReader.chunkFor(meta, rg, c).foreach { cm =>
-        val (b, rcm) = fetched(c, cm)
-        keep = ParquetFileReader.intersectRowRanges(keep,
-          ParquetFileReader.pageRowRanges(b, rcm,
-            st => ParquetFileReader.byteStatsOverlap(st, lo, hi)))
-      }
-    }
-    if (keep.isEmpty) return Iterator.empty
-    val byName = ParquetFileReader.flatColumns(meta, rg)
-      .map(c => c.name -> c).toMap
-    val colVals: Array[IndexedSeq[Any]] = schema.fields.map { f =>
-      val col = byName(f.name)
-      val (b, rcm) = fetched(f.name, col.meta)
-      val vals = ParquetFileReader.readColumnRowRanges(b,
-        col.copy(meta = rcm), keep)
-      if (f.dataType == org.apache.spark.sql.types.StringType)
-        vals.map(v => if (v == null) null
-          else new String(v.asInstanceOf[Array[Byte]],
-            java.nio.charset.StandardCharsets.UTF_8))
-      else vals
-    }
+    if (colVals.head.isEmpty) return Iterator.empty
     val n = colVals.head.length
     (0 until n).iterator.map { i =>
       toCatalyst(org.apache.spark.sql.Row.fromSeq(

@@ -126,19 +126,26 @@ object ParquetFileReader {
   def readTriplets(bytes: Array[Byte], col: LeafColumn): Triplets = {
     val cm = col.meta
     // corruption guards: sizes claimed by (possibly corrupted) metadata must
-    // stay consistent with the actual file, or we fail cleanly instead of
-    // allocating per a hostile length (bools pack 8 values/byte — the
-    // loosest physical bound on values-per-file-byte)
-    require(cm.numValues >= 0 && cm.numValues <= 8L * bytes.length,
-      s"chunk claims ${cm.numValues} values in a ${bytes.length}-byte file")
+    // stay self-consistent, or we fail cleanly instead of allocating per a
+    // hostile length. Bools pack 8 values per UNCOMPRESSED byte — the
+    // loosest physical bound — and `bytes` may be just this chunk's
+    // compressed range (ChunkFetcher), so bound against the larger of the
+    // two. Actual decode work stays bounded by the per-page guards below.
+    require(cm.numValues >= 0 && cm.numValues <=
+      8L * math.max(bytes.length.toLong, cm.totalUncompressedSize),
+      s"chunk claims ${cm.numValues} values in ${bytes.length} bytes " +
+        s"(uncompressed ${cm.totalUncompressedSize})")
     var off =
       if (cm.dictionaryPageOffset >= 0) math.min(cm.dictionaryPageOffset, cm.dataPageOffset)
       else cm.dataPageOffset
     require(off >= 0 && off < bytes.length, s"page offset $off out of file")
     var dict: IndexedSeq[Any] = null
-    val values = new ArrayBuffer[Any](cm.numValues.toInt)
-    val defs = if (col.maxDef > 0) new ArrayBuffer[Int](cm.numValues.toInt) else null
-    val reps = if (col.maxRep > 0) new ArrayBuffer[Int](cm.numValues.toInt) else null
+    // capacity HINT only (buffers grow as pages actually decode), capped so
+    // hostile metadata cannot force a huge upfront allocation
+    val sizeHint = math.min(cm.numValues, 1L << 20).toInt
+    val values = new ArrayBuffer[Any](sizeHint)
+    val defs = if (col.maxDef > 0) new ArrayBuffer[Int](sizeHint) else null
+    val reps = if (col.maxRep > 0) new ArrayBuffer[Int](sizeHint) else null
     var remaining = cm.numValues
     while (remaining > 0) {
       val ph = ParquetMeta.parsePageHeader(bytes, off.toInt)

@@ -657,6 +657,37 @@ class SparkE2ESpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(got == exp)
   }
 
+  test("DataSource V2: flat scans produce columnar batches (ColumnarToRow)") {
+    import graft.sources.{GraftParquetFormat, ParquetSink}
+    val n = 20000
+    val src = spark.range(n).select(
+      col("id"),
+      when(col("id") % 7 === 0, lit(null))
+        .otherwise(concat(lit("s"), col("id"))).as("s"),
+      (col("id") * 0.5).as("d"),
+      (col("id") % 2 === 0).as("b"))
+    val dir = java.nio.file.Files.createTempDirectory("graft-colbatch").toString
+    ParquetSink.write(src.coalesce(1).sortWithinPartitions("id"), dir,
+      rowGroupRows = 8192).count()
+    val df = spark.read.format(GraftParquetFormat.Name).load(dir)
+    // the scan reports columnar support, so Spark plans codegen'd
+    // ColumnarToRow instead of this source converting row-by-row
+    assert(df.queryExecution.executedPlan.toString.contains("ColumnarToRow"))
+    def tup(r: org.apache.spark.sql.Row) =
+      (r.getLong(0), if (r.isNullAt(1)) null else r.getString(1),
+        r.getDouble(2), r.getBoolean(3))
+    assert(df.orderBy("id").collect().map(tup).toSeq ==
+      src.orderBy("id").collect().map(tup).toSeq)
+    // filtered reads (row-group + page pruning) stay columnar and exact
+    val q = df.where(col("id") >= 9000L && col("id") < 10500L)
+    assert(q.queryExecution.executedPlan.toString.contains("ColumnarToRow"))
+    assert(q.orderBy("id").collect().map(tup).toSeq ==
+      src.where(col("id") >= 9000L && col("id") < 10500L)
+        .orderBy("id").collect().map(tup).toSeq)
+    // global limit through the columnar path
+    assert(df.limit(123).count() == 123L)
+  }
+
   test("DataSource V2: row groups become tasks; planning prunes them") {
     import graft.sources.{GraftParquetFormat, GraftScan, ParquetSink}
     val n = 50000
