@@ -185,6 +185,36 @@ object Bench {
     val decGbps = decRaw / decSecs / 1e9
     chunks.unpersist()
 
+    // --- parquet scan throughput: our DSv2 columnar source vs Spark's ----
+    // same table, same files (written once by our own sink); the timed job
+    // aggregates over every column so all chunks really decode. Best-of-2
+    // interleaved, like the encode levels.
+    progress("scan bench")
+    val scanPath = s"$localDir/bench-scan-$benchRows"
+    graft.sources.ParquetSink.write(df.repartition(cpus), scanPath).count()
+    def scanAgg(d: DataFrame): Unit =
+      d.agg(sum(octet_length(col("content"))), sum(octet_length(col("path"))),
+        sum(col("content_len")), sum(col("line_count")),
+        count(col("repo")), count(col("commit")), count(col("lang")))
+        .collect()
+    val ourScan = sHi.read
+      .format(graft.sources.GraftParquetFormat.Name).load(scanPath)
+    val sparkScan = sHi.read.parquet(scanPath)
+    scanAgg(ourScan); scanAgg(sparkScan) // warm JIT/codegen, excluded
+    var scanSecs = Double.MaxValue
+    var scanSparkSecs = Double.MaxValue
+    (0 until 2).foreach { _ =>
+      val (_, a) = time(scanAgg(ourScan))
+      val (_, b) = time(scanAgg(sparkScan))
+      scanSecs = math.min(scanSecs, a)
+      scanSparkSecs = math.min(scanSparkSecs, b)
+    }
+    // decRaw is the raw byte size of this same df per the encoder's
+    // accounting, so both scans are normalized identically
+    val scanGbps = decRaw / scanSecs / 1e9
+    val scanSparkGbps = decRaw / scanSparkSecs / 1e9
+    progress(f"scan ours=$scanSecs%.2fs spark=$scanSparkSecs%.2fs")
+
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       progress(s"query $name")
       val (_, secs) = time {
@@ -200,7 +230,7 @@ object Bench {
     val effJson = effSamples.map(e => f"$e%.3f").mkString("[", ",", "]")
     val effSatJson = effSatSamples.map(e => f"$e%.3f").mkString("[", ",", "]")
     val json =
-      f"""{"metric":"encode_throughput_gbps","value":$gbpsHi%.4f,"unit":"GB/s","queries":$qJson,"sf":"$sfDir","total_query_sec":$totalQ%.2f,"bench_rows":$benchRows,"raw_gb":${rawHi / 1e9}%.3f,"encode_gbps_p$tinyCpus":$gbpsTiny%.4f,"encode_gbps_p$smallCpus":$gbpsLo%.4f,"encode_gbps_p$cpus":$gbpsHi%.4f,"encode_sec_p$tinyCpus":$secsTiny%.2f,"encode_sec_p$smallCpus":$secsLo%.2f,"encode_sec_p$cpus":$secsHi%.2f,"scaling_efficiency":$scalingEff%.3f,"scaling_samples_p${tinyCpus}_p$smallCpus":$effJson,"scaling_efficiency_p${smallCpus}_p$cpus":$scalingEffSaturated%.3f,"scaling_samples_p${smallCpus}_p$cpus":$effSatJson,"compression_ratio":${encHi.toDouble / rawHi}%.4f,"ref_policy_ratio":${refLo.toDouble / rawLo}%.4f,"decode_gbps":$decGbps%.4f}"""
+      f"""{"metric":"encode_throughput_gbps","value":$gbpsHi%.4f,"unit":"GB/s","queries":$qJson,"sf":"$sfDir","total_query_sec":$totalQ%.2f,"bench_rows":$benchRows,"raw_gb":${rawHi / 1e9}%.3f,"encode_gbps_p$tinyCpus":$gbpsTiny%.4f,"encode_gbps_p$smallCpus":$gbpsLo%.4f,"encode_gbps_p$cpus":$gbpsHi%.4f,"encode_sec_p$tinyCpus":$secsTiny%.2f,"encode_sec_p$smallCpus":$secsLo%.2f,"encode_sec_p$cpus":$secsHi%.2f,"scaling_efficiency":$scalingEff%.3f,"scaling_samples_p${tinyCpus}_p$smallCpus":$effJson,"scaling_efficiency_p${smallCpus}_p$cpus":$scalingEffSaturated%.3f,"scaling_samples_p${smallCpus}_p$cpus":$effSatJson,"compression_ratio":${encHi.toDouble / rawHi}%.4f,"ref_policy_ratio":${refLo.toDouble / rawLo}%.4f,"decode_gbps":$decGbps%.4f,"scan_gbps":$scanGbps%.4f,"scan_gbps_spark_native":$scanSparkGbps%.4f}"""
     println(json)
     // Survive any invocation style (sbt log prefixes, stdout capture bugs):
     // the same line lands in BENCH_RESULT.json in the working directory.
