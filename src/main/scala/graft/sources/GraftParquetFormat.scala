@@ -15,6 +15,8 @@ import org.apache.spark.sql.sources._
 import org.apache.spark.sql.types.{IntegerType, LongType, StructField, StructType}
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
 
+import graft.core.{BoolVec, BytesVec, ColVec, DoubleVec, FloatVec, IntVec, LongVec}
+
 /** DataSource V2 front-end for [[ParquetSource]]:
   * `spark.read.format("graft.sources.GraftParquetFormat").load(dir)`.
   *
@@ -242,6 +244,19 @@ final class GraftScanBuilder(dir: String, fullSchema: StructType)
       case StringStartsWith(c, p) if strCols(c) =>
         val pb = p.getBytes(java.nio.charset.StandardCharsets.UTF_8)
         tightenStr(c, pb, prefixUpper(pb)); true
+      // IN-set → its [min, max] envelope (the set stays residual, so gaps
+      // inside the envelope cost nothing but a missed skip)
+      case In(c, vs) if longCols(c) && vs.nonEmpty &&
+          vs.forall(num(_).isDefined) =>
+        val ns = vs.map(num(_).get)
+        tighten(c, ns.min, ns.max); true
+      case In(c, vs) if strCols(c) && vs.nonEmpty &&
+          vs.forall(utf8(_).isDefined) =>
+        val bs = vs.map(utf8(_).get)
+        tightenStr(c, bs.reduce((a, b) =>
+          if (graft.core.MinMax.compareBytes(a, b) <= 0) a else b),
+          bs.reduce((a, b) =>
+            if (graft.core.MinMax.compareBytes(a, b) >= 0) a else b)); true
       case _ => false
     }
     pushed = usable
@@ -610,48 +625,92 @@ final class GraftColumnarPartitionReader(path: String, schema: StructType,
     while (rgIt.hasNext && remaining > 0) {
       val rg = rgIt.next()
       val fetch = new ParquetFileReader.ChunkFetcher(path)
-      val cols =
-        try GraftFlatScan.columnBatch(fetch, meta, rg, schema.fields,
-          ranges, strRanges)
-        finally fetch.close()
-      val n = math.min(cols.head.length, remaining)
-      if (n > 0) {
-        val vecs = schema.fields.indices.map(j =>
-          fill(schema.fields(j).dataType, cols(j), n))
-        batch = new ColumnarBatch(vecs.toArray, n)
-        remaining -= n
-        return true
+      val vecsAndRows =
+        try {
+          if (ranges.isEmpty && strRanges.isEmpty) typedBatch(fetch, rg)
+          else boxedBatch(fetch, rg)
+        } finally fetch.close()
+      vecsAndRows match {
+        case Some((vecs, n0)) =>
+          val n = math.min(n0, remaining)
+          if (n > 0) {
+            batch = new ColumnarBatch(
+              vecs.toArray[org.apache.spark.sql.vectorized.ColumnVector], n)
+            remaining -= n
+            return true
+          }
+        case None => ()
       }
     }
     false
+  }
+
+  /** Whole-row-group typed path: each chunk decodes straight to a ColVec
+    * and is handed to Spark ZERO-COPY behind a [[GraftColumnVector]] view —
+    * primitives read from the decode arrays in place, strings are
+    * UTF8String views over the arena bytes. INT96/FLBA chunks fall back to
+    * the boxed fill per column. */
+  private def typedBatch(fetch: ParquetFileReader.ChunkFetcher,
+      rg: Int): Option[(Seq[org.apache.spark.sql.vectorized.ColumnVector],
+        Int)] = {
+    val byName = ParquetFileReader.flatColumns(meta, rg)
+      .map(c => c.name -> c).toMap
+    val nRows = meta.rowGroups(rg).numRows.toInt
+    if (nRows <= 0) return None
+    val vecs = schema.fields.map { f =>
+      val col = byName(f.name)
+      val (b, rcm) = fetch.fetch(col.meta)
+      val rebased = col.copy(meta = rcm)
+      if (col.typ == PqType.Int96 || col.typ == PqType.FixedLenByteArray) {
+        fill(f.dataType, ParquetFileReader.readColumn(b, rebased), nRows):
+          org.apache.spark.sql.vectorized.ColumnVector
+      } else {
+        val (vec, defs) = ParquetFileReader.readColumnVec(b, rebased)
+        new GraftColumnVector(f.dataType, vec, defs, rebased.maxDef)
+      }
+    }
+    Some((vecs.toSeq, nRows))
+  }
+
+  private def boxedBatch(fetch: ParquetFileReader.ChunkFetcher,
+      rg: Int): Option[(Seq[org.apache.spark.sql.vectorized.ColumnVector],
+        Int)] = {
+    val cols = GraftFlatScan.columnBatch(fetch, meta, rg, schema.fields,
+      ranges, strRanges)
+    val n = cols.head.length
+    if (n == 0) None
+    else Some((schema.fields.indices.map(j =>
+      fill(schema.fields(j).dataType, cols(j), n):
+        org.apache.spark.sql.vectorized.ColumnVector), n))
   }
 
   private def fill(dt: org.apache.spark.sql.types.DataType,
       vals: IndexedSeq[Any], n: Int): OnHeapColumnVector = {
     import org.apache.spark.sql.types._
     val v = new OnHeapColumnVector(n, dt)
+    // type dispatch hoisted out of the per-value loop
+    val put: (Int, Any) => Unit = dt match {
+      case LongType => (i, x) => v.putLong(i, x.asInstanceOf[Long])
+      case IntegerType => (i, x) => v.putInt(i, x.asInstanceOf[Int])
+      case DoubleType => (i, x) => v.putDouble(i, x.asInstanceOf[Double])
+      case FloatType => (i, x) => v.putFloat(i, x.asInstanceOf[Float])
+      case BooleanType => (i, x) => v.putBoolean(i, x.asInstanceOf[Boolean])
+      case StringType | BinaryType => (i, x) => {
+        val b = x.asInstanceOf[Array[Byte]]
+        v.putByteArray(i, b, 0, b.length)
+      }
+      case DateType => (i, x) => v.putInt(i, x.asInstanceOf[Int]) // epoch days
+      case TimestampType => (i, x) => x match { // micros, or raw INT96
+        case l: Long => v.putLong(i, l)
+        case b: Array[Byte] => v.putLong(i, ParquetFileReader.int96ToMicros(b))
+      }
+      case other =>
+        throw new IllegalArgumentException(s"columnar fill: $other")
+    }
     var i = 0
     while (i < n) {
       val x = vals(i)
-      if (x == null) v.putNull(i)
-      else dt match {
-        case LongType => v.putLong(i, x.asInstanceOf[Long])
-        case IntegerType => v.putInt(i, x.asInstanceOf[Int])
-        case DoubleType => v.putDouble(i, x.asInstanceOf[Double])
-        case FloatType => v.putFloat(i, x.asInstanceOf[Float])
-        case BooleanType => v.putBoolean(i, x.asInstanceOf[Boolean])
-        case StringType | BinaryType =>
-          val b = x.asInstanceOf[Array[Byte]]
-          v.putByteArray(i, b, 0, b.length)
-        case DateType => v.putInt(i, x.asInstanceOf[Int]) // epoch days
-        case TimestampType => x match { // micros, or raw INT96
-          case l: Long => v.putLong(i, l)
-          case b: Array[Byte] =>
-            v.putLong(i, ParquetFileReader.int96ToMicros(b))
-        }
-        case other =>
-          throw new IllegalArgumentException(s"columnar fill: $other")
-      }
+      if (x == null) v.putNull(i) else put(i, x)
       i += 1
     }
     v
@@ -659,6 +718,90 @@ final class GraftColumnarPartitionReader(path: String, schema: StructType,
 
   override def get(): ColumnarBatch = batch
   override def close(): Unit = if (batch != null) batch.close()
+}
+
+/** Zero-copy Spark ColumnVector over a decoded [[graft.core.ColVec]]:
+  * primitive getters index the decode arrays directly, `getUTF8String`
+  * returns a view over the arena bytes (no copy, no String), and nullable
+  * columns translate row → value slot through one precomputed int map
+  * (values are null-suppressed in the ColVec). */
+final class GraftColumnVector(dt: org.apache.spark.sql.types.DataType,
+    vec: ColVec, defs: Array[Int], maxDef: Int)
+    extends org.apache.spark.sql.vectorized.ColumnVector(dt) {
+
+  // rowId -> value index (-1 = null); identity when the column has no nulls
+  private val valIdx: Array[Int] =
+    if (defs == null) null
+    else {
+      val m = new Array[Int](defs.length)
+      var i = 0
+      var vi = 0
+      while (i < defs.length) {
+        if (defs(i) == maxDef) { m(i) = vi; vi += 1 } else m(i) = -1
+        i += 1
+      }
+      m
+    }
+  private var nNulls = -1
+
+  @inline private def slot(rowId: Int): Int =
+    if (valIdx == null) rowId else valIdx(rowId)
+
+  override def isNullAt(rowId: Int): Boolean =
+    valIdx != null && valIdx(rowId) == -1
+  override def hasNull: Boolean = numNulls > 0
+  override def numNulls: Int = {
+    if (nNulls < 0) {
+      var c = 0
+      if (valIdx != null) {
+        var i = 0
+        while (i < valIdx.length) { if (valIdx(i) == -1) c += 1; i += 1 }
+      }
+      nNulls = c
+    }
+    nNulls
+  }
+
+  override def getBoolean(rowId: Int): Boolean =
+    vec.asInstanceOf[BoolVec].values(slot(rowId))
+  override def getInt(rowId: Int): Int =
+    vec.asInstanceOf[IntVec].values(slot(rowId))
+  override def getLong(rowId: Int): Long =
+    vec.asInstanceOf[LongVec].values(slot(rowId))
+  override def getFloat(rowId: Int): Float =
+    vec.asInstanceOf[FloatVec].values(slot(rowId))
+  override def getDouble(rowId: Int): Double =
+    vec.asInstanceOf[DoubleVec].values(slot(rowId))
+  override def getUTF8String(rowId: Int):
+      org.apache.spark.unsafe.types.UTF8String = {
+    val b = vec.asInstanceOf[BytesVec]
+    val s = slot(rowId)
+    org.apache.spark.unsafe.types.UTF8String.fromBytes(
+      b.data, b.start(s), b.len(s))
+  }
+  override def getBinary(rowId: Int): Array[Byte] = {
+    val b = vec.asInstanceOf[BytesVec]
+    val s = slot(rowId)
+    java.util.Arrays.copyOfRange(b.data, b.start(s), b.start(s) + b.len(s))
+  }
+
+  override def getByte(rowId: Int): Byte =
+    throw new UnsupportedOperationException("byte")
+  override def getShort(rowId: Int): Short =
+    throw new UnsupportedOperationException("short")
+  override def getArray(rowId: Int):
+      org.apache.spark.sql.vectorized.ColumnarArray =
+    throw new UnsupportedOperationException("array")
+  override def getMap(rowId: Int):
+      org.apache.spark.sql.vectorized.ColumnarMap =
+    throw new UnsupportedOperationException("map")
+  override def getDecimal(rowId: Int, precision: Int, scale: Int):
+      org.apache.spark.sql.types.Decimal =
+    throw new UnsupportedOperationException("decimal")
+  override def getChild(ordinal: Int):
+      org.apache.spark.sql.vectorized.ColumnVector =
+    throw new UnsupportedOperationException("child")
+  override def close(): Unit = ()
 }
 
 final class GraftPartitionReader(path: String, schema: StructType,

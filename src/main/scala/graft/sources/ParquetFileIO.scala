@@ -347,6 +347,176 @@ object ParquetFileReader {
     }
   }
 
+  // ------------------------------------------- typed flat column decode
+  // The vectorized scan's hot path: one FLAT column chunk decoded into a
+  // typed ColVec (null-suppressed) + def levels, with NO per-value boxing
+  // and NO per-value byte-array copies — primitives bulk-copy into Spark
+  // column vectors, string bytes copy arena→vector once. INT96/FLBA chunks
+  // are not supported here (callers fall back to the boxed path).
+
+  /** (non-null values as a typed ColVec, def levels or null). */
+  def readColumnVec(bytes: Array[Byte], col: Column): (ColVec, Array[Int]) = {
+    val leaf = LeafColumn(Seq(col.name), col.typ, -1, -1, col.maxDef, 0, col.meta)
+    val cm = col.meta
+    require(cm.numValues >= 0 && cm.numValues <=
+      8L * math.max(bytes.length.toLong, cm.totalUncompressedSize),
+      s"chunk claims ${cm.numValues} values in ${bytes.length} bytes")
+    var off =
+      if (cm.dictionaryPageOffset >= 0)
+        math.min(cm.dictionaryPageOffset, cm.dataPageOffset)
+      else cm.dataPageOffset
+    require(off >= 0 && off < bytes.length, s"page offset $off out of file")
+    var dict: ColVec = null
+    val parts = ArrayBuffer.empty[ColVec]
+    val defParts = if (col.maxDef > 0) ArrayBuffer.empty[Array[Int]] else null
+    var remaining = cm.numValues
+    while (remaining > 0) {
+      val ph = ParquetMeta.parsePageHeader(bytes, off.toInt)
+      val dataStart = off.toInt + ph.headerLen
+      require(ph.compressedSize >= 0 &&
+        dataStart.toLong + ph.compressedSize <= bytes.length,
+        s"page claims ${ph.compressedSize} compressed bytes past EOF")
+      ph.pageType match {
+        case 2 =>
+          val raw = decompress(bytes, dataStart, ph.compressedSize,
+            ph.uncompressedSize, cm.codec)
+          require(ph.numValues <= raw.length,
+            s"dict page claims ${ph.numValues} entries in ${raw.length} bytes")
+          dict = decodePlainVec(col.typ, raw, 0, raw.length, ph.numValues)
+        case 0 =>
+          val raw = decompress(bytes, dataStart, ph.compressedSize,
+            ph.uncompressedSize, cm.codec)
+          val n = ph.numValues
+          require(n >= 0 && n <= remaining, s"page claims $n values")
+          var pos = 0
+          var nNonNull = n
+          if (col.maxDef > 0) {
+            val (lv, p2) = readLevelStream(raw, pos, n, col.maxDef,
+              ph.defLevelEncoding)
+            pos = p2
+            defParts += lv
+            nNonNull = countMax(lv, col.maxDef)
+          }
+          parts += decodeValuesVec(ph.encoding, col.typ, raw, pos,
+            nNonNull, dict)
+          remaining -= n
+        case 3 =>
+          val n = ph.numValues
+          require(n >= 0 && n <= remaining, s"page claims $n values")
+          val defLen = ph.defLevelsByteLen
+          var nNonNull = n - ph.numNulls
+          if (col.maxDef > 0) {
+            val dec = new RleHybridDecoder(levelBitWidth(col.maxDef), bytes,
+              dataStart, dataStart + defLen)
+            val tmp = new Array[Long](n)
+            dec.get(tmp, 0, n)
+            val lv = tmp.map(_.toInt)
+            defParts += lv
+            nNonNull = countMax(lv, col.maxDef)
+          }
+          val vOff = dataStart + defLen
+          val vUnc = ph.uncompressedSize - defLen
+          val vraw =
+            if (ph.isCompressed && cm.codec != PqCodec.Uncompressed)
+              decompress(bytes, vOff, ph.compressedSize - defLen, vUnc, cm.codec)
+            else java.util.Arrays.copyOfRange(bytes, vOff, vOff + vUnc)
+          parts += decodeValuesVec(ph.encoding, col.typ, vraw, 0, nNonNull, dict)
+          remaining -= n
+        case other => throw new IllegalArgumentException(
+          s"page type $other not supported")
+      }
+      off = dataStart.toLong + ph.compressedSize
+    }
+    val vec =
+      if (parts.isEmpty) decodePlainVec(col.typ, Array.emptyByteArray, 0, 0, 0)
+      else if (parts.size == 1) parts.head
+      else ChunkCodec.concat(parts.toSeq)
+    val defs =
+      if (defParts == null) null
+      else if (defParts.size == 1) defParts.head
+      else {
+        val out = new Array[Int](defParts.map(_.length).sum)
+        var p = 0
+        defParts.foreach { a =>
+          System.arraycopy(a, 0, out, p, a.length); p += a.length
+        }
+        out
+      }
+    (vec, defs)
+  }
+
+  private def decodePlainVec(typ: Int, buf: Array[Byte], off: Int, len: Int,
+      n: Int): ColVec = {
+    val phys = typ match {
+      case PqType.Boolean => PhysicalType.Bool
+      case PqType.Int32 => PhysicalType.Int32
+      case PqType.Int64 => PhysicalType.Int64
+      case PqType.Float => PhysicalType.Float
+      case PqType.Double => PhysicalType.Double
+      case PqType.ByteArray => PhysicalType.Bytes
+      case other => throw new IllegalArgumentException(
+        s"typed decode: physical type $other unsupported")
+    }
+    PlainCodec.decodeSlice(phys, buf, off, len, n)
+  }
+
+  private def decodeValuesVec(encoding: Int, typ: Int, raw: Array[Byte],
+      pos: Int, nNonNull: Int, dict: ColVec): ColVec = encoding match {
+    case PqEncoding.Plain =>
+      decodePlainVec(typ, raw, pos, raw.length - pos, nNonNull)
+    case PqEncoding.PlainDictionary | PqEncoding.RleDictionary =>
+      require(dict != null, "data page references a missing dictionary")
+      if (nNonNull == 0) decodePlainVec(typ, Array.emptyByteArray, 0, 0, 0)
+      else {
+        val width = raw(pos) & 0xFF
+        val dec = new RleHybridDecoder(width, raw, pos + 1, raw.length)
+        val ids = new Array[Long](nNonNull)
+        dec.get(ids, 0, nNonNull)
+        val idx = new Array[Int](nNonNull)
+        var i = 0
+        val dn = dict.length
+        while (i < nNonNull) {
+          val id = ids(i).toInt
+          require(id >= 0 && id < dn, s"dict id $id out of [0,$dn)")
+          idx(i) = id
+          i += 1
+        }
+        ChunkCodecSupport.gather(dict, idx)
+      }
+    case PqEncoding.DeltaBinaryPacked =>
+      val vs = DeltaBinaryPackedDecoder.decode(slice(raw, pos),
+        int32 = typ == PqType.Int32)
+      require(vs.length >= nNonNull,
+        s"delta stream has ${vs.length} values, page needs $nNonNull")
+      if (typ == PqType.Int32) {
+        val out = new Array[Int](nNonNull)
+        var i = 0
+        while (i < nNonNull) { out(i) = vs(i).toInt; i += 1 }
+        IntVec(out)
+      } else LongVec(java.util.Arrays.copyOf(vs, nNonNull))
+    case PqEncoding.DeltaLengthByteArray =>
+      trimBytes(DeltaLengthByteArrayCodec.decode(slice(raw, pos)), nNonNull)
+    case PqEncoding.DeltaByteArray =>
+      trimBytes(DeltaByteArrayCodec.decode(slice(raw, pos)), nNonNull)
+    case PqEncoding.Rle =>
+      require(typ == PqType.Boolean, "RLE data pages are boolean-only")
+      val len = (raw(pos) & 0xFF) | ((raw(pos + 1) & 0xFF) << 8) |
+        ((raw(pos + 2) & 0xFF) << 16) | ((raw(pos + 3) & 0xFF) << 24)
+      val dec = new RleHybridDecoder(1, raw, pos + 4, pos + 4 + len)
+      val tmp = new Array[Long](nNonNull)
+      dec.get(tmp, 0, nNonNull)
+      val out = new Array[Boolean](nNonNull)
+      var i = 0
+      while (i < nNonNull) { out(i) = tmp(i) != 0L; i += 1 }
+      BoolVec(out)
+    case other => throw new IllegalArgumentException(
+      s"data page encoding $other not supported")
+  }
+
+  private def trimBytes(v: BytesVec, n: Int): BytesVec =
+    if (v.length == n) v
+    else BytesVec(v.data, java.util.Arrays.copyOf(v.offsets, n + 1))
+
   // ------------------------------------------------------------ ranged I/O
   // A projected scan must not READ unprojected bytes, not merely skip
   // decoding them: at 100 TB a 2-of-20-column projection that slurps whole

@@ -710,6 +710,30 @@ class SparkE2ESpec extends AnyFunSuite with BeforeAndAfterAll {
       src.agg(sum("id"), count("*")).collect().head.toSeq)
   }
 
+  test("DataSource V2: IN-set filters push their min/max envelope") {
+    import graft.sources.{GraftParquetFormat, GraftScan, ParquetSink}
+    val n = 50000
+    val src = spark.range(n).select(col("id"),
+      concat(lit("k"), lpad(col("id").cast("string"), 7, "0")).as("k"))
+    val dir = java.nio.file.Files.createTempDirectory("graft-inpush").toString
+    ParquetSink.write(src.coalesce(1).sortWithinPartitions("id"), dir,
+      rowGroupRows = 10000).count()
+    val df = spark.read.format(GraftParquetFormat.Name).load(dir)
+    val q = df.where(col("id").isin(42000L, 42017L, 42900L))
+    // envelope lands in the scan (ranges=) and planning keeps ONE of the
+    // five row groups; the exact IN set stays residual
+    assert(q.queryExecution.executedPlan.toString.contains("ranges="))
+    assert(new GraftScan(dir, df.schema, Map("id" -> (42000L, 42900L)))
+      .planInputPartitions().length == 1)
+    assert(q.orderBy("id").collect().map(_.getLong(0)).toSeq ==
+      Seq(42000L, 42017L, 42900L))
+    // string IN envelope
+    val qs = df.where(col("k").isin("k0001000", "k0001999"))
+    assert(qs.queryExecution.executedPlan.toString.contains("strRanges="))
+    assert(qs.collect().map(_.getString(1)).sorted.toSeq ==
+      Seq("k0001000", "k0001999"))
+  }
+
   test("DataSource V2: projected scan reads only projected chunks' bytes") {
     import graft.sources.{GraftParquetFormat, ParquetSink, ParquetFileReader}
     val docs = spark.read.parquet(s"$sfDir/documents.parquet")
