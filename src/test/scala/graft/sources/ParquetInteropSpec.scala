@@ -641,6 +641,64 @@ class ParquetInteropSpec extends AnyFunSuite {
     }
   }
 
+  test("typed column decode equals boxed decode on every flat golden column") {
+    import graft.core._
+    // every FLAT golden file, every non-INT96/FLBA column: the typed
+    // (zero-copy scan) decode must agree value-for-value with the boxed
+    // reference path — this pins dict, delta-family, RLE-bool, and
+    // data-page-v2 encodings the writer-roundtrip E2Es never emit
+    val goldens = Seq("alltypes_plain.parquet", "alltypes_plain.snappy.parquet",
+      "alltypes_dictionary.parquet", "10k-v2.parquet", "datapage_v2.snappy.parquet",
+      "nation.dict-malformed.parquet", "stock_simulated.parquet")
+    var checked = 0
+    goldens.foreach { g =>
+      val bytes = java.nio.file.Files.readAllBytes(
+        java.nio.file.Paths.get(s"$dataDir/$g"))
+      val meta = readFooterOf(bytes)
+      // skip non-flat goldens (datapage_v2 has a repeated column) — the
+      // typed path only ever runs on flat files (flatOk planning stamp)
+      val flat = meta.schema.size > 1 &&
+        meta.schema.drop(1).forall(se => se.numChildren == 0 && se.repetition != 2)
+      if (flat)
+      meta.rowGroups.indices.foreach { rg =>
+        ParquetFileReader.flatColumns(meta, rg).foreach { col =>
+          if (col.typ != PqType.Int96 && col.typ != PqType.FixedLenByteArray) {
+            val boxed = ParquetFileReader.readColumn(bytes, col)
+            val (vec, defs) = ParquetFileReader.readColumnVec(bytes, col)
+            val typed: IndexedSeq[Any] = {
+              var vi = -1
+              (0 until boxed.length).map { i =>
+                if (defs != null && defs(i) != col.maxDef) null
+                else {
+                  vi += 1
+                  vec match {
+                    case BoolVec(vs) => vs(vi)
+                    case IntVec(vs) => vs(vi)
+                    case LongVec(vs) => vs(vi)
+                    case FloatVec(vs) => vs(vi)
+                    case DoubleVec(vs) => vs(vi)
+                    case b: BytesVec => java.util.Arrays.copyOfRange(
+                      b.data, b.start(vi), b.start(vi) + b.len(vi))
+                  }
+                }
+              }
+            }
+            boxed.zip(typed).zipWithIndex.foreach { case ((a, b), i) =>
+              (a, b) match {
+                case (x: Array[Byte], y: Array[Byte]) =>
+                  assert(java.util.Arrays.equals(x, y),
+                    s"$g rg$rg ${col.name} row $i")
+                case _ => assert(a == b, s"$g rg$rg ${col.name} row $i: $a != $b")
+              }
+            }
+            checked += 1
+          }
+        }
+      }
+    }
+    assert(checked > 30, s"only $checked columns checked")
+  }
+
   test("ranged I/O: projected reads never touch unprojected bytes on disk") {
     val tmp = java.nio.file.Files.createTempDirectory("pqranged").toString
     val path = s"$tmp/ranged.parquet"
