@@ -39,6 +39,38 @@ object StreamingEncode {
       .start()
   }
 
+  /** Streaming sink writing standard `.parquet` FILES through our own file
+    * writer (`readStream -> foreachBatch -> ParquetSink`): each micro-batch
+    * lands under `outDir/batch=<id>/`, one file per partition. Exactly-once
+    * on replay: a re-attempted batch clears and rewrites ITS OWN directory,
+    * so duplicates cannot survive regardless of where the failure hit. */
+  def startParquetSink(input: DataFrame, outDir: String,
+      codec: Int = graft.sources.PqCodec.Snappy,
+      rowGroupRows: Int = 1 << 16,
+      trigger: org.apache.spark.sql.streaming.Trigger =
+        org.apache.spark.sql.streaming.Trigger.AvailableNow()): StreamingQuery = {
+    input.writeStream
+      .option("checkpointLocation", s"$outDir/_checkpoint")
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        parquetBatch(batch, batchId, outDir, codec, rowGroupRows)
+      }
+      .trigger(trigger)
+      .start()
+  }
+
+  /** One micro-batch of the parquet-file sink (idempotent per batch id). */
+  def parquetBatch(batch: DataFrame, batchId: Long, outDir: String,
+      codec: Int = graft.sources.PqCodec.Snappy,
+      rowGroupRows: Int = 1 << 16): Unit = {
+    val dir = new java.io.File(s"$outDir/batch=$batchId")
+    // clear partial output from any failed earlier attempt — a replayed
+    // batch must not leave stale part files from a different partitioning
+    if (dir.isDirectory)
+      dir.listFiles().foreach(f => if (f.isFile) f.delete())
+    graft.sources.ParquetSink.write(batch, dir.getPath, codec, rowGroupRows)
+      .count()
+  }
+
   /** One micro-batch: encode, renumber partitions into the global id
     * space, write chunks + lineage to batch-scoped (idempotent) paths. */
   def encodeBatch(batch: DataFrame, batchId: Long, outDir: String,
