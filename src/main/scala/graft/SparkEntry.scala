@@ -275,6 +275,20 @@ object SparkEntry {
           sum(col("doc_id")).as("sum_id"))
         .orderBy("lang")
     }),
+    "q_parquet_hive_part" -> ((s, dir) => {
+      // Hive-partitioned layout: lang moves into directory names
+      // (lang=en/...), the scan restores it as a partition column, and a
+      // lang predicate prunes whole directories at planning time.
+      val in = docs(s, dir).select("doc_id", "lang", "text")
+      val out = java.nio.file.Files.createTempDirectory("graft-hive").toString
+      graft.sources.ParquetSink.writePartitioned(in, out, Seq("lang")).count()
+      import org.apache.spark.sql.functions._
+      s.read.format(graft.sources.GraftParquetFormat.Name).load(out)
+        .where(col("lang") === "en")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(length(col("text"))).cast("long").as("text_chars"),
+          sum(col("doc_id")).cast("long").as("sum_id"))
+    }),
     "q_parquet_page_prune" -> ((s, dir) => {
       // Page-granular pruning surface: a single-file, single-row-group
       // table whose chunks span many ~1 MiB pages with per-page header
@@ -517,6 +531,8 @@ object SparkEntry {
       "SELECT lang, count(*) AS cnt, CAST(sum(length(text)) AS BIGINT) AS chars, CAST(sum(doc_id) AS BIGINT) AS sum_id FROM documents GROUP BY lang ORDER BY lang",
     "q_parquet_dist_read" ->
       "SELECT lang, count(*) AS cnt, CAST(sum(length(text)) AS BIGINT) AS chars, CAST(sum(doc_id) AS BIGINT) AS sum_id FROM documents WHERE doc_id BETWEEN 100 AND 2000 GROUP BY lang ORDER BY lang",
+    "q_parquet_hive_part" ->
+      "SELECT count(*) AS n_docs, CAST(sum(length(text)) AS BIGINT) AS text_chars, CAST(sum(doc_id) AS BIGINT) AS sum_id FROM documents WHERE lang = 'en'",
     "q_parquet_page_prune" ->
       "SELECT count(*) AS n_docs, CAST(sum(length(text)) AS BIGINT) AS text_chars, CAST(sum(doc_id) AS BIGINT) AS sum_id FROM documents WHERE doc_id BETWEEN 500 AND 1499",
     "q_parquet_sql_read" ->

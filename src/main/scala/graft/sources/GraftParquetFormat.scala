@@ -37,9 +37,12 @@ class GraftParquetFormat extends TableProvider {
 
   override def inferSchema(options: CaseInsensitiveStringMap): StructType = {
     val dir = GraftParquetFormat.pathOf(options)
-    val files = GraftParquetFormat.listFiles(dir)
-    // planning-time schema inference reads only the footer tail
-    ParquetSource.sparkSchema(ParquetFileReader.readFooterOnly(files.head))
+    val fps = GraftParquetFormat.listFilesPartitioned(dir)
+    // planning-time schema inference reads only the footer tail; Hive-style
+    // k=v directory segments become trailing partition columns
+    val base = ParquetSource.sparkSchema(
+      ParquetFileReader.readFooterOnly(fps.head._1))
+    StructType(base.fields ++ GraftParquetFormat.partitionFields(fps))
   }
 
   override def getTable(schema: StructType, partitioning: Array[Transform],
@@ -59,15 +62,57 @@ object GraftParquetFormat {
     p
   }
 
-  private[sources] def listFiles(dir: String): Seq[String] = {
-    val f = new java.io.File(dir)
-    val out =
-      if (f.isFile) Seq(f.getPath)
-      else f.listFiles((_, n) => n.endsWith(".parquet"))
-        .map(_.getPath).sorted.toSeq
-    require(out.nonEmpty, s"no parquet files under $dir")
-    out
+  private[sources] def listFiles(dir: String): Seq[String] =
+    listFilesPartitioned(dir).map(_._1)
+
+  /** Every `.parquet` file under `dir` (recursive) with the partition
+    * values carried by its Hive-style `k=v` path segments. The coarsest
+    * pruning tier at scale: a partition-column predicate drops whole
+    * directories before any footer is read. */
+  private[sources] def listFilesPartitioned(dir: String):
+      Seq[(String, Seq[(String, String)])] = {
+    val root = new java.io.File(dir)
+    val out = Seq.newBuilder[(String, Seq[(String, String)])]
+    def walk(f: java.io.File, kvs: List[(String, String)]): Unit =
+      if (f.isFile) {
+        if (f.getName.endsWith(".parquet")) out += ((f.getPath, kvs.reverse))
+      } else if (f.isDirectory) {
+        val kids = f.listFiles()
+        if (kids != null) kids.sortBy(_.getName).foreach { c =>
+          val n = c.getName
+          val i = n.indexOf('=')
+          val kv =
+            if (c.isDirectory && i > 0)
+              Some((n.take(i), java.net.URLDecoder.decode(n.drop(i + 1), "UTF-8")))
+            else None
+          walk(c, kv.fold(kvs)(_ :: kvs))
+        }
+      }
+    if (root.isFile) out += ((root.getPath, Nil)) else walk(root, Nil)
+    val files = out.result()
+    require(files.nonEmpty, s"no parquet files under $dir")
+    val cols = files.head._2.map(_._1)
+    require(files.forall(_._2.map(_._1) == cols),
+      s"inconsistent partition directories under $dir")
+    files
   }
+
+  /** Trailing partition StructFields: LongType when every directory value
+    * parses as a long, StringType otherwise. */
+  private[sources] def partitionFields(
+      fps: Seq[(String, Seq[(String, String)])]): Seq[StructField] = {
+    val cols = fps.head._2.map(_._1)
+    cols.zipWithIndex.map { case (c, i) =>
+      val allLong = fps.forall(f => f._2(i)._2.matches("-?\\d{1,18}"))
+      StructField(c,
+        if (allLong) LongType else org.apache.spark.sql.types.StringType,
+        nullable = false)
+    }
+  }
+
+  /** Partition column names of `dir` (empty for a flat directory). */
+  private[sources] def partitionColsOf(dir: String): Seq[String] =
+    listFilesPartitioned(dir).head._2.map(_._1)
 }
 
 final class GraftParquetTable(dir: String, tableSchema: StructType)
@@ -279,12 +324,14 @@ final class GraftScanBuilder(dir: String, fullSchema: StructType)
     * must see the raw rows. */
   override def pushAggregation(agg: Aggregation): Boolean = {
     if (sawFilters || agg.groupByExpressions.nonEmpty) return false
+    // partition columns live in directory names, not footers — refuse
+    lazy val partCols = GraftParquetFormat.partitionColsOf(dir).toSet
     def colOf(e: org.apache.spark.sql.connector.expressions.Expression):
         Option[String] = e match {
       case nr: NamedReference if nr.fieldNames.length == 1 =>
         fullSchema.fields.find(_.name == nr.fieldNames()(0)).collect {
-          case f if f.dataType == LongType || f.dataType == IntegerType =>
-            f.name
+          case f if (f.dataType == LongType || f.dataType == IntegerType) &&
+            !partCols(f.name) => f.name
         }
       case _ => None
     }
@@ -439,10 +486,27 @@ final class GraftScan(dir: String, schema: StructType,
     * reads (planning stays O(listing) on huge directories) and falls back
     * to per-file tasks with the same pruning done task-side. */
   override def planInputPartitions(): Array[InputPartition] = {
-    val files = GraftParquetFormat.listFiles(dir)
+    // Hive-style partition pruning first — the coarsest tier: a pushed
+    // range on a partition column drops whole directories before any
+    // footer is touched
+    val files = GraftParquetFormat.listFilesPartitioned(dir).filter {
+      case (_, kvs) => kvs.forall { case (k, v) =>
+        val longOk = ranges.get(k).forall { case (lo, hi) =>
+          scala.util.Try(v.toLong).toOption.forall(x => x >= lo && x <= hi)
+        }
+        val strOk = strRanges.get(k).forall { case (lo, hi) =>
+          val b = v.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+          (lo == null || graft.core.MinMax.compareBytes(b, lo) >= 0) &&
+            (hi == null || graft.core.MinMax.compareBytes(b, hi) <= 0)
+        }
+        longOk && strOk
+      }
+    }
     if (files.length > GraftScan.FooterPlanLimit)
-      files.map(p => GraftFilePartition(p): InputPartition).toArray
-    else files.flatMap { p =>
+      files.map { case (p, kvs) =>
+        GraftFilePartition(p, partValues = kvs): InputPartition
+      }.toArray
+    else files.flatMap { case (p, kvs) =>
       val meta = ParquetFileReader.readFooterOnly(p)
       val flatOk = GraftFlatScan.isFlat(meta)
       var rgs: Seq[Int] = meta.rowGroups.indices
@@ -455,7 +519,8 @@ final class GraftScan(dir: String, schema: StructType,
           ParquetFileReader.rowGroupsInRangeBytes(meta, c, lo, hi).toSet
         rgs = rgs.filter(keep)
       }
-      rgs.map(rg => GraftFilePartition(p, Seq(rg), flatOk): InputPartition)
+      rgs.map(rg =>
+        GraftFilePartition(p, Seq(rg), flatOk, kvs): InputPartition)
     }.toArray
   }
 
@@ -489,7 +554,8 @@ final class GraftScan(dir: String, schema: StructType,
   * fully flat file qualifies; the >FooterPlanLimit fallback leaves it
   * false, keeping the always-correct row path. */
 final case class GraftFilePartition(path: String, rgs: Seq[Int] = null,
-    flatOk: Boolean = false) extends InputPartition
+    flatOk: Boolean = false,
+    partValues: Seq[(String, String)] = Nil) extends InputPartition
 
 /** Shared flat-scan core: row-group + page-level pruning resolved into
   * column-major value batches (nulls inline, strings as raw UTF-8 bytes).
@@ -528,7 +594,7 @@ private[sources] object GraftFlatScan {
       rg: Int, fields: Array[StructField],
       ranges: Map[String, (Long, Long)],
       strRanges: Map[String, (Array[Byte], Array[Byte])]):
-      Array[IndexedSeq[Any]] = {
+      (Array[IndexedSeq[Any]], Int) = {
     // fetched (buffer, rebased meta) per column name: a filter column that
     // is also projected reads its byte range once, not twice
     val cache = scala.collection.mutable.Map.empty[String,
@@ -553,17 +619,18 @@ private[sources] object GraftFlatScan {
             st => ParquetFileReader.byteStatsOverlap(st, lo, hi)))
       }
     }
-    if (keep.isEmpty) return fields.map(_ => IndexedSeq.empty[Any])
+    if (keep.isEmpty) return (fields.map(_ => IndexedSeq.empty[Any]), 0)
+    val kept = keep.map(r => r._2 - r._1).sum.toInt
     val byName = ParquetFileReader.flatColumns(meta, rg)
       .map(c => c.name -> c).toMap
     val whole = keep == Seq((0L, nRows))
-    fields.map { f =>
+    (fields.map { f =>
       val col = byName(f.name)
       val (b, rcm) = fetched(f.name, col.meta)
       val rebased = col.copy(meta = rcm)
       if (whole) ParquetFileReader.readColumn(b, rebased)
       else ParquetFileReader.readColumnRowRanges(b, rebased, keep)
-    }
+    }, kept)
   }
 
   /** Spark types the columnar fill supports (covers every flat type our
@@ -584,7 +651,8 @@ final class GraftReaderFactory(schema: StructType,
     extends PartitionReaderFactory {
   override def createReader(p: InputPartition): PartitionReader[InternalRow] = {
     val fp = p.asInstanceOf[GraftFilePartition]
-    new GraftPartitionReader(fp.path, schema, ranges, limit, strRanges, fp.rgs)
+    new GraftPartitionReader(fp.path, schema, ranges, limit, strRanges,
+      fp.rgs, fp.partValues)
   }
 
   /** Columnar fast path: flat file (stamped at planning) + supported
@@ -598,7 +666,7 @@ final class GraftReaderFactory(schema: StructType,
       PartitionReader[org.apache.spark.sql.vectorized.ColumnarBatch] = {
     val fp = p.asInstanceOf[GraftFilePartition]
     new GraftColumnarPartitionReader(fp.path, schema, ranges, limit,
-      strRanges, fp.rgs)
+      strRanges, fp.rgs, fp.partValues)
   }
 }
 
@@ -609,14 +677,20 @@ final class GraftReaderFactory(schema: StructType,
 final class GraftColumnarPartitionReader(path: String, schema: StructType,
     ranges: Map[String, (Long, Long)], limit: Int,
     strRanges: Map[String, (Array[Byte], Array[Byte])],
-    plannedRgs: Seq[Int])
+    plannedRgs: Seq[Int],
+    partValues: Seq[(String, String)] = Nil)
     extends PartitionReader[org.apache.spark.sql.vectorized.ColumnarBatch] {
   import org.apache.spark.sql.execution.vectorized.OnHeapColumnVector
   import org.apache.spark.sql.vectorized.ColumnarBatch
 
+  private val partMap = partValues.toMap
+  private val fileFields = schema.fields.filter(f => !partMap.contains(f.name))
+  private val fileRanges = ranges.filter(kv => !partMap.contains(kv._1))
+  private val fileStrRanges = strRanges.filter(kv => !partMap.contains(kv._1))
+
   private val meta = ParquetFileReader.readFooterOnly(path)
-  private val rgIt =
-    GraftFlatScan.pruneRowGroups(meta, plannedRgs, ranges, strRanges).iterator
+  private val rgIt = GraftFlatScan
+    .pruneRowGroups(meta, plannedRgs, fileRanges, fileStrRanges).iterator
   private var remaining = if (limit >= 0) limit else Int.MaxValue
   private var batch: ColumnarBatch = _
 
@@ -627,7 +701,7 @@ final class GraftColumnarPartitionReader(path: String, schema: StructType,
       val fetch = new ParquetFileReader.ChunkFetcher(path)
       val vecsAndRows =
         try {
-          if (ranges.isEmpty && strRanges.isEmpty) typedBatch(fetch, rg)
+          if (fileRanges.isEmpty && fileStrRanges.isEmpty) typedBatch(fetch, rg)
           else boxedBatch(fetch, rg)
         } finally fetch.close()
       vecsAndRows match {
@@ -645,11 +719,24 @@ final class GraftColumnarPartitionReader(path: String, schema: StructType,
     false
   }
 
+  /** Constant vector for a partition column (value from the directory). */
+  private def constVec(dt: org.apache.spark.sql.types.DataType,
+      raw: String, n: Int): OnHeapColumnVector = {
+    val v = new OnHeapColumnVector(n, dt)
+    if (dt == LongType) v.putLongs(0, n, raw.toLong)
+    else {
+      val b = raw.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+      var i = 0
+      while (i < n) { v.putByteArray(i, b, 0, b.length); i += 1 }
+    }
+    v
+  }
+
   /** Whole-row-group typed path: each chunk decodes straight to a ColVec
     * and is handed to Spark ZERO-COPY behind a [[GraftColumnVector]] view —
     * primitives read from the decode arrays in place, strings are
     * UTF8String views over the arena bytes. INT96/FLBA chunks fall back to
-    * the boxed fill per column. */
+    * the boxed fill per column; partition columns become constant vectors. */
   private def typedBatch(fetch: ParquetFileReader.ChunkFetcher,
       rg: Int): Option[(Seq[org.apache.spark.sql.vectorized.ColumnVector],
         Int)] = {
@@ -658,15 +745,20 @@ final class GraftColumnarPartitionReader(path: String, schema: StructType,
     val nRows = meta.rowGroups(rg).numRows.toInt
     if (nRows <= 0) return None
     val vecs = schema.fields.map { f =>
-      val col = byName(f.name)
-      val (b, rcm) = fetch.fetch(col.meta)
-      val rebased = col.copy(meta = rcm)
-      if (col.typ == PqType.Int96 || col.typ == PqType.FixedLenByteArray) {
-        fill(f.dataType, ParquetFileReader.readColumn(b, rebased), nRows):
+      if (partMap.contains(f.name))
+        constVec(f.dataType, partMap(f.name), nRows):
           org.apache.spark.sql.vectorized.ColumnVector
-      } else {
-        val (vec, defs) = ParquetFileReader.readColumnVec(b, rebased)
-        new GraftColumnVector(f.dataType, vec, defs, rebased.maxDef)
+      else {
+        val col = byName(f.name)
+        val (b, rcm) = fetch.fetch(col.meta)
+        val rebased = col.copy(meta = rcm)
+        if (col.typ == PqType.Int96 || col.typ == PqType.FixedLenByteArray) {
+          fill(f.dataType, ParquetFileReader.readColumn(b, rebased), nRows):
+            org.apache.spark.sql.vectorized.ColumnVector
+        } else {
+          val (vec, defs) = ParquetFileReader.readColumnVec(b, rebased)
+          new GraftColumnVector(f.dataType, vec, defs, rebased.maxDef)
+        }
       }
     }
     Some((vecs.toSeq, nRows))
@@ -675,13 +767,20 @@ final class GraftColumnarPartitionReader(path: String, schema: StructType,
   private def boxedBatch(fetch: ParquetFileReader.ChunkFetcher,
       rg: Int): Option[(Seq[org.apache.spark.sql.vectorized.ColumnVector],
         Int)] = {
-    val cols = GraftFlatScan.columnBatch(fetch, meta, rg, schema.fields,
-      ranges, strRanges)
-    val n = cols.head.length
-    if (n == 0) None
-    else Some((schema.fields.indices.map(j =>
-      fill(schema.fields(j).dataType, cols(j), n):
-        org.apache.spark.sql.vectorized.ColumnVector), n))
+    val (cols, n) = GraftFlatScan.columnBatch(fetch, meta, rg, fileFields,
+      fileRanges, fileStrRanges)
+    if (n == 0) return None
+    var fi = -1
+    Some((schema.fields.map { f =>
+      if (partMap.contains(f.name))
+        constVec(f.dataType, partMap(f.name), n):
+          org.apache.spark.sql.vectorized.ColumnVector
+      else {
+        fi += 1
+        fill(f.dataType, cols(fi), n):
+          org.apache.spark.sql.vectorized.ColumnVector
+      }
+    }.toSeq, n))
   }
 
   private def fill(dt: org.apache.spark.sql.types.DataType,
@@ -807,26 +906,48 @@ final class GraftColumnVector(dt: org.apache.spark.sql.types.DataType,
 final class GraftPartitionReader(path: String, schema: StructType,
     ranges: Map[String, (Long, Long)], limit: Int = -1,
     strRanges: Map[String, (Array[Byte], Array[Byte])] = Map.empty,
-    plannedRgs: Seq[Int] = null)
+    plannedRgs: Seq[Int] = null,
+    partValues: Seq[(String, String)] = Nil)
     extends PartitionReader[InternalRow] {
 
   private val toCatalyst =
     CatalystTypeConverters.createToCatalystConverter(schema)
+  private val partMap = partValues.toMap
+  // requested fields that live in the FILE vs in the directory path
+  private val fileFields = schema.fields.filter(f => !partMap.contains(f.name))
+  private def partConst(f: StructField): Any = {
+    val v = partMap(f.name)
+    if (f.dataType == LongType) v.toLong else v
+  }
+  // pushed ranges on file columns only — partition-column ranges were
+  // already resolved at planning (whole directories dropped)
+  private val fileRanges = ranges.filter(kv => !partMap.contains(kv._1))
+  private val fileStrRanges = strRanges.filter(kv => !partMap.contains(kv._1))
 
   private val it: Iterator[InternalRow] = {
     // footer tail only — data bytes are fetched per projected chunk below,
     // so a k-of-n column projection reads k/n of the file's data I/O
     val meta = ParquetFileReader.readFooterOnly(path)
-    val rgs = GraftFlatScan.pruneRowGroups(meta, plannedRgs, ranges, strRanges)
-    val proj = schema.fieldNames.toSet
+    val rgs =
+      GraftFlatScan.pruneRowGroups(meta, plannedRgs, fileRanges, fileStrRanges)
+    val proj = fileFields.map(_.name).toSet
     // FLAT schemas with pushed predicates go through page-level pruning:
     // within each surviving row group, the filter columns' page statistics
     // select row ranges, and only pages overlapping them are decoded.
-    val flat = schema.nonEmpty && GraftFlatScan.isFlat(meta)
+    val flat = GraftFlatScan.isFlat(meta)
     // rgs.iterator keeps row-group decode lazy: a pushed limit stops
     // before trailing row groups are ever decompressed
     val rows =
-      if (flat && (ranges.nonEmpty || strRanges.nonEmpty))
+      if (fileFields.isEmpty)
+        // partition-column-only projection (e.g. SELECT lang): residual
+        // file-column filters force their columns into the schema, so this
+        // branch can only carry partition filters — already applied
+        rgs.iterator.flatMap { rg =>
+          val row = toCatalyst(org.apache.spark.sql.Row.fromSeq(
+            schema.fields.toSeq.map(partConst))).asInstanceOf[InternalRow]
+          Iterator.fill(meta.rowGroups(rg).numRows.toInt)(row)
+        }
+      else if (flat && (fileRanges.nonEmpty || fileStrRanges.nonEmpty))
         rgs.iterator.flatMap(rg => pagePrunedRows(meta, rg))
       else rgs.iterator.flatMap { rg =>
         val fetch = new ParquetFileReader.ChunkFetcher(path)
@@ -838,7 +959,8 @@ final class GraftPartitionReader(path: String, schema: StructType,
         groupRows.iterator.map { g =>
           toCatalyst(org.apache.spark.sql.Row.fromSeq(
             schema.fields.toSeq.map(f =>
-              ParquetSource.externalValue(g(f.name), f.dataType))))
+              if (partMap.contains(f.name)) partConst(f)
+              else ParquetSource.externalValue(g(f.name), f.dataType))))
             .asInstanceOf[InternalRow]
         }
       }
@@ -858,22 +980,31 @@ final class GraftPartitionReader(path: String, schema: StructType,
 
   private def pagePrunedRowsFetched(fetch: ParquetFileReader.ChunkFetcher,
       meta: PqFileMeta, rg: Int): Iterator[InternalRow] = {
-    val colVals: Array[IndexedSeq[Any]] =
-      GraftFlatScan.columnBatch(fetch, meta, rg, schema.fields,
-        ranges, strRanges).zip(schema.fields).map { case (vals, f) =>
-        if (f.dataType == org.apache.spark.sql.types.StringType)
-          vals.map(v => if (v == null) null
-            else new String(v.asInstanceOf[Array[Byte]],
-              java.nio.charset.StandardCharsets.UTF_8))
-        else vals
-      }
-    if (colVals.head.isEmpty) return Iterator.empty
-    val n = colVals.head.length
+    val (fileVals0, n) = GraftFlatScan.columnBatch(fetch, meta, rg,
+      fileFields, fileRanges, fileStrRanges)
+    if (n == 0) return Iterator.empty
+    val fileVals = fileVals0.zip(fileFields).map { case (vals, f) =>
+      if (f.dataType == org.apache.spark.sql.types.StringType)
+        vals.map(v => if (v == null) null
+          else new String(v.asInstanceOf[Array[Byte]],
+            java.nio.charset.StandardCharsets.UTF_8))
+      else vals
+    }
+    // per output field: file-column index, or the partition constant
+    val sources: Array[Either[Int, Any]] = schema.fields.map { f =>
+      if (partMap.contains(f.name)) Right(partConst(f))
+      else Left(fileFields.indexWhere(_.name == f.name))
+    }
     (0 until n).iterator.map { i =>
       toCatalyst(org.apache.spark.sql.Row.fromSeq(
-        schema.fields.indices.map(j =>
-          ParquetSource.externalValue(colVals(j)(i), schema.fields(j).dataType))))
-        .asInstanceOf[InternalRow]
+        schema.fields.indices.map { j =>
+          sources(j) match {
+            case Right(const) => const
+            case Left(fi) =>
+              ParquetSource.externalValue(fileVals(fi)(i),
+                schema.fields(j).dataType)
+          }
+        })).asInstanceOf[InternalRow]
     }
   }
 

@@ -555,4 +555,50 @@ object ParquetSink {
       }
     }
   }
+
+  /** Hive-style partitioned write: rows land under
+    * `dir/k1=v1/.../part-<taskId>.parquet`, partition columns dropped from
+    * the file payload (they live in the path, like Spark's own layout — so
+    * Spark, DuckDB, and pyarrow read it back with partition columns
+    * restored). One `repartition` on the partition columns co-locates each
+    * value; within a task one incremental writer per live value keeps
+    * memory O(row group), not O(partition). */
+  def writePartitioned(df: DataFrame, dir: String, partitionCols: Seq[String],
+      codec: Int = PqCodec.Snappy, rowGroupRows: Int = 1 << 16,
+      pageVersion: Int = 1): DataFrame = {
+    require(partitionCols.nonEmpty, "writePartitioned needs partition columns")
+    val dataFields = df.schema.fields.filterNot(f =>
+      partitionCols.contains(f.name))
+    require(dataFields.nonEmpty, "all columns are partition columns")
+    val dataSchema = StructType(dataFields.toSeq)
+    val pIdx = partitionCols.map(df.schema.fieldIndex).toArray
+    val dIdx = dataFields.map(f => df.schema.fieldIndex(f.name))
+    new java.io.File(dir).mkdirs()
+    implicit val enc: org.apache.spark.sql.Encoder[Row] =
+      Encoders.row(StructType(Seq(
+        StructField("path", StringType, nullable = false),
+        StructField("rows", LongType, nullable = false))))
+    import org.apache.spark.sql.functions.col
+    df.repartition(partitionCols.map(col): _*).mapPartitions { it =>
+      val pid = TaskContext.getPartitionId()
+      val writers = scala.collection.mutable.LinkedHashMap
+        .empty[Seq[String], (String, ParquetFileWriter.IncrementalFileWriter)]
+      it.foreach { row =>
+        val key: Seq[String] =
+          pIdx.toSeq.map(i => String.valueOf(row.get(i)))
+        val (_, w) = writers.getOrElseUpdate(key, {
+          val sub = partitionCols.zip(key).map { case (k, v) =>
+            s"$k=${java.net.URLEncoder.encode(v, "UTF-8")}"
+          }.mkString("/")
+          val d = new java.io.File(s"$dir/$sub")
+          d.mkdirs()
+          val path = f"${d.getPath}/part-$pid%05d.parquet"
+          (path, new ParquetFileWriter.IncrementalFileWriter(path, dataSchema,
+            rowGroupRows, codec, pageVersion))
+        })
+        w.add(Row.fromSeq(dIdx.toSeq.map(row.get)))
+      }
+      writers.valuesIterator.map { case (path, w) => Row(path, w.close()) }
+    }
+  }
 }

@@ -749,6 +749,55 @@ class SparkE2ESpec extends AnyFunSuite with BeforeAndAfterAll {
       src.agg(sum("id"), count("*")).collect().head.toSeq)
   }
 
+  test("DataSource V2: Hive-partitioned layout with directory-level pruning") {
+    import graft.sources.{GraftParquetFormat, GraftScan, ParquetSink}
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+      .select("doc_id", "lang", "text", "n_chars")
+    val dir = java.nio.file.Files.createTempDirectory("graft-hivepart").toString
+    // partitioned write: lang moves from file payload to directory names
+    ParquetSink.writePartitioned(docs, dir, Seq("lang")).count()
+    val subdirs = new java.io.File(dir).listFiles().filter(_.isDirectory)
+      .map(_.getName).sorted
+    assert(subdirs.nonEmpty && subdirs.forall(_.startsWith("lang=")))
+    // schema re-gains lang as a trailing partition column
+    val df = spark.read.format(GraftParquetFormat.Name).load(dir)
+    assert(df.schema.fieldNames.toSeq ==
+      Seq("doc_id", "text", "n_chars", "lang"))
+    // full-table equality vs the original (partition col round-trips)
+    def key(r: org.apache.spark.sql.Row) = r.getLong(r.fieldIndex("doc_id"))
+    val got = df.collect().map(r => (key(r), r.getString(r.fieldIndex("lang")),
+      r.getString(r.fieldIndex("text")))).sortBy(_._1).toSeq
+    val exp = docs.collect().map(r => (key(r), r.getString(r.fieldIndex("lang")),
+      r.getString(r.fieldIndex("text")))).sortBy(_._1).toSeq
+    assert(got == exp)
+    // Spark's own reader agrees on the layout (external interop)
+    assert(spark.read.parquet(dir).count() == docs.count())
+    // a lang predicate prunes DIRECTORIES at planning: only that
+    // partition's files get tasks
+    val one = subdirs.head.stripPrefix("lang=")
+    val lo = one.getBytes("UTF-8")
+    val pruned = new GraftScan(dir, df.schema, Map.empty,
+      strRanges = Map("lang" -> (lo, lo)))
+    val all = new GraftScan(dir, df.schema, Map.empty)
+    assert(pruned.planInputPartitions().length <
+      all.planInputPartitions().length)
+    val q = df.where(col("lang") === one)
+    assert(q.count() == docs.where(col("lang") === one).count())
+    // partition-column-only projection (both scan paths)
+    assert(df.select("lang").where(col("lang") === one).count() ==
+      docs.where(col("lang") === one).count())
+    assert(df.groupBy("lang").count().collect().map(r =>
+      (r.getString(0), r.getLong(1))).sorted.toSeq ==
+      docs.groupBy("lang").count().collect().map(r =>
+        (r.getString(0), r.getLong(1))).sorted.toSeq)
+    // mixed predicate: partition col + file col, values exact
+    val mixed = df.where(col("lang") === one && col("doc_id") <= 1000L)
+      .select("doc_id", "lang").collect().map(r => (r.getLong(0), r.getString(1)))
+    val mixedExp = docs.where(col("lang") === one && col("doc_id") <= 1000L)
+      .select("doc_id", "lang").collect().map(r => (r.getLong(0), r.getString(1)))
+    assert(mixed.sortBy(_._1).toSeq == mixedExp.sortBy(_._1).toSeq)
+  }
+
   test("DataSource V2: IN-set filters push their min/max envelope") {
     import graft.sources.{GraftParquetFormat, GraftScan, ParquetSink}
     val n = 50000
