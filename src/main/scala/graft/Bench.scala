@@ -177,10 +177,16 @@ object Bench {
     val decRaw = chunks.toDF().agg(sum("rawBytes")).collect()(0).getLong(0)
     chunks.count() // materialize cache so decode timing excludes encode
     progress("decode bench")
-    val (_, decSecs) = time {
-      // chunks are cached straight off EncodeJob -> co-partitioned -> the
-      // shuffle-free local decode path applies
-      DecodeJob.decodeLocal(chunks, df.schema).count()
+    // best-of-2 like every other timed section — a single sample is at the
+    // mercy of the sandbox's multi-second noise windows
+    var decSecs = Double.MaxValue
+    (0 until 2).foreach { _ =>
+      val (_, s) = time {
+        // chunks are cached straight off EncodeJob -> co-partitioned -> the
+        // shuffle-free local decode path applies
+        DecodeJob.decodeLocal(chunks, df.schema).count()
+      }
+      decSecs = math.min(decSecs, s)
     }
     val decGbps = decRaw / decSecs / 1e9
     chunks.unpersist()
