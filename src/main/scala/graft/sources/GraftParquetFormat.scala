@@ -143,13 +143,16 @@ final class GraftWriteBuilder(dir: String, schema: StructType,
       doTruncate,
       options.getOrDefault("codec", "snappy"),
       options.getInt("pageversion", 1),
-      options.getInt("rowgrouprows", 1 << 16))
+      options.getInt("rowgrouprows", 1 << 16),
+      // comma-separated flat columns to stamp split-block bloom filters for
+      options.getOrDefault("bloomcols", "").split(',').map(_.trim)
+        .filter(_.nonEmpty).toSet)
   }
 }
 
 final class GraftBatchWrite(dir: String, schema: StructType,
     truncate: Boolean, codecName: String, pageVersion: Int,
-    rowGroupRows: Int) extends BatchWrite {
+    rowGroupRows: Int, bloomCols: Set[String] = Set.empty) extends BatchWrite {
   override def createBatchWriterFactory(
       info: PhysicalWriteInfo): DataWriterFactory = {
     val d = new java.io.File(dir)
@@ -164,29 +167,32 @@ final class GraftBatchWrite(dir: String, schema: StructType,
       case "uncompressed" | "none" => PqCodec.Uncompressed
       case other => throw new IllegalArgumentException(s"codec $other")
     }
-    new GraftWriterFactory(dir, schema, codec, pageVersion, rowGroupRows)
+    new GraftWriterFactory(dir, schema, codec, pageVersion, rowGroupRows,
+      bloomCols)
   }
   override def commit(messages: Array[WriterCommitMessage]): Unit = ()
   override def abort(messages: Array[WriterCommitMessage]): Unit = ()
 }
 
 final class GraftWriterFactory(dir: String, schema: StructType, codec: Int,
-    pageVersion: Int, rowGroupRows: Int) extends DataWriterFactory {
+    pageVersion: Int, rowGroupRows: Int,
+    bloomCols: Set[String] = Set.empty) extends DataWriterFactory {
   override def createWriter(partitionId: Int,
       taskId: Long): DataWriter[InternalRow] =
     new GraftDataWriter(
       f"$dir/part-$partitionId%05d-$taskId.parquet",
-      schema, codec, pageVersion, rowGroupRows)
+      schema, codec, pageVersion, rowGroupRows, bloomCols)
 }
 
 final case class GraftCommit(path: String, rows: Long)
   extends WriterCommitMessage
 
 final class GraftDataWriter(path: String, schema: StructType, codec: Int,
-    pageVersion: Int, rowGroupRows: Int) extends DataWriter[InternalRow] {
+    pageVersion: Int, rowGroupRows: Int,
+    bloomCols: Set[String] = Set.empty) extends DataWriter[InternalRow] {
   private val toScala = CatalystTypeConverters.createToScalaConverter(schema)
   private val w = new ParquetFileWriter.IncrementalFileWriter(path, schema,
-    rowGroupRows, codec, pageVersion)
+    rowGroupRows, codec, pageVersion, bloomCols)
   override def write(r: InternalRow): Unit =
     w.add(toScala(r).asInstanceOf[org.apache.spark.sql.Row])
   override def commit(): WriterCommitMessage = GraftCommit(path, w.close())
@@ -208,6 +214,11 @@ final class GraftScanBuilder(dir: String, fullSchema: StructType)
   // string-column byte ranges (UTF-8, unsigned lexicographic like the
   // footer's byte-array stats); a null side is unbounded
   private var strRanges: Map[String, (Array[Byte], Array[Byte])] = Map.empty
+  // one entry per pushed equality/IN conjunct: (column, candidate values —
+  // Long for int columns, UTF-8 bytes for string columns). Feeds bloom-filter
+  // row-group pruning; a row group survives only if EVERY conjunct has at
+  // least one candidate its bloom filter might contain.
+  private var eqProbes: Seq[(String, Seq[Any])] = Nil
   private var limit: Int = -1
   private var sawFilters = false
   private var aggSpecs: Option[Seq[GraftAggSpec]] = None
@@ -265,7 +276,8 @@ final class GraftScanBuilder(dir: String, fullSchema: StructType)
     }
     val usable = filters.filter {
       case EqualTo(c, v) if longCols(c) && num(v).isDefined =>
-        tighten(c, num(v).get, num(v).get); true
+        tighten(c, num(v).get, num(v).get)
+        eqProbes :+= ((c, Seq[Any](num(v).get))); true
       case GreaterThan(c, v) if longCols(c) && num(v).isDefined =>
         tighten(c, num(v).get + 1, Long.MaxValue); true
       case GreaterThanOrEqual(c, v) if longCols(c) && num(v).isDefined =>
@@ -277,7 +289,8 @@ final class GraftScanBuilder(dir: String, fullSchema: StructType)
       // string predicates prune on the footer's byte-array stats; bound
       // exclusivity is ignored (conservative — filters stay residual)
       case EqualTo(c, v) if strCols(c) && utf8(v).isDefined =>
-        tightenStr(c, utf8(v).get, utf8(v).get); true
+        tightenStr(c, utf8(v).get, utf8(v).get)
+        eqProbes :+= ((c, Seq[Any](utf8(v).get))); true
       case GreaterThan(c, v) if strCols(c) && utf8(v).isDefined =>
         tightenStr(c, utf8(v).get, null); true
       case GreaterThanOrEqual(c, v) if strCols(c) && utf8(v).isDefined =>
@@ -294,10 +307,12 @@ final class GraftScanBuilder(dir: String, fullSchema: StructType)
       case In(c, vs) if longCols(c) && vs.nonEmpty &&
           vs.forall(num(_).isDefined) =>
         val ns = vs.map(num(_).get)
-        tighten(c, ns.min, ns.max); true
+        tighten(c, ns.min, ns.max)
+        eqProbes :+= ((c, ns.toSeq)); true
       case In(c, vs) if strCols(c) && vs.nonEmpty &&
           vs.forall(utf8(_).isDefined) =>
         val bs = vs.map(utf8(_).get)
+        eqProbes :+= ((c, bs.toSeq))
         tightenStr(c, bs.reduce((a, b) =>
           if (graft.core.MinMax.compareBytes(a, b) <= 0) a else b),
           bs.reduce((a, b) =>
@@ -347,7 +362,7 @@ final class GraftScanBuilder(dir: String, fullSchema: StructType)
 
   override def build(): Scan = aggSpecs match {
     case Some(specs) => new GraftAggScan(dir, fullSchema, specs)
-    case None => new GraftScan(dir, required, ranges, limit, strRanges)
+    case None => new GraftScan(dir, required, ranges, limit, strRanges, eqProbes)
   }
 }
 
@@ -463,7 +478,8 @@ object GraftScan {
 
 final class GraftScan(dir: String, schema: StructType,
     ranges: Map[String, (Long, Long)], limit: Int = -1,
-    strRanges: Map[String, (Array[Byte], Array[Byte])] = Map.empty)
+    strRanges: Map[String, (Array[Byte], Array[Byte])] = Map.empty,
+    eqProbes: Seq[(String, Seq[Any])] = Nil)
     extends Scan with Batch with SupportsReportStatistics {
   override def readSchema(): StructType = schema
   override def description(): String =
@@ -474,6 +490,9 @@ final class GraftScan(dir: String, schema: StructType,
           else new String(b, java.nio.charset.StandardCharsets.UTF_8)
         s"$c:[${r(l)},${r(h)}]"
       }.mkString(",") else "") +
+      (if (eqProbes.nonEmpty)
+        s" eqProbes=${eqProbes.map(p => s"${p._1}(${p._2.size})").mkString(",")}"
+       else "") +
       (if (limit >= 0) s" limit=$limit" else "")
   override def toBatch: Batch = this
 
@@ -525,7 +544,7 @@ final class GraftScan(dir: String, schema: StructType,
   }
 
   override def createReaderFactory(): PartitionReaderFactory =
-    new GraftReaderFactory(schema, ranges, limit, strRanges)
+    new GraftReaderFactory(schema, ranges, limit, strRanges, eqProbes)
 
   /** Exact row count + uncompressed byte size from footer tails only —
     * feeds Catalyst's join planning (a small graft-parquet table becomes
@@ -583,6 +602,39 @@ private[sources] object GraftFlatScan {
       rgs = rgs.filter(keep)
     }
     rgs
+  }
+
+  /** Bloom-filter row-group pruning for pushed equality/IN conjuncts:
+    * drops a surviving row group when some conjunct's bloom filter rules
+    * out every candidate value. Task-side by design — the driver's
+    * planning stays footer-tail-only, and each bloom read is one small
+    * ranged read that happens INSTEAD of fetching the group's chunks.
+    * Chunks without a filter (or with an unparseable one) always survive;
+    * residual Spark filters keep semantics exact either way. */
+  def bloomPrune(path: String, meta: PqFileMeta, rgs: Seq[Int],
+      eqProbes: Seq[(String, Seq[Any])]): Seq[Int] = {
+    if (eqProbes.isEmpty || rgs.isEmpty) return rgs
+    val anyBloom = rgs.exists(rg => eqProbes.exists { case (c, _) =>
+      ParquetFileReader.chunkFor(meta, rg, c).exists(_.bloomOffset >= 0)
+    })
+    if (!anyBloom) return rgs
+    val raf = new java.io.RandomAccessFile(path, "r")
+    try {
+      rgs.filter { rg =>
+        eqProbes.forall { case (col, values) =>
+          ParquetFileReader.chunkFor(meta, rg, col) match {
+            case Some(cm) if cm.bloomOffset >= 0 =>
+              val hashes = values.flatMap(v => Sbbf.hashForType(cm.typ, v))
+              // any unhashable candidate ⇒ the conjunct can't be decided
+              // by the bloom ⇒ keep the group
+              hashes.length != values.length ||
+                Sbbf.readFromFile(raf, cm).forall(f =>
+                  hashes.exists(f.mightContainHash))
+            case _ => true
+          }
+        }
+      }
+    } finally raf.close()
   }
 
   /** Projected columns' values for one row group: page statistics of the
@@ -647,12 +699,13 @@ private[sources] object GraftFlatScan {
 
 final class GraftReaderFactory(schema: StructType,
     ranges: Map[String, (Long, Long)], limit: Int = -1,
-    strRanges: Map[String, (Array[Byte], Array[Byte])] = Map.empty)
+    strRanges: Map[String, (Array[Byte], Array[Byte])] = Map.empty,
+    eqProbes: Seq[(String, Seq[Any])] = Nil)
     extends PartitionReaderFactory {
   override def createReader(p: InputPartition): PartitionReader[InternalRow] = {
     val fp = p.asInstanceOf[GraftFilePartition]
     new GraftPartitionReader(fp.path, schema, ranges, limit, strRanges,
-      fp.rgs, fp.partValues)
+      fp.rgs, fp.partValues, eqProbes)
   }
 
   /** Columnar fast path: flat file (stamped at planning) + supported
@@ -666,7 +719,7 @@ final class GraftReaderFactory(schema: StructType,
       PartitionReader[org.apache.spark.sql.vectorized.ColumnarBatch] = {
     val fp = p.asInstanceOf[GraftFilePartition]
     new GraftColumnarPartitionReader(fp.path, schema, ranges, limit,
-      strRanges, fp.rgs, fp.partValues)
+      strRanges, fp.rgs, fp.partValues, eqProbes)
   }
 }
 
@@ -678,7 +731,8 @@ final class GraftColumnarPartitionReader(path: String, schema: StructType,
     ranges: Map[String, (Long, Long)], limit: Int,
     strRanges: Map[String, (Array[Byte], Array[Byte])],
     plannedRgs: Seq[Int],
-    partValues: Seq[(String, String)] = Nil)
+    partValues: Seq[(String, String)] = Nil,
+    eqProbes: Seq[(String, Seq[Any])] = Nil)
     extends PartitionReader[org.apache.spark.sql.vectorized.ColumnarBatch] {
   import org.apache.spark.sql.execution.vectorized.OnHeapColumnVector
   import org.apache.spark.sql.vectorized.ColumnarBatch
@@ -687,10 +741,12 @@ final class GraftColumnarPartitionReader(path: String, schema: StructType,
   private val fileFields = schema.fields.filter(f => !partMap.contains(f.name))
   private val fileRanges = ranges.filter(kv => !partMap.contains(kv._1))
   private val fileStrRanges = strRanges.filter(kv => !partMap.contains(kv._1))
+  private val fileEqProbes = eqProbes.filter(p => !partMap.contains(p._1))
 
   private val meta = ParquetFileReader.readFooterOnly(path)
-  private val rgIt = GraftFlatScan
-    .pruneRowGroups(meta, plannedRgs, fileRanges, fileStrRanges).iterator
+  private val rgIt = GraftFlatScan.bloomPrune(path, meta,
+    GraftFlatScan.pruneRowGroups(meta, plannedRgs, fileRanges, fileStrRanges),
+    fileEqProbes).iterator
   private var remaining = if (limit >= 0) limit else Int.MaxValue
   private var batch: ColumnarBatch = _
 
@@ -907,7 +963,8 @@ final class GraftPartitionReader(path: String, schema: StructType,
     ranges: Map[String, (Long, Long)], limit: Int = -1,
     strRanges: Map[String, (Array[Byte], Array[Byte])] = Map.empty,
     plannedRgs: Seq[Int] = null,
-    partValues: Seq[(String, String)] = Nil)
+    partValues: Seq[(String, String)] = Nil,
+    eqProbes: Seq[(String, Seq[Any])] = Nil)
     extends PartitionReader[InternalRow] {
 
   private val toCatalyst =
@@ -923,13 +980,15 @@ final class GraftPartitionReader(path: String, schema: StructType,
   // already resolved at planning (whole directories dropped)
   private val fileRanges = ranges.filter(kv => !partMap.contains(kv._1))
   private val fileStrRanges = strRanges.filter(kv => !partMap.contains(kv._1))
+  private val fileEqProbes = eqProbes.filter(p => !partMap.contains(p._1))
 
   private val it: Iterator[InternalRow] = {
     // footer tail only — data bytes are fetched per projected chunk below,
     // so a k-of-n column projection reads k/n of the file's data I/O
     val meta = ParquetFileReader.readFooterOnly(path)
-    val rgs =
-      GraftFlatScan.pruneRowGroups(meta, plannedRgs, fileRanges, fileStrRanges)
+    val rgs = GraftFlatScan.bloomPrune(path, meta,
+      GraftFlatScan.pruneRowGroups(meta, plannedRgs, fileRanges, fileStrRanges),
+      fileEqProbes)
     val proj = fileFields.map(_.name).toSet
     // FLAT schemas with pushed predicates go through page-level pruning:
     // within each surviving row group, the filter columns' page statistics

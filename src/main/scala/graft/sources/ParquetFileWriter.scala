@@ -78,9 +78,9 @@ object ParquetFileWriter {
     * `/root/reference/src/file/properties.rs:71-83`). */
   def writeFile(path: String, schema: StructType, rows: Iterator[Row],
       rowGroupRows: Int = 1 << 16, codec: Int = PqCodec.Snappy,
-      pageVersion: Int = 1): Long = {
+      pageVersion: Int = 1, bloomCols: Set[String] = Set.empty): Long = {
     val w = new IncrementalFileWriter(path, schema, rowGroupRows, codec,
-      pageVersion)
+      pageVersion, bloomCols)
     rows.foreach(w.add)
     w.close()
   }
@@ -90,7 +90,13 @@ object ParquetFileWriter {
     * push batches through, then close). */
   final class IncrementalFileWriter(path: String, schema: StructType,
       rowGroupRows: Int = 1 << 16, codec: Int = PqCodec.Snappy,
-      pageVersion: Int = 1) {
+      pageVersion: Int = 1,
+      /** FLAT leaf columns to stamp split-block bloom filters for
+        * (equality pruning on columns whose min/max stats cannot prune);
+        * filters are written after all row-group data, before the footer,
+        * and referenced from ColumnMetaData fields 14/15. */
+      bloomCols: Set[String] = Set.empty,
+      bloomFpp: Double = 0.01) {
     private val fields = schema.fields
     private val nCols = fields.length
     private val out = new BufferedOutputStream(new FileOutputStream(path), 1 << 16)
@@ -100,6 +106,9 @@ object ParquetFileWriter {
     write("PAR1".getBytes)
     private val builders = fields.map(f => ColBuilder(f.dataType))
     private val rowGroups = ArrayBuffer.empty[PqRowGroup]
+    // (row-group index, chunk index within group, filter) awaiting a file
+    // offset — blooms land between the last row group and the footer
+    private val pendingBlooms = ArrayBuffer.empty[(Int, Int, Sbbf)]
     private var totalRows = 0L
     private var buffered = 0
 
@@ -169,6 +178,10 @@ object ParquetFileWriter {
             val vec = b.build()
             val levels = b.defLevels
             val nRows = b.rowCount
+            if (bloomCols.contains(f.name) && vec.length > 0 &&
+                !vec.isInstanceOf[BoolVec] && !isFlba(f.dataType))
+              pendingBlooms += ((rowGroups.length, chunks.length,
+                Sbbf.build(vec, bloomFpp)))
             chunks += writeColumnChunk(write, () => pos,
               Seq(f.name), f.dataType, vec,
               null, levels, nRows, defWidth = 1, maxDef = 1, codec,
@@ -196,7 +209,27 @@ object ParquetFileWriter {
         scale = sc, precision = pr)
     }
     private def finish(): Unit = {
-      val schemaElems = PqSchemaElement("spark_schema", numChildren = nCols) +:
+      // bloom filters: thrift header + little-endian bitset per chunk, then
+      // the footer's ColumnMetaData points back at them (fields 14/15)
+      if (pendingBlooms.nonEmpty) {
+        val patches = pendingBlooms.map { case (rg, ci, f) =>
+          val off = pos
+          val header = Sbbf.writeHeader(f.numBytes)
+          write(header)
+          write(f.toBytes)
+          (rg, ci, off, header.length + f.numBytes)
+        }
+        patches.groupBy(_._1).foreach { case (rg, ps) =>
+          val group = rowGroups(rg)
+          val cols = group.columns.toArray
+          ps.foreach { case (_, ci, off, len) =>
+            cols(ci) = cols(ci).copy(bloomOffset = off, bloomLength = len)
+          }
+          rowGroups(rg) = group.copy(columns = cols.toSeq)
+        }
+        pendingBlooms.clear()
+      }
+      val schemaElems =PqSchemaElement("spark_schema", numChildren = nCols) +:
         fields.toSeq.flatMap { f =>
           f.dataType match {
             case ArrayType(et, _) => Seq(
@@ -537,8 +570,10 @@ object ChunkCodecSupport {
   * identical). Returns one (path, rows) row per written file. */
 object ParquetSink {
   def write(df: DataFrame, dir: String, codec: Int = PqCodec.Snappy,
-      rowGroupRows: Int = 1 << 16, pageVersion: Int = 1): DataFrame = {
+      rowGroupRows: Int = 1 << 16, pageVersion: Int = 1,
+      bloomCols: Seq[String] = Nil): DataFrame = {
     val schema = df.schema
+    val blooms = bloomCols.toSet
     new java.io.File(dir).mkdirs()
     implicit val enc: org.apache.spark.sql.Encoder[Row] =
       Encoders.row(StructType(Seq(
@@ -550,7 +585,7 @@ object ParquetSink {
         val pid = TaskContext.getPartitionId()
         val path = f"$dir/part-$pid%05d.parquet"
         val n = ParquetFileWriter.writeFile(path, schema, it, rowGroupRows,
-          codec, pageVersion)
+          codec, pageVersion, blooms)
         Iterator(Row(path, n))
       }
     }

@@ -252,7 +252,11 @@ final case class PqColumnMeta(
     totalCompressedSize: Long,
     dataPageOffset: Long,
     dictionaryPageOffset: Long = -1L, // -1 = absent
-    stats: Option[PqStats] = None)
+    stats: Option[PqStats] = None,
+    /** split-block bloom filter location (parquet.thrift ColumnMetaData
+      * fields 14/15); -1 = absent */
+    bloomOffset: Long = -1L,
+    bloomLength: Int = -1)
 
 final case class PqRowGroup(
     columns: Seq[PqColumnMeta],
@@ -410,6 +414,8 @@ object ParquetMeta {
     var dataOff = 0L
     var dictOff = -1L
     var stats: Option[PqStats] = None
+    var bloomOff = -1L
+    var bloomLen = -1
     var last = 0
     var done = false
     while (!done) {
@@ -434,13 +440,15 @@ object ParquetMeta {
             val v = r.zigzag()
             dictOff = if (v <= 0) -1L else v
           case 12 => stats = parseStatistics(r)
+          case 14 => bloomOff = r.zigzag()
+          case 15 => bloomLen = r.zigzag().toInt
           case _ => r.skip(t)
         }
         last = id
       }
     }
     PqColumnMeta(typ, encodings, path, codec, numValues, totalUnc, totalComp,
-      dataOff, dictOff, stats)
+      dataOff, dictOff, stats, bloomOff, bloomLen)
   }
 
   /** Statistics { 1: max (legacy), 2: min (legacy), 3: null_count,
@@ -684,6 +692,14 @@ object ParquetMeta {
       w.i64Field(11, 9, cm.dictionaryPageOffset)
       last = 11
     }
-    cm.stats.foreach(st => writeStatisticsStruct(w, st, 12, last))
+    cm.stats.foreach { st =>
+      writeStatisticsStruct(w, st, 12, last)
+      last = 12
+    }
+    if (cm.bloomOffset >= 0) {
+      w.i64Field(14, last, cm.bloomOffset)
+      last = 14
+      if (cm.bloomLength >= 0) { w.i32Field(15, last, cm.bloomLength); last = 15 }
+    }
   }
 }
