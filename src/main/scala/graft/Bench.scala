@@ -221,6 +221,20 @@ object Bench {
     val scanSparkGbps = decRaw / scanSparkSecs / 1e9
     progress(f"scan ours=$scanSecs%.2fs spark=$scanSparkSecs%.2fs")
 
+    // --- auto codec selection on real parquet files: same table written
+    // with the plain policy (scanPath above) vs the stats-driven Auto
+    // policy; both snappy, so the delta/BSS encodings carry the difference
+    progress("auto-policy write")
+    val autoPath = s"$localDir/bench-scan-auto-$benchRows"
+    graft.sources.ParquetSink.write(df.repartition(cpus), autoPath,
+      pageVersion = 2, encPolicy = graft.sources.EncPolicy.Auto).count()
+    def dirBytes(p: String): Long = new java.io.File(p)
+      .listFiles((_, n) => n.endsWith(".parquet")).map(_.length).sum
+    val plainFileBytes = dirBytes(scanPath)
+    val autoFileBytes = dirBytes(autoPath)
+    progress(f"parquet bytes plain=$plainFileBytes auto=$autoFileBytes " +
+      f"(${autoFileBytes.toDouble / plainFileBytes}%.4f)")
+
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       progress(s"query $name")
       val (_, secs) = time {
@@ -236,7 +250,7 @@ object Bench {
     val effJson = effSamples.map(e => f"$e%.3f").mkString("[", ",", "]")
     val effSatJson = effSatSamples.map(e => f"$e%.3f").mkString("[", ",", "]")
     val json =
-      f"""{"metric":"encode_throughput_gbps","value":$gbpsHi%.4f,"unit":"GB/s","queries":$qJson,"sf":"$sfDir","total_query_sec":$totalQ%.2f,"bench_rows":$benchRows,"raw_gb":${rawHi / 1e9}%.3f,"encode_gbps_p$tinyCpus":$gbpsTiny%.4f,"encode_gbps_p$smallCpus":$gbpsLo%.4f,"encode_gbps_p$cpus":$gbpsHi%.4f,"encode_sec_p$tinyCpus":$secsTiny%.2f,"encode_sec_p$smallCpus":$secsLo%.2f,"encode_sec_p$cpus":$secsHi%.2f,"scaling_efficiency":$scalingEff%.3f,"scaling_samples_p${tinyCpus}_p$smallCpus":$effJson,"scaling_efficiency_p${smallCpus}_p$cpus":$scalingEffSaturated%.3f,"scaling_samples_p${smallCpus}_p$cpus":$effSatJson,"compression_ratio":${encHi.toDouble / rawHi}%.4f,"ref_policy_ratio":${refLo.toDouble / rawLo}%.4f,"decode_gbps":$decGbps%.4f,"scan_gbps":$scanGbps%.4f,"scan_gbps_spark_native":$scanSparkGbps%.4f}"""
+      f"""{"metric":"encode_throughput_gbps","value":$gbpsHi%.4f,"unit":"GB/s","queries":$qJson,"sf":"$sfDir","total_query_sec":$totalQ%.2f,"bench_rows":$benchRows,"raw_gb":${rawHi / 1e9}%.3f,"encode_gbps_p$tinyCpus":$gbpsTiny%.4f,"encode_gbps_p$smallCpus":$gbpsLo%.4f,"encode_gbps_p$cpus":$gbpsHi%.4f,"encode_sec_p$tinyCpus":$secsTiny%.2f,"encode_sec_p$smallCpus":$secsLo%.2f,"encode_sec_p$cpus":$secsHi%.2f,"scaling_efficiency":$scalingEff%.3f,"scaling_samples_p${tinyCpus}_p$smallCpus":$effJson,"scaling_efficiency_p${smallCpus}_p$cpus":$scalingEffSaturated%.3f,"scaling_samples_p${smallCpus}_p$cpus":$effSatJson,"compression_ratio":${encHi.toDouble / rawHi}%.4f,"ref_policy_ratio":${refLo.toDouble / rawLo}%.4f,"decode_gbps":$decGbps%.4f,"scan_gbps":$scanGbps%.4f,"scan_gbps_spark_native":$scanSparkGbps%.4f,"parquet_plain_bytes":$plainFileBytes,"parquet_auto_bytes":$autoFileBytes,"parquet_auto_vs_plain":${autoFileBytes.toDouble / plainFileBytes}%.4f}"""
     println(json)
     // Survive any invocation style (sbt log prefixes, stdout capture bugs):
     // the same line lands in BENCH_RESULT.json in the working directory.

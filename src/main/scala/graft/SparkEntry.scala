@@ -342,6 +342,39 @@ object SparkEntry {
         .contains("GraftParquetAggScan"), "aggregate was not pushed to footers")
       q
     }),
+    "q_parquet_enc_auto" -> ((s, dir) => {
+      // north-star codec auto-selection over REAL parquet files: the writer
+      // picks each chunk's fallback encoding from measured/sampled stats
+      // (DELTA_BINARY_PACKED for the sorted ids, delta byte-array family
+      // for text, RLE where it wins), and our DSv2 columnar reader decodes
+      // the result. Oracle equality proves the auto-encoded file is a
+      // faithful copy of the source table.
+      val in = docs(s, dir).select("doc_id", "lang", "text")
+      val out = java.nio.file.Files.createTempDirectory("graft-encq").toString
+      graft.sources.ParquetSink.write(
+        in.repartition(4).sortWithinPartitions("doc_id"), out,
+        pageVersion = 2, encPolicy = graft.sources.EncPolicy.Auto).count()
+      s.read.format(graft.sources.GraftParquetFormat.Name).load(out)
+        .groupBy("lang").agg(count(lit(1)).as("cnt"),
+          sum(length(col("text"))).as("chars"),
+          sum(col("doc_id")).as("sum_id"))
+        .orderBy("lang")
+    }),
+    "q_parquet_bloom_prune" -> ((s, dir) => {
+      // Split-block bloom filters: the writer stamps an SBBF per row group
+      // on doc_id; rows arrive UNSORTED so min/max stats can't prune, and
+      // the pushed IN-list is answered by bloom probes (one small ranged
+      // read per group) before any chunk I/O.
+      val in = docs(s, dir).select("doc_id", "lang", "n_chars")
+      val out = java.nio.file.Files.createTempDirectory("graft-bloom").toString
+      graft.sources.ParquetSink.write(in.repartition(4), out,
+        rowGroupRows = 1 << 10, bloomCols = Seq("doc_id")).count()
+      s.read.format(graft.sources.GraftParquetFormat.Name).load(out)
+        .where(col("doc_id").isin(3L, 777L, 1500L))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_chars")).cast("long").as("sum_chars"),
+          sum(col("doc_id")).cast("long").as("sum_id"))
+    }),
     // ---- encoder lineage + selector (oracle checks the byte accounting)
     "q_enc_lineage_bytes" -> ((s, dir) => {
       val chunks = EncodeJob.encode(docs(s, dir), numPartitions = 8,
@@ -539,6 +572,10 @@ object SparkEntry {
       "SELECT lang, count(*) AS cnt, CAST(sum(length(text)) AS BIGINT) AS chars, CAST(sum(doc_id) AS BIGINT) AS sum_id FROM documents WHERE doc_id BETWEEN 100 AND 2000 GROUP BY lang ORDER BY lang",
     "q_parquet_agg_pushdown" ->
       "SELECT count(*) AS cnt, min(doc_id) AS mn_id, max(doc_id) AS mx_id, min(n_chars) AS mn_chars, max(n_chars) AS mx_chars FROM documents",
+    "q_parquet_bloom_prune" ->
+      "SELECT count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS sum_chars, CAST(sum(doc_id) AS BIGINT) AS sum_id FROM documents WHERE doc_id IN (3, 777, 1500)",
+    "q_parquet_enc_auto" ->
+      "SELECT lang, count(*) AS cnt, CAST(sum(length(text)) AS BIGINT) AS chars, CAST(sum(doc_id) AS BIGINT) AS sum_id FROM documents GROUP BY lang ORDER BY lang",
     "q_rt_nulls" ->
       ("SELECT count(*) AS n, " +
         "count(CASE WHEN n_chars % 7 = 0 THEN NULL ELSE source END) AS nn_source, " +

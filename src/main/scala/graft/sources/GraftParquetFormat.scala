@@ -146,13 +146,16 @@ final class GraftWriteBuilder(dir: String, schema: StructType,
       options.getInt("rowgrouprows", 1 << 16),
       // comma-separated flat columns to stamp split-block bloom filters for
       options.getOrDefault("bloomcols", "").split(',').map(_.trim)
-        .filter(_.nonEmpty).toSet)
+        .filter(_.nonEmpty).toSet,
+      // fallback value-encoding policy: plain | v2 | auto (EncPolicy)
+      EncPolicy.parse(options.getOrDefault("enc", "plain")))
   }
 }
 
 final class GraftBatchWrite(dir: String, schema: StructType,
     truncate: Boolean, codecName: String, pageVersion: Int,
-    rowGroupRows: Int, bloomCols: Set[String] = Set.empty) extends BatchWrite {
+    rowGroupRows: Int, bloomCols: Set[String] = Set.empty,
+    encPolicy: Int = EncPolicy.Plain) extends BatchWrite {
   override def createBatchWriterFactory(
       info: PhysicalWriteInfo): DataWriterFactory = {
     val d = new java.io.File(dir)
@@ -168,7 +171,7 @@ final class GraftBatchWrite(dir: String, schema: StructType,
       case other => throw new IllegalArgumentException(s"codec $other")
     }
     new GraftWriterFactory(dir, schema, codec, pageVersion, rowGroupRows,
-      bloomCols)
+      bloomCols, encPolicy)
   }
   override def commit(messages: Array[WriterCommitMessage]): Unit = ()
   override def abort(messages: Array[WriterCommitMessage]): Unit = ()
@@ -176,12 +179,13 @@ final class GraftBatchWrite(dir: String, schema: StructType,
 
 final class GraftWriterFactory(dir: String, schema: StructType, codec: Int,
     pageVersion: Int, rowGroupRows: Int,
-    bloomCols: Set[String] = Set.empty) extends DataWriterFactory {
+    bloomCols: Set[String] = Set.empty,
+    encPolicy: Int = EncPolicy.Plain) extends DataWriterFactory {
   override def createWriter(partitionId: Int,
       taskId: Long): DataWriter[InternalRow] =
     new GraftDataWriter(
       f"$dir/part-$partitionId%05d-$taskId.parquet",
-      schema, codec, pageVersion, rowGroupRows, bloomCols)
+      schema, codec, pageVersion, rowGroupRows, bloomCols, encPolicy)
 }
 
 final case class GraftCommit(path: String, rows: Long)
@@ -189,10 +193,11 @@ final case class GraftCommit(path: String, rows: Long)
 
 final class GraftDataWriter(path: String, schema: StructType, codec: Int,
     pageVersion: Int, rowGroupRows: Int,
-    bloomCols: Set[String] = Set.empty) extends DataWriter[InternalRow] {
+    bloomCols: Set[String] = Set.empty,
+    encPolicy: Int = EncPolicy.Plain) extends DataWriter[InternalRow] {
   private val toScala = CatalystTypeConverters.createToScalaConverter(schema)
   private val w = new ParquetFileWriter.IncrementalFileWriter(path, schema,
-    rowGroupRows, codec, pageVersion, bloomCols)
+    rowGroupRows, codec, pageVersion, bloomCols, encPolicy = encPolicy)
   override def write(r: InternalRow): Unit =
     w.add(toScala(r).asInstanceOf[org.apache.spark.sql.Row])
   override def commit(): WriterCommitMessage = GraftCommit(path, w.close())
@@ -655,20 +660,34 @@ private[sources] object GraftFlatScan {
       cache.getOrElseUpdate(name, fetch.fetch(cm))
     val nRows = meta.rowGroups(rg).numRows
     var keep: Seq[(Long, Long)] = Seq((0L, nRows))
+    // page row ranges passing `keepFn` for one filter column: from the
+    // footer-side ColumnIndex/OffsetIndex when the writer stamped them
+    // (two tiny ranged reads, NO chunk bytes — a filter-only column's
+    // chunk is then never fetched at all), else by walking page headers
+    // inside the fetched chunk
+    def colRanges(c: String, cm: PqColumnMeta,
+        keepFn: PqStats => Boolean): Seq[(Long, Long)] =
+      if (cm.columnIndexOffset >= 0 && cm.columnIndexLength > 0 &&
+          cm.offsetIndexOffset >= 0 && cm.offsetIndexLength > 0) {
+        val ci = ParquetMeta.parseColumnIndex(
+          fetch.range(cm.columnIndexOffset, cm.columnIndexLength), 0)
+        val oi = ParquetMeta.parseOffsetIndex(
+          fetch.range(cm.offsetIndexOffset, cm.offsetIndexLength), 0)
+        ParquetFileReader.indexRowRanges(ci, oi, nRows, keepFn)
+      } else {
+        val (b, rcm) = fetched(c, cm)
+        ParquetFileReader.pageRowRanges(b, rcm, keepFn)
+      }
     ranges.foreach { case (c, (lo, hi)) =>
       ParquetFileReader.chunkFor(meta, rg, c).foreach { cm =>
-        val (b, rcm) = fetched(c, cm)
         keep = ParquetFileReader.intersectRowRanges(keep,
-          ParquetFileReader.pageRowRanges(b, rcm,
-            st => ParquetFileReader.intStatsOverlap(st, lo, hi)))
+          colRanges(c, cm, st => ParquetFileReader.intStatsOverlap(st, lo, hi)))
       }
     }
     strRanges.foreach { case (c, (lo, hi)) =>
       ParquetFileReader.chunkFor(meta, rg, c).foreach { cm =>
-        val (b, rcm) = fetched(c, cm)
         keep = ParquetFileReader.intersectRowRanges(keep,
-          ParquetFileReader.pageRowRanges(b, rcm,
-            st => ParquetFileReader.byteStatsOverlap(st, lo, hi)))
+          colRanges(c, cm, st => ParquetFileReader.byteStatsOverlap(st, lo, hi)))
       }
     }
     if (keep.isEmpty) return (fields.map(_ => IndexedSeq.empty[Any]), 0)

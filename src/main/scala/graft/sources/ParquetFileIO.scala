@@ -128,11 +128,17 @@ object ParquetFileReader {
     // corruption guards: sizes claimed by (possibly corrupted) metadata must
     // stay self-consistent, or we fail cleanly instead of allocating per a
     // hostile length. Bools pack 8 values per UNCOMPRESSED byte — the
-    // loosest physical bound — and `bytes` may be just this chunk's
-    // compressed range (ChunkFetcher), so bound against the larger of the
-    // two. Actual decode work stays bounded by the per-page guards below.
-    require(cm.numValues >= 0 && cm.numValues <=
-      8L * math.max(bytes.length.toLong, cm.totalUncompressedSize),
+    // loosest PLAIN bound — and `bytes` may be just this chunk's compressed
+    // range (ChunkFetcher), so bound against the larger of the two. RLE and
+    // delta pages are legitimately denser than any byte-derived bound (one
+    // run header can cover millions of values), so small claims pass on an
+    // absolute ceiling instead: 16M values caps the transient decode
+    // allocation a hostile claim can force at ~128 MB, and real chunks that
+    // dense at bigger counts are outside what this materializing reader
+    // targets (row groups are 64Ki rows from our writer, <~1M elsewhere).
+    require(cm.numValues >= 0 && (cm.numValues <=
+      8L * math.max(bytes.length.toLong, cm.totalUncompressedSize) ||
+      cm.numValues <= (1L << 24)),
       s"chunk claims ${cm.numValues} values in ${bytes.length} bytes " +
         s"(uncompressed ${cm.totalUncompressedSize})")
     var off =
@@ -179,8 +185,23 @@ object ParquetFileReader {
       col.maxDef)
   }
 
+  /** Verify a page's CRC32 (PageHeader field 4) over the body bytes as
+    * written, when the writer stamped one — corrupted pages fail here with
+    * a clear message instead of obscurely inside a decoder. Pages pruned by
+    * statistics are never read, so they are never checked (same contract as
+    * parquet-mr's verify-checksum mode). */
+  private def checkPageCrc(ph: PqPageHeader, bytes: Array[Byte],
+      dataStart: Int): Unit =
+    if (ph.crcDefined) {
+      val c = new java.util.zip.CRC32
+      c.update(bytes, dataStart, ph.compressedSize)
+      require(c.getValue.toInt == ph.crc,
+        s"page CRC mismatch: stored ${ph.crc}, computed ${c.getValue.toInt}")
+    }
+
   private def decodeDictPage(bytes: Array[Byte], dataStart: Int,
       ph: PqPageHeader, col: LeafColumn): IndexedSeq[Any] = {
+    checkPageCrc(ph, bytes, dataStart)
     val raw = decompress(bytes, dataStart, ph.compressedSize,
       ph.uncompressedSize, col.meta.codec)
     require(ph.numValues <= raw.length, // every dict entry is >= 1 byte
@@ -195,6 +216,7 @@ object ParquetFileReader {
       ph: PqPageHeader, col: LeafColumn, dict: IndexedSeq[Any]):
       (IndexedSeq[Any], Array[Int], Array[Int]) = {
     val cm = col.meta
+    checkPageCrc(ph, bytes, dataStart)
     ph.pageType match {
       case 0 => // data page v1: [rep levels][def levels][values], one region
         val raw = decompress(bytes, dataStart, ph.compressedSize,
@@ -287,6 +309,15 @@ object ParquetFileReader {
         bytesVecValues(DeltaLengthByteArrayCodec.decode(slice(raw, pos)), nNonNull)
       case PqEncoding.DeltaByteArray =>
         bytesVecValues(DeltaByteArrayCodec.decode(slice(raw, pos)), nNonNull)
+      case PqEncoding.ByteStreamSplit =>
+        col.typ match {
+          case PqType.Float =>
+            ByteStreamSplitCodec.decodeFloats(raw, pos, nNonNull).toIndexedSeq
+          case PqType.Double =>
+            ByteStreamSplitCodec.decodeDoubles(raw, pos, nNonNull).toIndexedSeq
+          case other => throw new IllegalArgumentException(
+            s"BYTE_STREAM_SPLIT over physical type $other not supported")
+        }
       case PqEncoding.Rle =>
         // RLE-encoded BOOLEAN values: 4-byte LE length prefix + hybrid runs
         require(col.typ == PqType.Boolean, "RLE data pages are boolean-only")
@@ -358,8 +389,11 @@ object ParquetFileReader {
   def readColumnVec(bytes: Array[Byte], col: Column): (ColVec, Array[Int]) = {
     val leaf = LeafColumn(Seq(col.name), col.typ, -1, -1, col.maxDef, 0, col.meta)
     val cm = col.meta
-    require(cm.numValues >= 0 && cm.numValues <=
-      8L * math.max(bytes.length.toLong, cm.totalUncompressedSize),
+    // same density guard as readTriplets: byte-derived bound for PLAIN-ish
+    // pages, absolute 16M-value ceiling for legitimately-denser RLE/delta
+    require(cm.numValues >= 0 && (cm.numValues <=
+      8L * math.max(bytes.length.toLong, cm.totalUncompressedSize) ||
+      cm.numValues <= (1L << 24)),
       s"chunk claims ${cm.numValues} values in ${bytes.length} bytes")
     var off =
       if (cm.dictionaryPageOffset >= 0)
@@ -376,6 +410,7 @@ object ParquetFileReader {
       require(ph.compressedSize >= 0 &&
         dataStart.toLong + ph.compressedSize <= bytes.length,
         s"page claims ${ph.compressedSize} compressed bytes past EOF")
+      checkPageCrc(ph, bytes, dataStart)
       ph.pageType match {
         case 2 =>
           val raw = decompress(bytes, dataStart, ph.compressedSize,
@@ -498,6 +533,14 @@ object ParquetFileReader {
       trimBytes(DeltaLengthByteArrayCodec.decode(slice(raw, pos)), nNonNull)
     case PqEncoding.DeltaByteArray =>
       trimBytes(DeltaByteArrayCodec.decode(slice(raw, pos)), nNonNull)
+    case PqEncoding.ByteStreamSplit => typ match {
+      case PqType.Float =>
+        FloatVec(ByteStreamSplitCodec.decodeFloats(raw, pos, nNonNull))
+      case PqType.Double =>
+        DoubleVec(ByteStreamSplitCodec.decodeDoubles(raw, pos, nNonNull))
+      case other => throw new IllegalArgumentException(
+        s"BYTE_STREAM_SPLIT over physical type $other not supported")
+    }
     case PqEncoding.Rle =>
       require(typ == PqType.Boolean, "RLE data pages are boolean-only")
       val len = (raw(pos) & 0xFF) | ((raw(pos + 1) & 0xFF) << 8) |
@@ -569,6 +612,16 @@ object ParquetFileReader {
     def fetchColumn(col: Column): (Array[Byte], Column) = {
       val (b, cm) = fetch(col.meta)
       (b, col.copy(meta = cm))
+    }
+    /** Raw absolute byte range — page-index and bloom blobs live outside
+      * any chunk's range. */
+    def range(off: Long, len: Int): Array[Byte] = {
+      require(off >= 0 && len >= 0 && off + len <= fileLen,
+        s"range [$off,+$len) outside $fileLen-byte file")
+      val buf = new Array[Byte](len)
+      raf.seek(off)
+      raf.readFully(buf)
+      buf
     }
     override def close(): Unit = raf.close()
   }
@@ -739,6 +792,32 @@ object ParquetFileReader {
           out(out.length - 1) = (out.last._1, r._2)
         else out += r
       }
+    }
+    out.toSeq
+  }
+
+  /** Chunk row ranges from the FOOTER-SIDE page index alone — the same
+    * contract as [[pageRowRanges]] with zero chunk-byte I/O: the
+    * ColumnIndex supplies per-page min/max/null stats, the OffsetIndex the
+    * page row boundaries. Null pages and index/stat gaps are kept
+    * (missed skip, never a wrong row). */
+  def indexRowRanges(ci: PqColumnIndex, oi: Seq[PqPageLocation], nRows: Long,
+      keep: PqStats => Boolean): Seq[(Long, Long)] = {
+    val out = new ArrayBuffer[(Long, Long)]()
+    var i = 0
+    while (i < oi.length) {
+      val st = PqStats(
+        if (i < ci.minValues.length) ci.minValues(i) else Array.emptyByteArray,
+        if (i < ci.maxValues.length) ci.maxValues(i) else Array.emptyByteArray,
+        if (i < ci.nullCounts.length) ci.nullCounts(i) else -1L)
+      if (keep(st)) {
+        val start = oi(i).firstRowIndex
+        val end = if (i + 1 < oi.length) oi(i + 1).firstRowIndex else nRows
+        if (out.nonEmpty && out.last._2 == start)
+          out(out.length - 1) = (out.last._1, end)
+        else out += ((start, end))
+      }
+      i += 1
     }
     out.toSeq
   }

@@ -32,6 +32,30 @@ import graft.operators.ColBuilder
   * reference's writer policy
   * (`/root/reference/src/column/writer.rs:393-416`).
   */
+/** Fallback (non-dictionary) value-encoding policy for the file writer.
+  *
+  *  - `Plain`     — classic v1 behavior: every non-dict page is PLAIN.
+  *  - `V2Default` — the reference's WriterVersion::PARQUET_2_0 defaults
+  *    (`/root/reference/src/column/writer.rs:718-795`): bool → RLE,
+  *    INT32/INT64 → DELTA_BINARY_PACKED, BYTE_ARRAY → DELTA_BYTE_ARRAY.
+  *  - `Auto`      — stats-driven per chunk, the file-writer incarnation of
+  *    the north-star codec auto-selector: int/bool candidates are measured
+  *    exactly (one cheap extra pass), byte-array prefix sharing is sampled
+  *    to pick DELTA_BYTE_ARRAY vs DELTA_LENGTH_BYTE_ARRAY, and PLAIN wins
+  *    whenever a candidate fails to actually shrink the page.
+  */
+object EncPolicy {
+  val Plain = 0
+  val V2Default = 1
+  val Auto = 2
+  def parse(s: String): Int = s.toLowerCase match {
+    case "plain" => Plain
+    case "v2" | "v2default" => V2Default
+    case "auto" => Auto
+    case other => throw new IllegalArgumentException(s"enc policy $other")
+  }
+}
+
 object ParquetFileWriter {
 
   val DictMaxEntries = 65536
@@ -78,9 +102,10 @@ object ParquetFileWriter {
     * `/root/reference/src/file/properties.rs:71-83`). */
   def writeFile(path: String, schema: StructType, rows: Iterator[Row],
       rowGroupRows: Int = 1 << 16, codec: Int = PqCodec.Snappy,
-      pageVersion: Int = 1, bloomCols: Set[String] = Set.empty): Long = {
+      pageVersion: Int = 1, bloomCols: Set[String] = Set.empty,
+      encPolicy: Int = EncPolicy.Plain): Long = {
     val w = new IncrementalFileWriter(path, schema, rowGroupRows, codec,
-      pageVersion, bloomCols)
+      pageVersion, bloomCols, encPolicy = encPolicy)
     rows.foreach(w.add)
     w.close()
   }
@@ -96,7 +121,9 @@ object ParquetFileWriter {
         * filters are written after all row-group data, before the footer,
         * and referenced from ColumnMetaData fields 14/15. */
       bloomCols: Set[String] = Set.empty,
-      bloomFpp: Double = 0.01) {
+      bloomFpp: Double = 0.01,
+      /** fallback value-encoding policy — see [[EncPolicy]] */
+      encPolicy: Int = EncPolicy.Plain) {
     private val fields = schema.fields
     private val nCols = fields.length
     private val out = new BufferedOutputStream(new FileOutputStream(path), 1 << 16)
@@ -109,6 +136,11 @@ object ParquetFileWriter {
     // (row-group index, chunk index within group, filter) awaiting a file
     // offset — blooms land between the last row group and the footer
     private val pendingBlooms = ArrayBuffer.empty[(Int, Int, Sbbf)]
+    // (row-group index, chunk index, data pages with their stats) awaiting
+    // the page-index region — ColumnIndex+OffsetIndex land after blooms,
+    // before the footer (parquet.thrift ColumnChunk fields 4-7)
+    private val pendingIdx =
+      ArrayBuffer.empty[(Int, Int, Seq[(PqPageLocation, Option[PqStats], Boolean)])]
     private var totalRows = 0L
     private var buffered = 0
 
@@ -141,7 +173,8 @@ object ParquetFileWriter {
             chunks += writeColumnChunk(write, () => pos,
               Seq(f.name, "list", "element"), et, elems,
               rep, defsArr, rep.length, defWidth = 2, maxDef = 3, codec,
-              pageVersion)
+              pageVersion, encPolicy,
+              pages => pendingIdx += ((rowGroups.length, chunks.length, pages)))
           case mb: ColBuilder.MapBuilder =>
             // two leaves sharing one rep stream: key (maxDef 2, required)
             // and value (maxDef 3, optional)
@@ -155,11 +188,13 @@ object ParquetFileWriter {
             chunks += writeColumnChunk(write, () => pos,
               Seq(f.name, "key_value", "key"), kt, keys,
               rep, keyDefs, rep.length, defWidth = 2, maxDef = 2, codec,
-              pageVersion)
+              pageVersion, encPolicy,
+              pages => pendingIdx += ((rowGroups.length, chunks.length, pages)))
             chunks += writeColumnChunk(write, () => pos,
               Seq(f.name, "key_value", "value"), vt, vals,
               rep, defsArr, rep.length, defWidth = 2, maxDef = 3, codec,
-              pageVersion)
+              pageVersion, encPolicy,
+              pages => pendingIdx += ((rowGroups.length, chunks.length, pages)))
           case sb: ColBuilder.StructBuilder =>
             // non-repeated group: one leaf chunk per subfield, maxDef 2
             // (optional group + optional field), no rep stream
@@ -171,7 +206,8 @@ object ParquetFileWriter {
               chunks += writeColumnChunk(write, () => pos,
                 Seq(f.name, subFields(j).name), subFields(j).dataType, vec,
                 null, defsArr, sb.rowCount, defWidth = 2, maxDef = 2, codec,
-                pageVersion)
+                pageVersion, encPolicy,
+                pages => pendingIdx += ((rowGroups.length, chunks.length, pages)))
               j += 1
             }
           case b =>
@@ -185,7 +221,8 @@ object ParquetFileWriter {
             chunks += writeColumnChunk(write, () => pos,
               Seq(f.name), f.dataType, vec,
               null, levels, nRows, defWidth = 1, maxDef = 1, codec,
-              pageVersion)
+              pageVersion, encPolicy,
+              pages => pendingIdx += ((rowGroups.length, chunks.length, pages)))
         }
         builders(c).clear()
         c += 1
@@ -228,6 +265,38 @@ object ParquetFileWriter {
           rowGroups(rg) = group.copy(columns = cols.toSeq)
         }
         pendingBlooms.clear()
+      }
+      // page index: all ColumnIndexes, then all OffsetIndexes (parquet-mr's
+      // on-disk layout), each chunk's ColumnChunk fields 4-7 patched with
+      // absolute offsets. Readers prune pages from these footer-side blobs
+      // without touching any chunk bytes.
+      if (pendingIdx.nonEmpty) {
+        val patches = ArrayBuffer.empty[(Int, Int, PqColumnMeta => PqColumnMeta)]
+        pendingIdx.foreach { case (rg, ci, pages) =>
+          buildColumnIndex(rowGroups(rg).columns(ci).typ, pages).foreach { colIdx =>
+            val off = pos
+            val b = ParquetMeta.writeColumnIndex(colIdx)
+            write(b)
+            patches += ((rg, ci,
+              m => m.copy(columnIndexOffset = off, columnIndexLength = b.length)))
+          }
+        }
+        pendingIdx.foreach { case (rg, ci, pages) =>
+          if (pages.nonEmpty) {
+            val off = pos
+            val b = ParquetMeta.writeOffsetIndex(pages.map(_._1))
+            write(b)
+            patches += ((rg, ci,
+              m => m.copy(offsetIndexOffset = off, offsetIndexLength = b.length)))
+          }
+        }
+        patches.groupBy(_._1).foreach { case (rg, ps) =>
+          val group = rowGroups(rg)
+          val cols = group.columns.toArray
+          ps.foreach { case (_, ci, f) => cols(ci) = f(cols(ci)) }
+          rowGroups(rg) = group.copy(columns = cols.toSeq)
+        }
+        pendingIdx.clear()
       }
       val schemaElems =PqSchemaElement("spark_schema", numChildren = nCols) +:
         fields.toSeq.flatMap { f =>
@@ -300,8 +369,14 @@ object ParquetFileWriter {
   private def writeColumnChunk(write: Array[Byte] => Unit, tell: () => Long,
       path: Seq[String], dt: DataType, vec: ColVec, repLevels: Array[Byte],
       defLevels: Array[Byte], numValues: Int, defWidth: Int, maxDef: Int,
-      codec: Int, pageVersion: Int): PqColumnMeta = {
+      codec: Int, pageVersion: Int,
+      encPolicy: Int = EncPolicy.Plain,
+      /** invoked (during this call) with every data page's location +
+        * stats + all-null flag, for the footer page index */
+      recordPages: Seq[(PqPageLocation, Option[PqStats], Boolean)] => Unit = null)
+      : PqColumnMeta = {
     val typ = pqTypeOf(dt)
+    val pageRec = ArrayBuffer.empty[(PqPageLocation, Option[PqStats], Boolean)]
 
     var numNulls = 0
     if (defLevels != null) {
@@ -335,13 +410,19 @@ object ParquetFileWriter {
       dictOff = tell()
       val dictComp = compress(dictPage, codec)
       val dictHeader = ParquetMeta.writeDictPageHeader(nDict, dictPage.length,
-        dictComp.length)
+        dictComp.length, crc = Some(crc32(dictComp)))
       write(dictHeader); write(dictComp)
       uncTotal += dictHeader.length + dictPage.length
       idPage
     }
+    // fallback (non-dict) encoding chosen per chunk by the active policy;
+    // delta/RLE streams restart at every page, so the choice applies to
+    // each page slice independently
+    val fallbackEnc =
+      if (dictIds.isEmpty) selectEnc(vec, dt, encPolicy, codec)
+      else PqEncoding.Plain
     val valueEnc =
-      if (dictIds.isEmpty) PqEncoding.Plain
+      if (dictIds.isEmpty) fallbackEnc
       else if (pageVersion >= 2) PqEncoding.RleDictionary
       else PqEncoding.PlainDictionary
     val dataOff = tell()
@@ -350,7 +431,9 @@ object ParquetFileWriter {
       * no nulls anywhere), its rep-level slice (null for flat leaves), and
       * its encoded values. */
     def emitPage(n: Int, defs: Array[Byte], reps: Array[Byte],
-        vals: Array[Byte], pageStats: Option[PqStats]): Unit = {
+        vals: Array[Byte], pageStats: Option[PqStats],
+        firstRow: Long = 0L): Unit = {
+      val pageOff = tell()
       if (pageVersion >= 2) {
         // DATA_PAGE_V2: prefix-free uncompressed level streams + compressed
         // values (reference writer.rs DataPageV2 serialization path)
@@ -372,7 +455,8 @@ object ParquetFileWriter {
         val lvlLen = repStream.length + defStream.length
         val header = ParquetMeta.writePageHeaderV2(n, nulls, nRows,
           valueEnc, lvlLen + vals.length, lvlLen + comp.length,
-          defStream.length, repStream.length, stats = pageStats)
+          defStream.length, repStream.length, stats = pageStats,
+          crc = Some(crc32(repStream, defStream, comp)))
         write(header); write(repStream); write(defStream); write(comp)
         uncTotal += header.length + lvlLen + vals.length
       } else {
@@ -384,10 +468,13 @@ object ParquetFileWriter {
           if (reps == null) PqEncoding.BitPacked else PqEncoding.Rle
         val comp = compress(content, codec)
         val header = ParquetMeta.writePageHeaderV1(n, valueEnc,
-          content.length, comp.length, repEnc, stats = pageStats)
+          content.length, comp.length, repEnc, stats = pageStats,
+          crc = Some(crc32(comp)))
         write(header); write(comp)
         uncTotal += header.length + content.length
       }
+      pageRec += ((PqPageLocation(pageOff, (tell() - pageOff).toInt, firstRow),
+        pageStats, pageStats.exists(_.nullCount == n)))
     }
 
     // Flat PLAIN chunks above the reference's DEFAULT_PAGE_SIZE are cut into
@@ -412,7 +499,8 @@ object ParquetFileWriter {
         // chunk stats TODO, writer.rs:352)
         val (pMn, pMx) = MinMax.compute(slice)
         val pStats = Some(PqStats(pMn, pMx, (rEnd - r0 - (vEnd - v0)).toLong))
-        emitPage(rEnd - r0, defsSlice, null, PlainCodec.encode(slice), pStats)
+        emitPage(rEnd - r0, defsSlice, null, encodeValues(slice, fallbackEnc),
+          pStats, firstRow = r0)
         r0 = rEnd; v0 = vEnd; acc = 0L
       }
       while (r < numValues) {
@@ -432,14 +520,15 @@ object ParquetFileWriter {
           if (nVals == 0) Array.emptyByteArray
           else java.util.Arrays.copyOfRange(v.data, v.start(0),
             v.start(nVals - 1) + v.len(nVals - 1))
-        } else PlainCodec.encode(vec)
+        } else encodeValues(vec, fallbackEnc)
       }
       // single data page == whole chunk: page stats are the chunk stats
       emitPage(numValues, defLevels, repLevels, valueBytes, stats)
     }
     val endOff = tell()
+    if (recordPages != null) recordPages(pageRec.toSeq)
     val encodings =
-      if (dictIds.isEmpty) Seq(PqEncoding.Rle, PqEncoding.Plain)
+      if (dictIds.isEmpty) Seq(PqEncoding.Rle, fallbackEnc).distinct
       else Seq(PqEncoding.Rle, valueEnc, PqEncoding.Plain)
     PqColumnMeta(typ, encodings, path, codec, numValues.toLong, uncTotal,
       endOff - startOff, dataPageOffset = dataOff,
@@ -465,6 +554,113 @@ object ParquetFileWriter {
     case _: IntVec | _: FloatVec => 4L
     case _: LongVec | _: DoubleVec => 8L
     case v: BytesVec => 4L + v.len(i)
+  }
+
+  /** Exact PLAIN byte count (plainSizeOf overestimates bools for page-cut
+    * conservatism; the Auto policy needs the real number to compare). */
+  private def plainExactBytes(vec: ColVec): Long = vec match {
+    case BoolVec(vs) => (vs.length + 7L) / 8L
+    case v => plainSizeOf(v)
+  }
+
+  /** Encode a (null-suppressed) value vector with a standard parquet page
+    * encoding. Delta/RLE streams are self-contained per call, so page
+    * slices encode independently — the property parquet readers rely on. */
+  private def encodeValues(vec: ColVec, enc: Int): Array[Byte] = enc match {
+    case PqEncoding.Plain => PlainCodec.encode(vec)
+    case PqEncoding.Rle =>
+      RleBoolCodec.encode(vec.asInstanceOf[BoolVec].values)
+    case PqEncoding.DeltaBinaryPacked => vec match {
+      case IntVec(vs) =>
+        val e = new DeltaBinaryPackedEncoder(int32 = true)
+        e.putInts(vs, 0, vs.length); e.result()
+      case LongVec(vs) =>
+        val e = new DeltaBinaryPackedEncoder(int32 = false)
+        e.put(vs); e.result()
+      case other => throw new IllegalArgumentException(
+        s"DELTA_BINARY_PACKED over ${other.getClass.getSimpleName}")
+    }
+    case PqEncoding.DeltaLengthByteArray =>
+      DeltaLengthByteArrayCodec.encode(vec.asInstanceOf[BytesVec])
+    case PqEncoding.DeltaByteArray =>
+      DeltaByteArrayCodec.encode(vec.asInstanceOf[BytesVec])
+    case PqEncoding.ByteStreamSplit => ByteStreamSplitCodec.encode(vec)
+    case other => throw new IllegalArgumentException(s"writer encoding $other")
+  }
+
+  /** Choose the fallback (non-dict) value encoding for one chunk under
+    * `encPolicy` — the file-writer face of the north-star auto-selector.
+    * V2Default is the reference's fixed per-type WriterVersion::PARQUET_2_0
+    * table (`/root/reference/src/column/writer.rs:718-795`); Auto measures
+    * int/bool candidates exactly (one extra pass over primitives) and
+    * samples byte-array prefix sharing, falling back to PLAIN whenever the
+    * candidate doesn't actually win. */
+  private def selectEnc(vec: ColVec, dt: DataType, encPolicy: Int,
+      codec: Int): Int = {
+    if (encPolicy == EncPolicy.Plain || isFlba(dt) || vec.length == 0)
+      return PqEncoding.Plain
+    vec match {
+      case BoolVec(vs) =>
+        if (encPolicy == EncPolicy.V2Default) PqEncoding.Rle
+        else if (RleBoolCodec.encode(vs).length < plainExactBytes(vec))
+          PqEncoding.Rle
+        else PqEncoding.Plain
+      case _: IntVec | _: LongVec =>
+        if (encPolicy == EncPolicy.V2Default) PqEncoding.DeltaBinaryPacked
+        else if (encodeValues(vec, PqEncoding.DeltaBinaryPacked).length <
+          plainExactBytes(vec)) PqEncoding.DeltaBinaryPacked
+        else PqEncoding.Plain
+      case v: BytesVec =>
+        if (encPolicy == EncPolicy.V2Default) PqEncoding.DeltaByteArray
+        else {
+          // DELTA_BYTE_ARRAY front-codes against the previous value: it
+          // pays a second delta-packed prefix-length stream (well under a
+          // byte/value) and saves the shared-prefix bytes. Sample up to 512
+          // evenly-spaced adjacent pairs; mean shared prefix >= 2 bytes is
+          // a comfortable win, else DELTA_LENGTH_BYTE_ARRAY (which already
+          // beats PLAIN's 4-byte length prefixes for any non-trivial page).
+          val n = v.length
+          val pick =
+            if (n < 2) PqEncoding.DeltaLengthByteArray
+            else {
+              val step = math.max(1, (n - 1) / 512)
+              var i = 1
+              var prefixSum = 0L
+              var cnt = 0
+              while (i < n) {
+                val aOff = v.start(i - 1)
+                val bOff = v.start(i)
+                val lim = math.min(v.len(i - 1), v.len(i))
+                var p = 0
+                while (p < lim && v.data(aOff + p) == v.data(bOff + p)) p += 1
+                prefixSum += p
+                cnt += 1
+                i += step
+              }
+              if (prefixSum >= 2L * cnt) PqEncoding.DeltaByteArray
+              else PqEncoding.DeltaLengthByteArray
+            }
+          // guard: tiny pages where the delta headers outweigh the savings
+          if (encodeValues(vec, pick).length < plainExactBytes(vec)) pick
+          else PqEncoding.Plain
+        }
+      case _: FloatVec | _: DoubleVec =>
+        // BYTE_STREAM_SPLIT is a pure permutation (same size uncompressed);
+        // it only pays through the block codec, so Auto measures the actual
+        // compressed sizes of both layouts and keeps PLAIN on ties. The
+        // reference's own v2 table predates the encoding — V2Default stays
+        // PLAIN for strict parity.
+        if (encPolicy != EncPolicy.Auto || codec == PqCodec.Uncompressed)
+          PqEncoding.Plain
+        else {
+          val plain = PlainCodec.encode(vec)
+          val bss = ByteStreamSplitCodec.encode(vec)
+          if (compress(bss, codec).length < compress(plain, codec).length)
+            PqEncoding.ByteStreamSplit
+          else PqEncoding.Plain
+        }
+      case _ => PqEncoding.Plain
+    }
   }
 
   /** (entries, PLAIN dict page bytes, id page bytes incl. leading bit-width
@@ -523,6 +719,90 @@ object ParquetFileWriter {
     }
   }
 
+  /** Assemble a ColumnIndex from per-page stats, or None when any page
+    * lacks usable min/max (FLBA chunks, stat-less pages): ColumnIndex
+    * min/max are required per page, so a partial index would misreport.
+    * Boundary order is computed with the column's stat-byte comparator —
+    * UNORDERED is always safe, ASC/DESC lets readers binary-search. */
+  private def buildColumnIndex(
+      typ: Int, pages: Seq[(PqPageLocation, Option[PqStats], Boolean)]):
+      Option[PqColumnIndex] = {
+    if (pages.isEmpty) return None
+    val ok = pages.forall { case (_, st, nullPage) =>
+      st.isDefined && (nullPage || (st.get.min.nonEmpty && st.get.max.nonEmpty))
+    }
+    if (!ok) return None
+    val nullPages = pages.map(_._3)
+    // null pages carry empty min/max per spec
+    val mins = pages.map { case (_, st, np) =>
+      if (np) Array.emptyByteArray else st.get.min }
+    val maxs = pages.map { case (_, st, np) =>
+      if (np) Array.emptyByteArray else st.get.max }
+    val nullCounts = pages.map(_._2.get.nullCount)
+    val live = pages.indices.filterNot(nullPages)
+    def ordered(sign: Int): Boolean = live.size < 2 || live.sliding(2).forall {
+      case Seq(a, b) =>
+        sign * cmpStat(typ, mins(a), mins(b)) <= 0 &&
+          sign * cmpStat(typ, maxs(a), maxs(b)) <= 0
+      case _ => true
+    }
+    val order =
+      if (!cmpDefined(typ)) 0
+      else if (ordered(1)) 1 // ASCENDING
+      else if (ordered(-1)) 2 // DESCENDING
+      else 0 // UNORDERED
+    Some(PqColumnIndex(nullPages, mins, maxs, order, nullCounts))
+  }
+
+  private def cmpDefined(typ: Int): Boolean = typ match {
+    case PqType.Int32 | PqType.Int64 | PqType.Float | PqType.Double |
+         PqType.ByteArray | PqType.Boolean => true
+    case _ => false
+  }
+
+  /** Compare two PLAIN-encoded stat values of physical type `typ` with the
+    * type's sort order (signed ints/floats, unsigned-lex byte arrays). */
+  private def cmpStat(typ: Int, a: Array[Byte], b: Array[Byte]): Int = {
+    def leInt(x: Array[Byte]): Int =
+      (x(0) & 0xFF) | ((x(1) & 0xFF) << 8) | ((x(2) & 0xFF) << 16) |
+        ((x(3) & 0xFF) << 24)
+    def leLong(x: Array[Byte]): Long = {
+      var v = 0L
+      var i = 0
+      while (i < 8) { v |= (x(i) & 0xFFL) << (8 * i); i += 1 }
+      v
+    }
+    typ match {
+      case PqType.Int32 => Integer.compare(leInt(a), leInt(b))
+      case PqType.Int64 => java.lang.Long.compare(leLong(a), leLong(b))
+      case PqType.Float =>
+        java.lang.Float.compare(java.lang.Float.intBitsToFloat(leInt(a)),
+          java.lang.Float.intBitsToFloat(leInt(b)))
+      case PqType.Double =>
+        java.lang.Double.compare(java.lang.Double.longBitsToDouble(leLong(a)),
+          java.lang.Double.longBitsToDouble(leLong(b)))
+      case _ => // BOOLEAN (single 0/1 byte) and BYTE_ARRAY: unsigned lex
+        val lim = math.min(a.length, b.length)
+        var i = 0
+        while (i < lim) {
+          val d = (a(i) & 0xFF) - (b(i) & 0xFF)
+          if (d != 0) return d
+          i += 1
+        }
+        a.length - b.length
+    }
+  }
+
+  /** CRC32 over the page bytes exactly as written after the header — the
+    * parquet-format page-checksum definition (PageHeader field 4, same
+    * coverage as parquet-mr: compressed body; for v2 pages the level
+    * streams are part of the written body and are included). */
+  private def crc32(parts: Array[Byte]*): Int = {
+    val c = new java.util.zip.CRC32
+    parts.foreach(c.update)
+    c.getValue.toInt
+  }
+
   private def compress(content: Array[Byte], codec: Int): Array[Byte] = codec match {
     case PqCodec.Uncompressed => content
     case PqCodec.Snappy => org.xerial.snappy.Snappy.compress(content)
@@ -571,7 +851,8 @@ object ChunkCodecSupport {
 object ParquetSink {
   def write(df: DataFrame, dir: String, codec: Int = PqCodec.Snappy,
       rowGroupRows: Int = 1 << 16, pageVersion: Int = 1,
-      bloomCols: Seq[String] = Nil): DataFrame = {
+      bloomCols: Seq[String] = Nil,
+      encPolicy: Int = EncPolicy.Plain): DataFrame = {
     val schema = df.schema
     val blooms = bloomCols.toSet
     new java.io.File(dir).mkdirs()
@@ -585,7 +866,7 @@ object ParquetSink {
         val pid = TaskContext.getPartitionId()
         val path = f"$dir/part-$pid%05d.parquet"
         val n = ParquetFileWriter.writeFile(path, schema, it, rowGroupRows,
-          codec, pageVersion, blooms)
+          codec, pageVersion, blooms, encPolicy)
         Iterator(Row(path, n))
       }
     }
@@ -600,7 +881,7 @@ object ParquetSink {
     * memory O(row group), not O(partition). */
   def writePartitioned(df: DataFrame, dir: String, partitionCols: Seq[String],
       codec: Int = PqCodec.Snappy, rowGroupRows: Int = 1 << 16,
-      pageVersion: Int = 1): DataFrame = {
+      pageVersion: Int = 1, encPolicy: Int = EncPolicy.Plain): DataFrame = {
     require(partitionCols.nonEmpty, "writePartitioned needs partition columns")
     val dataFields = df.schema.fields.filterNot(f =>
       partitionCols.contains(f.name))
@@ -629,7 +910,7 @@ object ParquetSink {
           d.mkdirs()
           val path = f"${d.getPath}/part-$pid%05d.parquet"
           (path, new ParquetFileWriter.IncrementalFileWriter(path, dataSchema,
-            rowGroupRows, codec, pageVersion))
+            rowGroupRows, codec, pageVersion, encPolicy = encPolicy))
         })
         w.add(Row.fromSeq(dIdx.toSeq.map(row.get)))
       }

@@ -204,6 +204,7 @@ object PqEncoding {
   val DeltaLengthByteArray = 6
   val DeltaByteArray = 7
   val RleDictionary = 8
+  val ByteStreamSplit = 9
 }
 
 object PqCodec {
@@ -256,7 +257,29 @@ final case class PqColumnMeta(
     /** split-block bloom filter location (parquet.thrift ColumnMetaData
       * fields 14/15); -1 = absent */
     bloomOffset: Long = -1L,
-    bloomLength: Int = -1)
+    bloomLength: Int = -1,
+    /** page-index locations (parquet.thrift ColumnChunk fields 4-7);
+      * -1 = absent. These live on ColumnChunk, not ColumnMetaData. */
+    offsetIndexOffset: Long = -1L,
+    offsetIndexLength: Int = -1,
+    columnIndexOffset: Long = -1L,
+    columnIndexLength: Int = -1)
+
+/** One data page's location (parquet.thrift PageLocation): absolute file
+  * offset of the page header, total bytes (header + body), and the index of
+  * its first row within the row group. Dictionary pages are not listed. */
+final case class PqPageLocation(offset: Long, compressedPageSize: Int,
+    firstRowIndex: Long)
+
+/** parquet.thrift ColumnIndex: per-page min/max/null metadata stored in the
+  * footer region so readers prune pages without touching chunk bytes.
+  * `boundaryOrder`: 0 unordered, 1 ascending, 2 descending. */
+final case class PqColumnIndex(
+    nullPages: Seq[Boolean],
+    minValues: Seq[Array[Byte]],
+    maxValues: Seq[Array[Byte]],
+    boundaryOrder: Int,
+    nullCounts: Seq[Long])
 
 final case class PqRowGroup(
     columns: Seq[PqColumnMeta],
@@ -274,6 +297,10 @@ final case class PqPageHeader(
     pageType: Int, // 0 data v1, 2 dictionary, 3 data v2
     uncompressedSize: Int,
     compressedSize: Int,
+    /** CRC32 of the page bytes as written after the header (field 4);
+      * `crcDefined=false` when the writer omitted it */
+    crcDefined: Boolean = false,
+    crc: Int = 0,
     // data page v1
     numValues: Int = 0,
     encoding: Int = 0,
@@ -387,6 +414,10 @@ object ParquetMeta {
 
   private def parseColumnChunk(r: Reader): PqColumnMeta = {
     var meta: PqColumnMeta = null
+    var oiOff = -1L
+    var oiLen = -1
+    var ciOff = -1L
+    var ciLen = -1
     var last = 0
     var done = false
     while (!done) {
@@ -395,12 +426,19 @@ object ParquetMeta {
       else {
         id match {
           case 3 => meta = parseColumnMeta(r)
+          case 4 => oiOff = r.zigzag()
+          case 5 => oiLen = r.zigzag().toInt
+          case 6 => ciOff = r.zigzag()
+          case 7 => ciLen = r.zigzag().toInt
           case _ => r.skip(t)
         }
         last = id
       }
     }
-    meta
+    if (meta != null && (oiOff >= 0 || ciOff >= 0))
+      meta.copy(offsetIndexOffset = oiOff, offsetIndexLength = oiLen,
+        columnIndexOffset = ciOff, columnIndexLength = ciLen)
+    else meta
   }
 
   private def parseColumnMeta(r: Reader): PqColumnMeta = {
@@ -501,6 +539,8 @@ object ParquetMeta {
     var repLen = 0
     var isComp = true
     var pageStats: Option[PqStats] = None
+    var hasCrc = false
+    var crc = 0
     var last = 0
     var done = false
     while (!done) {
@@ -511,6 +551,7 @@ object ParquetMeta {
           case 1 => pageType = r.zigzag().toInt
           case 2 => unc = r.zigzag().toInt
           case 3 => comp = r.zigzag().toInt
+          case 4 => crc = r.zigzag().toInt; hasCrc = true
           case 5 | 7 | 8 => // DataPageHeader | DictionaryPageHeader | V2
             var l2 = 0
             var d2 = false
@@ -548,7 +589,9 @@ object ParquetMeta {
         last = id
       }
     }
-    PqPageHeader(pageType, unc, comp, numValues, encoding, defEnc, repEnc,
+    PqPageHeader(pageType, unc, comp, crcDefined = hasCrc, crc = crc,
+      numValues = numValues, encoding = encoding, defLevelEncoding = defEnc,
+      repLevelEncoding = repEnc,
       headerLen = r.pos - off, numNulls = numNulls, numRows = numRows,
       defLevelsByteLen = defLen, repLevelsByteLen = repLen, isCompressed = isComp,
       stats = pageStats)
@@ -572,12 +615,14 @@ object ParquetMeta {
 
   def writePageHeaderV1(numValues: Int, encoding: Int, uncompressed: Int,
       compressed: Int, repEncoding: Int = PqEncoding.BitPacked,
-      stats: Option[PqStats] = None): Array[Byte] = {
+      stats: Option[PqStats] = None, crc: Option[Int] = None): Array[Byte] = {
     val w = new Writer
     w.i32Field(1, 0, 0) // type = DATA_PAGE
     w.i32Field(2, 1, uncompressed)
     w.i32Field(3, 2, compressed)
-    w.fieldHeader(5, TStruct, 3) // data_page_header
+    var lastTop = 3
+    crc.foreach { c => w.i32Field(4, 3, c); lastTop = 4 } // page body CRC32
+    w.fieldHeader(5, TStruct, lastTop) // data_page_header
     w.i32Field(1, 0, numValues)
     w.i32Field(2, 1, encoding)
     w.i32Field(3, 2, PqEncoding.Rle) // def levels
@@ -596,12 +641,14 @@ object ParquetMeta {
   def writePageHeaderV2(numValues: Int, numNulls: Int, numRows: Int,
       encoding: Int, uncompressed: Int, compressed: Int,
       defLevelsByteLen: Int, repLevelsByteLen: Int,
-      stats: Option[PqStats] = None): Array[Byte] = {
+      stats: Option[PqStats] = None, crc: Option[Int] = None): Array[Byte] = {
     val w = new Writer
     w.i32Field(1, 0, 3) // type = DATA_PAGE_V2
     w.i32Field(2, 1, uncompressed)
     w.i32Field(3, 2, compressed)
-    w.fieldHeader(8, TStruct, 3) // data_page_header_v2
+    var lastTop = 3
+    crc.foreach { c => w.i32Field(4, 3, c); lastTop = 4 } // page body CRC32
+    w.fieldHeader(8, TStruct, lastTop) // data_page_header_v2
     w.i32Field(1, 0, numValues)
     w.i32Field(2, 1, numNulls)
     w.i32Field(3, 2, numRows)
@@ -616,17 +663,120 @@ object ParquetMeta {
   }
 
   def writeDictPageHeader(numValues: Int, uncompressed: Int,
-      compressed: Int): Array[Byte] = {
+      compressed: Int, crc: Option[Int] = None): Array[Byte] = {
     val w = new Writer
     w.i32Field(1, 0, 2) // type = DICTIONARY_PAGE
     w.i32Field(2, 1, uncompressed)
     w.i32Field(3, 2, compressed)
-    w.fieldHeader(7, TStruct, 3) // dictionary_page_header
+    var lastTop = 3
+    crc.foreach { c => w.i32Field(4, 3, c); lastTop = 4 } // page body CRC32
+    w.fieldHeader(7, TStruct, lastTop) // dictionary_page_header
     w.i32Field(1, 0, numValues)
     w.i32Field(2, 1, PqEncoding.PlainDictionary)
     w.stop()
     w.stop()
     w.result()
+  }
+
+  /** OffsetIndex { 1: list<PageLocation> }; PageLocation { 1: offset,
+    * 2: compressed_page_size, 3: first_row_index }. */
+  def writeOffsetIndex(pages: Seq[PqPageLocation]): Array[Byte] = {
+    val w = new Writer
+    w.fieldHeader(1, TList, 0)
+    w.listHeader(TStruct, pages.size)
+    pages.foreach { p =>
+      w.i64Field(1, 0, p.offset)
+      w.i32Field(2, 1, p.compressedPageSize)
+      w.i64Field(3, 2, p.firstRowIndex)
+      w.stop()
+    }
+    w.stop()
+    w.result()
+  }
+
+  def parseOffsetIndex(buf: Array[Byte], off: Int): Seq[PqPageLocation] = {
+    val r = new Reader(buf, off)
+    var pages: Seq[PqPageLocation] = Nil
+    var last = 0
+    var done = false
+    while (!done) {
+      val (id, t) = r.fieldHeader(last)
+      if (t == TStop) done = true
+      else {
+        if (id == 1) pages = parseList(r) { rr =>
+          var o = 0L; var sz = 0; var fr = 0L
+          var l2 = 0
+          var d2 = false
+          while (!d2) {
+            val (id2, t2) = rr.fieldHeader(l2)
+            if (t2 == TStop) d2 = true
+            else {
+              id2 match {
+                case 1 => o = rr.zigzag()
+                case 2 => sz = rr.zigzag().toInt
+                case 3 => fr = rr.zigzag()
+                case _ => rr.skip(t2)
+              }
+              l2 = id2
+            }
+          }
+          PqPageLocation(o, sz, fr)
+        }
+        else r.skip(t)
+        last = id
+      }
+    }
+    pages
+  }
+
+  /** ColumnIndex { 1: list<bool> null_pages, 2: list<binary> min_values,
+    * 3: list<binary> max_values, 4: BoundaryOrder, 5: list<i64>
+    * null_counts }. Compact-protocol bools in lists are one byte each
+    * (1 = true, 2 = false). */
+  def writeColumnIndex(ci: PqColumnIndex): Array[Byte] = {
+    val w = new Writer
+    w.fieldHeader(1, TList, 0)
+    w.listHeader(TBoolTrue, ci.nullPages.size)
+    ci.nullPages.foreach(b => w.u8(if (b) 1 else 2))
+    w.fieldHeader(2, TList, 1)
+    w.listHeader(TBinary, ci.minValues.size)
+    ci.minValues.foreach(w.binary)
+    w.fieldHeader(3, TList, 2)
+    w.listHeader(TBinary, ci.maxValues.size)
+    ci.maxValues.foreach(w.binary)
+    w.i32Field(4, 3, ci.boundaryOrder)
+    w.fieldHeader(5, TList, 4)
+    w.listHeader(TI64, ci.nullCounts.size)
+    ci.nullCounts.foreach(w.zigzag)
+    w.stop()
+    w.result()
+  }
+
+  def parseColumnIndex(buf: Array[Byte], off: Int): PqColumnIndex = {
+    val r = new Reader(buf, off)
+    var nullPages: Seq[Boolean] = Nil
+    var mins: Seq[Array[Byte]] = Nil
+    var maxs: Seq[Array[Byte]] = Nil
+    var order = 0
+    var nullCounts: Seq[Long] = Nil
+    var last = 0
+    var done = false
+    while (!done) {
+      val (id, t) = r.fieldHeader(last)
+      if (t == TStop) done = true
+      else {
+        id match {
+          case 1 => nullPages = parseList(r)(rr => rr.u8() == 1)
+          case 2 => mins = parseList(r)(rr => rr.binary())
+          case 3 => maxs = parseList(r)(rr => rr.binary())
+          case 4 => order = r.zigzag().toInt
+          case 5 => nullCounts = parseList(r)(rr => rr.zigzag())
+          case _ => r.skip(t)
+        }
+        last = id
+      }
+    }
+    PqColumnIndex(nullPages, mins, maxs, order, nullCounts)
   }
 
   def writeFileMeta(meta: PqFileMeta): Array[Byte] = {
@@ -667,6 +817,15 @@ object ParquetMeta {
       w.fieldHeader(3, TStruct, 2)
       writeColumnMeta(w, cm)
       w.stop() // ends ColumnMetaData
+      var lastCc = 3
+      if (cm.offsetIndexOffset >= 0) {
+        w.i64Field(4, lastCc, cm.offsetIndexOffset); lastCc = 4
+        w.i32Field(5, lastCc, cm.offsetIndexLength); lastCc = 5
+      }
+      if (cm.columnIndexOffset >= 0) {
+        w.i64Field(6, lastCc, cm.columnIndexOffset); lastCc = 6
+        w.i32Field(7, lastCc, cm.columnIndexLength); lastCc = 7
+      }
       w.stop() // ends ColumnChunk
     }
     w.i64Field(2, 1, rg.totalByteSize)

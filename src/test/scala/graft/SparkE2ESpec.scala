@@ -572,6 +572,176 @@ class SparkE2ESpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(graft.sources.ParquetSource.read(spark, dir4).count() == 80)
   }
 
+  test("page index interop: parquet-mr filters rows through our ColumnIndex") {
+    import graft.sources.ParquetSink
+    // one file, one row group, multi-page chunks, sorted ids: Spark's
+    // vectorized reader applies column-index filtering by DEFAULT
+    // (parquet.filter.columnindex.enabled) when a predicate is pushed —
+    // a malformed or lying ColumnIndex/OffsetIndex drops or breaks rows,
+    // so exact equality on a filtered aggregate is a real external anchor
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+      .select("doc_id", "text")
+    val dir = java.nio.file.Files.createTempDirectory("graft-pgidx").toString
+    ParquetSink.write(docs.coalesce(1).sortWithinPartitions("doc_id"), dir,
+      rowGroupRows = 1 << 20).count()
+    val exp = docs.filter(col("doc_id").between(200L, 900L))
+      .agg(count(lit(1)), sum(length(col("text"))), sum(col("doc_id")))
+      .collect()(0)
+    val got = spark.read.parquet(dir)
+      .filter(col("doc_id").between(200L, 900L))
+      .agg(count(lit(1)), sum(length(col("text"))), sum(col("doc_id")))
+      .collect()(0)
+    assert(got == exp)
+    // and through our own DSv2 (index-driven page pruning inside the scan)
+    val ours = spark.read.format(graft.sources.GraftParquetFormat.Name)
+      .load(dir).filter(col("doc_id").between(200L, 900L))
+      .agg(count(lit(1)), sum(length(col("text"))), sum(col("doc_id")))
+      .collect()(0)
+    assert(ours == exp)
+  }
+
+  test("page CRC32 interop: parquet-mr verifies ours, we verify parquet-mr's") {
+    import graft.sources.{ParquetFileReader, ParquetMeta, ParquetSink}
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+      .select("doc_id", "lang", "text").limit(400)
+    // ours -> parquet-mr: Spark reads our file with checksum VERIFICATION on
+    // (default off), so a CRC that didn't match parquet-mr's definition
+    // would abort the scan instead of returning rows
+    val dir = java.nio.file.Files.createTempDirectory("graft-crc1").toString
+    ParquetSink.write(docs.coalesce(1), dir).count()
+    spark.sparkContext.hadoopConfiguration
+      .setBoolean("parquet.page.verify-checksum.enabled", true)
+    try {
+      assert(spark.read.parquet(dir).count() == 400)
+    } finally spark.sparkContext.hadoopConfiguration
+      .setBoolean("parquet.page.verify-checksum.enabled", false)
+    // parquet-mr -> ours: Spark writes with page checksums (its default),
+    // our reader parses field 4 and verifies every decoded page
+    val dir2 = java.nio.file.Files.createTempDirectory("graft-crc2")
+      .toString + "/out"
+    docs.coalesce(1).write.parquet(dir2)
+    val f = new java.io.File(dir2).listFiles(
+      (_, n) => n.endsWith(".parquet")).head.getPath
+    val bytes = java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(f))
+    val meta = ParquetFileReader.readFooter(bytes)
+    val cm = meta.rowGroups.head.columns.head
+    val firstOff =
+      if (cm.dictionaryPageOffset >= 0)
+        math.min(cm.dictionaryPageOffset, cm.dataPageOffset)
+      else cm.dataPageOffset
+    val ph = ParquetMeta.parsePageHeader(bytes, firstOff.toInt)
+    assert(ph.crcDefined, "Spark-written page carries no CRC?")
+    val (_, got) = ParquetFileReader.readFileRows(f)
+    assert(got.size == 400)
+  }
+
+  test("parquet writer: delta/RLE fallback encodings (v2-default + auto policies)") {
+    import graft.sources.{EncPolicy, ParquetFileReader, ParquetSink, PqCodec, PqEncoding}
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    // shaped to dodge the dictionary path so the FALLBACK encoding shows:
+    //  sorted_id   unique sorted longs    -> auto: DELTA_BINARY_PACKED
+    //  rnd_id      splitmix-style longs   -> auto: PLAIN (delta can't win)
+    //  path        long shared prefixes,  -> auto: DELTA_BYTE_ARRAY
+    //              >1MiB uniques (busts dict)
+    //  blob        no shared prefixes,    -> auto: DELTA_LENGTH_BYTE_ARRAY
+    //              >1MiB uniques
+    //  flag        99% true               -> auto: RLE
+    //  temp        floats, one exponent    -> auto: BYTE_STREAM_SPLIT
+    //              band (compresses split)
+    val n = 3000
+    val pad = "x" * 380
+    val rows = (0 until n).map { i =>
+      var z = i.toLong * 0x9E3779B97F4A7C15L
+      z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
+      z ^= z >>> 27
+      Row(i.toLong, z, f"repo/org/project/src/main/scala/$pad/file_$i%06d.scala",
+        f"$z%016x$pad$i", i % 100 != 0, 1.0f + i / 8191.0f)
+    }
+    val schema = StructType(Seq(
+      StructField("sorted_id", LongType), StructField("rnd_id", LongType),
+      StructField("path", StringType), StructField("blob", StringType),
+      StructField("flag", BooleanType), StructField("temp", FloatType)))
+    val df = spark.createDataFrame(
+      spark.sparkContext.parallelize(rows, 1), schema)
+
+    val autoDir = java.nio.file.Files.createTempDirectory("graft-encauto").toString
+    ParquetSink.write(df, autoDir, codec = PqCodec.Snappy, pageVersion = 2,
+      encPolicy = EncPolicy.Auto).count()
+    val autoFile = new java.io.File(autoDir).listFiles(
+      (_, nm) => nm.endsWith(".parquet")).head.getPath
+    val meta = ParquetFileReader.readFooterOnly(autoFile)
+    val encOf = meta.rowGroups.head.columns
+      .map(c => c.pathInSchema.mkString(".") -> c.encodings).toMap
+    assert(encOf("sorted_id").contains(PqEncoding.DeltaBinaryPacked))
+    assert(encOf("rnd_id").contains(PqEncoding.Plain) &&
+      !encOf("rnd_id").contains(PqEncoding.DeltaBinaryPacked))
+    assert(encOf("path").contains(PqEncoding.DeltaByteArray))
+    assert(encOf("blob").contains(PqEncoding.DeltaLengthByteArray))
+    assert(encOf("flag").contains(PqEncoding.Rle))
+    assert(encOf("temp").contains(PqEncoding.ByteStreamSplit))
+
+    // external anchor: parquet-mr consumes every auto-chosen encoding
+    // value-exactly. Spark's VECTORIZED reader has no BYTE_STREAM_SPLIT
+    // support (even in 4.x), so this read goes through parquet-mr's row
+    // path — the same library, non-vectorized surface.
+    val expect = rows.map(r => (r.getLong(0), r.getLong(1), r.getString(2),
+      r.getString(3), r.getBoolean(4), r.getFloat(5)))
+    spark.conf.set("spark.sql.parquet.enableVectorizedReader", "false")
+    // parquet-mr's row reader refuses DELTA_BYTE_ARRAY on potentially-split
+    // files (its PARQUET-246 legacy-bug guard) unless splitting is off
+    spark.sparkContext.hadoopConfiguration.setBoolean("parquet.split.files", false)
+    val viaSpark =
+      try spark.read.parquet(autoDir).orderBy("sorted_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getString(3),
+          r.getBoolean(4), r.getFloat(5))).toSeq
+      finally {
+        spark.conf.set("spark.sql.parquet.enableVectorizedReader", "true")
+        spark.sparkContext.hadoopConfiguration
+          .setBoolean("parquet.split.files", true)
+      }
+    assert(viaSpark == expect)
+    // and our own distributed source decodes its own delta pages
+    val viaOurs = graft.sources.ParquetSource.read(spark, autoDir)
+      .orderBy("sorted_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getString(3),
+        r.getBoolean(4), r.getFloat(5))).toSeq
+    assert(viaOurs == expect)
+    // DSv2 columnar path (typed vectors) over the same delta/RLE pages
+    val viaDsv2 = spark.read.format(graft.sources.GraftParquetFormat.Name)
+      .load(autoDir).orderBy("sorted_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getString(3),
+        r.getBoolean(4), r.getFloat(5))).toSeq
+    assert(viaDsv2 == expect)
+
+    // reference v2-default policy: fixed per-type encodings, v1 pages are
+    // legal carriers too (encoding is a page property, not a page-version
+    // property) — Spark still reads it
+    val v2Dir = java.nio.file.Files.createTempDirectory("graft-encv2").toString
+    ParquetSink.write(df, v2Dir, codec = PqCodec.Snappy, pageVersion = 1,
+      encPolicy = EncPolicy.V2Default).count()
+    val v2File = new java.io.File(v2Dir).listFiles(
+      (_, nm) => nm.endsWith(".parquet")).head.getPath
+    val encOf2 = ParquetFileReader.readFooterOnly(v2File).rowGroups.head
+      .columns.map(c => c.pathInSchema.mkString(".") -> c.encodings).toMap
+    assert(encOf2("sorted_id").contains(PqEncoding.DeltaBinaryPacked))
+    assert(encOf2("rnd_id").contains(PqEncoding.DeltaBinaryPacked))
+    assert(encOf2("path").contains(PqEncoding.DeltaByteArray))
+    assert(encOf2("blob").contains(PqEncoding.DeltaByteArray))
+    assert(encOf2("flag").contains(PqEncoding.Rle))
+    val viaSpark2 = spark.read.parquet(v2Dir).orderBy("sorted_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getString(3),
+        r.getBoolean(4), r.getFloat(5))).toSeq
+    assert(viaSpark2 == expect)
+    // auto never loses to plain: compressed file strictly smaller
+    val plainDir = java.nio.file.Files.createTempDirectory("graft-encpl").toString
+    ParquetSink.write(df, plainDir, codec = PqCodec.Snappy, pageVersion = 2,
+      encPolicy = EncPolicy.Plain).count()
+    val sz = (d: String) => new java.io.File(d).listFiles(
+      (_, nm) => nm.endsWith(".parquet")).map(_.length).sum
+    assert(sz(autoDir) < sz(plainDir))
+  }
+
   test("distributed ParquetSource: our writer -> our reader as a DataFrame") {
     import graft.sources.{ParquetSink, ParquetSource, PqCodec}
     import org.apache.spark.sql.Row

@@ -373,6 +373,144 @@ class ParquetInteropSpec extends AnyFunSuite {
     assert(nm.min == "ALGERIA" && nm.max == "VIETNAM")
   }
 
+  test("page CRC32: written on every page, verified on read, catches flips") {
+    val tmp = java.nio.file.Files.createTempDirectory("pqcrc").toString
+    import org.apache.spark.sql.types._
+    val schema = StructType(Seq(
+      StructField("id", LongType), StructField("s", StringType)))
+    val rows = (0 until 500).map(i =>
+      org.apache.spark.sql.Row(i.toLong, s"value_$i"))
+    for (pv <- Seq(1, 2)) {
+      val path = s"$tmp/crc_v$pv.parquet"
+      ParquetFileWriter.writeFile(path, schema, rows.iterator,
+        rowGroupRows = 200, codec = PqCodec.Snappy, pageVersion = pv)
+      // every page header carries field 4 and the body matches it
+      val bytes = java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(path))
+      val meta = ParquetFileReader.readFooter(bytes)
+      var pages = 0
+      meta.rowGroups.foreach(_.columns.foreach { cm =>
+        var off =
+          if (cm.dictionaryPageOffset >= 0)
+            math.min(cm.dictionaryPageOffset, cm.dataPageOffset)
+          else cm.dataPageOffset
+        var remaining = cm.numValues
+        while (remaining > 0) {
+          val ph = ParquetMeta.parsePageHeader(bytes, off.toInt)
+          assert(ph.crcDefined, s"page at $off missing crc (v$pv)")
+          val c = new java.util.zip.CRC32
+          c.update(bytes, off.toInt + ph.headerLen, ph.compressedSize)
+          assert(c.getValue.toInt == ph.crc, s"crc wrong at $off (v$pv)")
+          if (ph.pageType != 2) remaining -= ph.numValues
+          off += ph.headerLen + ph.compressedSize
+          pages += 1
+        }
+      })
+      assert(pages >= 6) // 3 row groups x 2 columns at least
+      val (_, got) = ParquetFileReader.readFileRows(path)
+      assert(got.size == 500)
+      // flip one byte in the middle of the first data page body: the read
+      // must fail with the CRC message, not an obscure decoder error
+      val cm0 = meta.rowGroups.head.columns.head
+      val ph0 = ParquetMeta.parsePageHeader(bytes, cm0.dataPageOffset.toInt)
+      val target = cm0.dataPageOffset.toInt + ph0.headerLen +
+        ph0.compressedSize / 2
+      val bad = bytes.clone()
+      bad(target) = (bad(target) ^ 0x5A).toByte
+      val badPath = s"$tmp/bad_v$pv.parquet"
+      java.nio.file.Files.write(java.nio.file.Paths.get(badPath), bad)
+      val e = intercept[Exception] { ParquetFileReader.readFileRows(badPath) }
+      assert(e.getMessage.contains("CRC mismatch"), s"got: ${e.getMessage}")
+    }
+  }
+
+  test("page index: ColumnIndex/OffsetIndex written, parsed, and prune " +
+      "with zero chunk I/O") {
+    val tmp = java.nio.file.Files.createTempDirectory("pqidx").toString
+    val path = s"$tmp/idx.parquet"
+    import org.apache.spark.sql.types._
+    val schema = StructType(Seq(
+      StructField("id", LongType), StructField("txt", StringType)))
+    val n = 200000
+    val rows = (0 until n).map(i =>
+      org.apache.spark.sql.Row(i.toLong, f"row_payload_$i%09d_of_the_table"))
+    ParquetFileWriter.writeFile(path, schema, rows.iterator,
+      rowGroupRows = 1 << 20, codec = PqCodec.Snappy)
+    val bytes = java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(path))
+    val meta = ParquetFileReader.readFooter(bytes)
+    assert(meta.rowGroups.size == 1)
+    meta.rowGroups.head.columns.foreach { cm =>
+      assert(cm.offsetIndexOffset >= 0 && cm.offsetIndexLength > 0,
+        s"${cm.pathInSchema}: no offset index")
+      assert(cm.columnIndexOffset >= 0 && cm.columnIndexLength > 0,
+        s"${cm.pathInSchema}: no column index")
+      val oi = ParquetMeta.parseOffsetIndex(bytes, cm.offsetIndexOffset.toInt)
+      val ci = ParquetMeta.parseColumnIndex(bytes, cm.columnIndexOffset.toInt)
+      // offset index agrees with a full page-header walk of the chunk
+      val (_, spans) = ParquetFileReader.pageSpans(bytes, cm)
+      assert(oi.size == spans.size && ci.minValues.size == spans.size)
+      oi.zip(spans).foreach { case (loc, sp) =>
+        assert(loc.offset == sp.off && loc.firstRowIndex == sp.rowStart)
+        assert(loc.compressedPageSize ==
+          sp.header.headerLen + sp.header.compressedSize)
+      }
+      // column index stats match the page-header stats, order ascending
+      ci.minValues.zip(spans).foreach { case (mn, sp) =>
+        assert(java.util.Arrays.equals(mn, sp.header.stats.get.min))
+      }
+      assert(ci.boundaryOrder == 1, s"${cm.pathInSchema} not ASCENDING")
+      assert(ci.nullPages.forall(!_) && ci.nullCounts.forall(_ == 0L))
+    }
+    // the string chunk spans multiple ~1MiB pages, so pruning has teeth
+    val txtCm = meta.rowGroups.head.columns(1)
+    assert(ParquetMeta.parseOffsetIndex(bytes,
+      txtCm.offsetIndexOffset.toInt).size > 3)
+    // index-derived row ranges == header-walk row ranges for a point range
+    val idCm = meta.rowGroups.head.columns.head
+    val keepFn = (st: PqStats) =>
+      ParquetFileReader.intStatsOverlap(st, 100000L, 100100L)
+    val viaIdx = ParquetFileReader.indexRowRanges(
+      ParquetMeta.parseColumnIndex(bytes, idCm.columnIndexOffset.toInt),
+      ParquetMeta.parseOffsetIndex(bytes, idCm.offsetIndexOffset.toInt),
+      n.toLong, keepFn)
+    val fetch = new ParquetFileReader.ChunkFetcher(path)
+    try {
+      val (b, rcm) = fetch.fetch(idCm)
+      assert(viaIdx == ParquetFileReader.pageRowRanges(b, rcm, keepFn))
+      assert(viaIdx.nonEmpty && viaIdx.map(r => r._2 - r._1).sum < n)
+    } finally fetch.close()
+    // ZERO chunk I/O on filter-only columns: obliterate the id chunk's
+    // bytes entirely — a ranged columnBatch filtering on id but projecting
+    // only txt must still answer exactly (the filter pruned via the
+    // footer-side index, never touching the destroyed chunk)
+    val (s0, e0) = ParquetFileReader.chunkByteRange(idCm)
+    val raf = new java.io.RandomAccessFile(path, "rw")
+    try {
+      raf.seek(s0)
+      raf.write(Array.fill[Byte]((e0 - s0).toInt)(0x7F))
+    } finally raf.close()
+    val fetch2 = new ParquetFileReader.ChunkFetcher(path)
+    try {
+      val (vals, kept) = GraftFlatScan.columnBatch(fetch2, meta, 0,
+        Array(StructField("txt", StringType)),
+        ranges = Map("id" -> ((100000L, 100100L))),
+        strRanges = Map.empty)
+      assert(kept > 0 && kept < n, s"kept $kept")
+      val got = vals.head.map(v =>
+        new String(v.asInstanceOf[Array[Byte]], "UTF-8"))
+      // surviving pages cover the target rows; residual filtering is the
+      // engine's job — here we check the target payloads are present
+      assert(got.contains("row_payload_000100000_of_the_table"))
+      assert(got.contains("row_payload_000100100_of_the_table"))
+      // and reading the DESTROYED column itself fails (proves the bytes
+      // really are gone — the pruning above wasn't reading a healthy chunk)
+      intercept[Exception] {
+        val (b2, rcm2) = fetch2.fetch(idCm)
+        ParquetFileReader.readColumn(b2,
+          ParquetFileReader.Column("id", idCm.typ, 1, rcm2))
+      }
+    } finally fetch2.close()
+  }
+
   test("nested writer roundtrip: LIST and MAP columns through our reader") {
     val tmp = java.nio.file.Files.createTempDirectory("pqwn").toString
     val path = s"$tmp/nested.parquet"
