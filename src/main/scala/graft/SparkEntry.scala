@@ -289,6 +289,23 @@ object SparkEntry {
           sum(length(col("text"))).cast("long").as("text_chars"),
           sum(col("doc_id")).cast("long").as("sum_id"))
     }),
+    "q_parquet_resumable" -> ((s, dir) => {
+      // Resumable file sink: first run writes all partitions and commits a
+      // per-column lineage table under _lineage (encodings, bytes, sha256);
+      // the second run reads that lineage, finds every partition done, and
+      // writes NOTHING — oracle equality on the read-back plus the rerun
+      // proves checkpoint-resume idempotence on the real-file path.
+      val in = docs(s, dir).select("doc_id", "lang", "text")
+        .repartition(4, col("doc_id")).sortWithinPartitions("doc_id")
+      val out = java.nio.file.Files.createTempDirectory("graft-pqres").toString
+      graft.sources.ParquetSink.writeResumable(in, out).count()
+      graft.sources.ParquetSink.writeResumable(in, out).count() // no-op rerun
+      s.read.format(graft.sources.GraftParquetFormat.Name).load(out)
+        .groupBy("lang").agg(count(lit(1)).as("cnt"),
+          sum(length(col("text"))).as("chars"),
+          sum(col("doc_id")).as("sum_id"))
+        .orderBy("lang")
+    }),
     "q_parquet_page_prune" -> ((s, dir) => {
       // Page-granular pruning surface: a single-file, single-row-group
       // table whose chunks span many ~1 MiB pages with per-page header
@@ -566,6 +583,8 @@ object SparkEntry {
       "SELECT lang, count(*) AS cnt, CAST(sum(length(text)) AS BIGINT) AS chars, CAST(sum(doc_id) AS BIGINT) AS sum_id FROM documents WHERE doc_id BETWEEN 100 AND 2000 GROUP BY lang ORDER BY lang",
     "q_parquet_hive_part" ->
       "SELECT count(*) AS n_docs, CAST(sum(length(text)) AS BIGINT) AS text_chars, CAST(sum(doc_id) AS BIGINT) AS sum_id FROM documents WHERE lang = 'en'",
+    "q_parquet_resumable" ->
+      "SELECT lang, count(*) AS cnt, CAST(sum(length(text)) AS BIGINT) AS chars, CAST(sum(doc_id) AS BIGINT) AS sum_id FROM documents GROUP BY lang ORDER BY lang",
     "q_parquet_page_prune" ->
       "SELECT count(*) AS n_docs, CAST(sum(length(text)) AS BIGINT) AS text_chars, CAST(sum(doc_id) AS BIGINT) AS sum_id FROM documents WHERE doc_id BETWEEN 500 AND 1499",
     "q_parquet_sql_read" ->

@@ -80,12 +80,17 @@ object GraftParquetFormat {
         val kids = f.listFiles()
         if (kids != null) kids.sortBy(_.getName).foreach { c =>
           val n = c.getName
+          // skip metadata dirs/files (_lineage, _SUCCESS, .crc) — the same
+          // convention Spark's own listing applies
+          if (n.startsWith("_") || n.startsWith(".")) ()
+          else {
           val i = n.indexOf('=')
           val kv =
             if (c.isDirectory && i > 0)
               Some((n.take(i), java.net.URLDecoder.decode(n.drop(i + 1), "UTF-8")))
             else None
           walk(c, kv.fold(kvs)(_ :: kvs))
+          }
         }
       }
     if (root.isFile) out += ((root.getPath, Nil)) else walk(root, Nil)

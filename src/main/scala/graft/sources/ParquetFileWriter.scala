@@ -158,6 +158,20 @@ object ParquetFileWriter {
       totalRows
     }
 
+    /** Per-column write accounting across all flushed row groups (call
+      * after close()): (dotted column path, encodings used, uncompressed
+      * bytes, compressed bytes, values) — the per-partition lineage the
+      * chunk engine records, on the real-file path. */
+    def columnLineage: Seq[(String, Seq[Int], Long, Long, Long)] =
+      rowGroups.flatMap(_.columns)
+        .groupBy(_.pathInSchema.mkString("."))
+        .toSeq.map { case (path, cs) =>
+          (path, cs.flatMap(_.encodings).distinct.sorted.toSeq,
+            cs.map(_.totalUncompressedSize).sum,
+            cs.map(_.totalCompressedSize).sum,
+            cs.map(_.numValues).sum)
+        }.sortBy(_._1)
+
     private def flushRowGroup(buffered: Int): Unit = {
       if (buffered == 0) return
       val chunks = ArrayBuffer.empty[PqColumnMeta]
@@ -870,6 +884,68 @@ object ParquetSink {
         Iterator(Row(path, n))
       }
     }
+  }
+
+  /** One per-column lineage row of a resumable write — the north rule's
+    * per-partition lineage (partition id, codec chosen, input/output bytes,
+    * sha256 manifest) for files instead of chunk tables. */
+  final case class FileLineageRow(partId: Int, path: String, rows: Long,
+      fileBytes: Long, fileSha256: String, column: String, codecs: String,
+      uncompressedBytes: Long, compressedBytes: Long, values: Long)
+
+  /** Resumable distributed write — the file-sink sibling of
+    * `EncodeJob.encodeResumable`: a lineage table under `dir/_lineage`
+    * records every COMPLETED partition (per column: encodings, bytes,
+    * values; per file: sha256 manifest); re-running over the same
+    * deterministic input skips completed partitions entirely and writes
+    * only the missing ones. Files are written truncate-style, so a task
+    * retry after a mid-file crash is idempotent; lineage rows only commit
+    * when the Spark job commits, so a killed job simply rewrites its
+    * unrecorded partitions on resume. */
+  def writeResumable(df: DataFrame, dir: String, codec: Int = PqCodec.Snappy,
+      rowGroupRows: Int = 1 << 16, pageVersion: Int = 1,
+      encPolicy: Int = EncPolicy.Plain): DataFrame = {
+    val spark = df.sparkSession
+    new java.io.File(dir).mkdirs()
+    val lineageDir = s"$dir/_lineage"
+    val done: Set[Int] =
+      try spark.read.parquet(lineageDir).select("partId").distinct()
+        .collect().map(_.getInt(0)).toSet
+      catch { case _: Throwable => Set.empty }
+    val schema = df.schema
+    val doneB = spark.sparkContext.broadcast(done)
+    implicit val enc: org.apache.spark.sql.Encoder[FileLineageRow] =
+      Encoders.product[FileLineageRow]
+    val lineage = df.mapPartitions { it =>
+      val pid = TaskContext.getPartitionId()
+      if (doneB.value.contains(pid) || !it.hasNext) Iterator.empty
+      else {
+        val path = f"$dir/part-$pid%05d.parquet"
+        val w = new ParquetFileWriter.IncrementalFileWriter(path, schema,
+          rowGroupRows, codec, pageVersion, encPolicy = encPolicy)
+        it.foreach(w.add)
+        val n = w.close()
+        val fileBytes = new java.io.File(path).length
+        val sha = sha256File(path)
+        w.columnLineage.iterator.map { case (c, encs, unc, comp, vals) =>
+          FileLineageRow(pid, path, n, fileBytes, sha, c,
+            encs.map(PqEncoding.name).mkString("+"), unc, comp, vals)
+        }
+      }
+    }
+    lineage.write.mode("append").parquet(lineageDir)
+    spark.read.parquet(lineageDir)
+  }
+
+  private def sha256File(path: String): String = {
+    val md = java.security.MessageDigest.getInstance("SHA-256")
+    val in = new java.io.FileInputStream(path)
+    try {
+      val buf = new Array[Byte](1 << 16)
+      var n = in.read(buf)
+      while (n >= 0) { if (n > 0) md.update(buf, 0, n); n = in.read(buf) }
+    } finally in.close()
+    md.digest().map(b => f"$b%02x").mkString
   }
 
   /** Hive-style partitioned write: rows land under

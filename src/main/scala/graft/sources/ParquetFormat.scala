@@ -205,6 +205,18 @@ object PqEncoding {
   val DeltaByteArray = 7
   val RleDictionary = 8
   val ByteStreamSplit = 9
+  def name(e: Int): String = e match {
+    case Plain => "PLAIN"
+    case PlainDictionary => "PLAIN_DICTIONARY"
+    case Rle => "RLE"
+    case BitPacked => "BIT_PACKED"
+    case DeltaBinaryPacked => "DELTA_BINARY_PACKED"
+    case DeltaLengthByteArray => "DELTA_LENGTH_BYTE_ARRAY"
+    case DeltaByteArray => "DELTA_BYTE_ARRAY"
+    case RleDictionary => "RLE_DICTIONARY"
+    case ByteStreamSplit => "BYTE_STREAM_SPLIT"
+    case other => s"ENC_$other"
+  }
 }
 
 object PqCodec {

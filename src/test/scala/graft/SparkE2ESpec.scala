@@ -1179,4 +1179,53 @@ class SparkE2ESpec extends AnyFunSuite with BeforeAndAfterAll {
     val again = scored.collect().map(_.getString(1)).toSeq
     assert(again == rows.map(_.getString(1)).toSeq)
   }
+
+  test("resumable parquet sink: lineage commits, reruns skip, partial resumes") {
+    import graft.sources.{GraftParquetFormat, ParquetSink}
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+      .select("doc_id", "lang", "text").repartition(4, col("doc_id"))
+      .sortWithinPartitions("doc_id")
+    val dir = java.nio.file.Files.createTempDirectory("graft-resume").toString
+    val lin1 = ParquetSink.writeResumable(docs, dir).cache()
+    // lineage: one row per (partition, column), sha+bytes recorded
+    assert(lin1.select("partId").distinct().count() == 4)
+    assert(lin1.count() == 12)
+    val linRows = lin1.collect()
+    assert(linRows.forall(_.getAs[String]("fileSha256").length == 64))
+    assert(linRows.forall(_.getAs[Long]("compressedBytes") > 0))
+    // data files readable through our scan (lineage dir must be skipped)
+    val back = spark.read.format(GraftParquetFormat.Name).load(dir)
+    assert(back.count() == docs.count())
+    assert(back.agg(sum("doc_id")).head.getLong(0) ==
+      docs.agg(sum("doc_id")).head.getLong(0))
+    // ...and through Spark's own reader (external interop)
+    assert(spark.read.parquet(dir).count() == docs.count())
+    // recorded sha matches bytes on disk
+    val one = linRows.head
+    val md = java.security.MessageDigest.getInstance("SHA-256")
+    val digest = md.digest(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(one.getAs[String]("path"))))
+      .map(b => f"$b%02x").mkString
+    assert(digest == one.getAs[String]("fileSha256"))
+    // rerun over the same input: all partitions recorded done -> no file
+    // rewritten, no lineage rows appended
+    val mtimes = new java.io.File(dir).listFiles()
+      .filter(_.getName.endsWith(".parquet")).map(f => f.getName -> f.lastModified).toMap
+    val lin2 = ParquetSink.writeResumable(docs, dir)
+    assert(lin2.count() == 12)
+    val mtimes2 = new java.io.File(dir).listFiles()
+      .filter(_.getName.endsWith(".parquet")).map(f => f.getName -> f.lastModified).toMap
+    assert(mtimes2 == mtimes)
+    // partial resume: seed a fresh dir's lineage with partitions 0-1 only,
+    // rerun -> exactly the two missing partition files get written
+    val dir2 = java.nio.file.Files.createTempDirectory("graft-resume2").toString
+    lin1.where(col("partId") < 2).write.parquet(s"$dir2/_lineage")
+    ParquetSink.writeResumable(docs, dir2)
+    val files2 = new java.io.File(dir2).listFiles()
+      .filter(_.getName.endsWith(".parquet")).map(_.getName).sorted.toSeq
+    assert(files2 == Seq("part-00002.parquet", "part-00003.parquet"))
+    assert(spark.read.parquet(s"$dir2/_lineage").select("partId")
+      .distinct().count() == 4)
+    lin1.unpersist()
+  }
 }
