@@ -289,6 +289,28 @@ object SparkEntry {
           sum(length(col("text"))).cast("long").as("text_chars"),
           sum(col("doc_id")).cast("long").as("sum_id"))
     }),
+    "q_parquet_dpp_join" -> ((s, dir) => {
+      // Runtime join-key filtering: fact = documents through OUR sink+scan
+      // (small sorted row groups), dim = a file-backed key table with its
+      // own predicate. Spark broadcasts the dim, hands its surviving keys
+      // to the scan via SupportsRuntimeV2Filtering, and the scan re-prunes
+      // row groups before any task is scheduled — the 100 TB dim-fact
+      // shape where the fact side reads only the joined keys' groups.
+      val in = docs(s, dir).select("doc_id", "lang", "text")
+      val out = java.nio.file.Files.createTempDirectory("graft-dppq").toString
+      graft.sources.ParquetSink.write(
+        in.repartition(2).sortWithinPartitions("doc_id"), out,
+        rowGroupRows = 1 << 10).count()
+      val dimDir = java.nio.file.Files.createTempDirectory("graft-dppd").toString
+      in.select("doc_id").write.mode("overwrite").parquet(dimDir)
+      val fact = s.read.format(graft.sources.GraftParquetFormat.Name).load(out)
+      val dim = s.read.parquet(dimDir).where(col("doc_id") % 97 === 0)
+        .withColumnRenamed("doc_id", "k")
+      fact.join(dim, fact("doc_id") === dim("k"))
+        .groupBy("lang").agg(count(lit(1)).as("cnt"),
+          sum(col("doc_id")).as("sum_id"))
+        .orderBy("lang")
+    }),
     "q_parquet_resumable" -> ((s, dir) => {
       // Resumable file sink: first run writes all partitions and commits a
       // per-column lineage table under _lineage (encodings, bytes, sha256);
@@ -583,6 +605,8 @@ object SparkEntry {
       "SELECT lang, count(*) AS cnt, CAST(sum(length(text)) AS BIGINT) AS chars, CAST(sum(doc_id) AS BIGINT) AS sum_id FROM documents WHERE doc_id BETWEEN 100 AND 2000 GROUP BY lang ORDER BY lang",
     "q_parquet_hive_part" ->
       "SELECT count(*) AS n_docs, CAST(sum(length(text)) AS BIGINT) AS text_chars, CAST(sum(doc_id) AS BIGINT) AS sum_id FROM documents WHERE lang = 'en'",
+    "q_parquet_dpp_join" ->
+      "SELECT lang, count(*) AS cnt, CAST(sum(doc_id) AS BIGINT) AS sum_id FROM documents WHERE doc_id % 97 = 0 GROUP BY lang ORDER BY lang",
     "q_parquet_resumable" ->
       "SELECT lang, count(*) AS cnt, CAST(sum(length(text)) AS BIGINT) AS chars, CAST(sum(doc_id) AS BIGINT) AS sum_id FROM documents GROUP BY lang ORDER BY lang",
     "q_parquet_page_prune" ->

@@ -7,8 +7,9 @@ import scala.jdk.CollectionConverters._
 import org.apache.spark.sql.catalyst.CatalystTypeConverters
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.connector.catalog.{SupportsRead, SupportsWrite, Table, TableCapability, TableProvider}
-import org.apache.spark.sql.connector.expressions.{NamedReference, Transform}
+import org.apache.spark.sql.connector.expressions.{Expressions, NamedReference, Transform}
 import org.apache.spark.sql.connector.expressions.aggregate.{AggregateFunc, Aggregation, CountStar, Max, Min}
+import org.apache.spark.sql.connector.expressions.filter.Predicate
 import org.apache.spark.sql.connector.read._
 import org.apache.spark.sql.connector.write._
 import org.apache.spark.sql.sources._
@@ -490,18 +491,112 @@ final class GraftScan(dir: String, schema: StructType,
     ranges: Map[String, (Long, Long)], limit: Int = -1,
     strRanges: Map[String, (Array[Byte], Array[Byte])] = Map.empty,
     eqProbes: Seq[(String, Seq[Any])] = Nil)
-    extends Scan with Batch with SupportsReportStatistics {
+    extends Scan with Batch with SupportsReportStatistics
+    with SupportsRuntimeV2Filtering {
+
+  // Planning-time pushdown, possibly narrowed further at RUNTIME: when this
+  // scan is the probe side of a DPP-eligible join, Spark executes the
+  // (filtered, broadcast) build side first and hands its join-key values
+  // here via filter() before planInputPartitions() runs — so a dim-table
+  // predicate prunes fact-table directories, row groups, and bloom-filtered
+  // pages it never named directly. The 100 TB shape: a 1000-file fact scan
+  // joined to a 5-row dim schedules only the matching keys' row groups.
+  private var rtRanges = ranges
+  private var rtStrRanges = strRanges
+  private var rtEqProbes = eqProbes
+  private var runtimeNarrowedCols: Seq[String] = Nil
+
+  /** Columns runtime join-key filters may prune on (every scalar column —
+    * the envelope + bloom machinery works for int and string alike). */
+  override def filterAttributes(): Array[NamedReference] =
+    schema.fields.collect {
+      case f if f.dataType == LongType || f.dataType == IntegerType ||
+        f.dataType == org.apache.spark.sql.types.StringType =>
+        Expressions.column(f.name)
+    }
+
+  /** Runtime narrowing: IN/= predicates over declared attributes tighten
+    * the stat envelopes and join the bloom-probe set; anything unparseable
+    * is ignored (over-inclusive = sound — Spark still applies the join). */
+  override def filter(predicates: Array[Predicate]): Unit = {
+    def colOf(e: org.apache.spark.sql.connector.expressions.Expression):
+        Option[String] = e match {
+      case nr: NamedReference if nr.fieldNames.length == 1 =>
+        Some(nr.fieldNames()(0))
+      case _ => None
+    }
+    def litOf(e: org.apache.spark.sql.connector.expressions.Expression):
+        Option[Any] = e match {
+      case l: org.apache.spark.sql.connector.expressions.Literal[_] =>
+        Option(l.value)
+      case _ => None
+    }
+    val longCols = schema.fields.collect {
+      case f if f.dataType == LongType || f.dataType == IntegerType => f.name
+    }.toSet
+    val strCols = schema.fields.collect {
+      case f if f.dataType == org.apache.spark.sql.types.StringType => f.name
+    }.toSet
+    def num(v: Any): Option[Long] = v match {
+      case l: Long => Some(l)
+      case i: Int => Some(i.toLong)
+      case s: Short => Some(s.toLong)
+      case b: Byte => Some(b.toLong)
+      case _ => None
+    }
+    def utf8(v: Any): Option[Array[Byte]] = v match {
+      case u: org.apache.spark.unsafe.types.UTF8String => Some(u.getBytes)
+      case s: String => Some(s.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      case _ => None
+    }
+    predicates.foreach { p =>
+      val vals: Option[(String, Seq[Any])] = p.name() match {
+        case "IN" | "=" if p.children().nonEmpty =>
+          for {
+            c <- colOf(p.children()(0))
+            vs <- Some(p.children().drop(1).toSeq.map(litOf))
+            if vs.nonEmpty && vs.forall(_.isDefined)
+          } yield (c, vs.map(_.get))
+        case _ => None
+      }
+      vals.foreach { case (c, vs) =>
+        if (longCols(c) && vs.forall(num(_).isDefined)) {
+          val ns = vs.map(num(_).get)
+          val (l0, h0) = rtRanges.getOrElse(c, (Long.MinValue, Long.MaxValue))
+          rtRanges += c -> (math.max(l0, ns.min), math.min(h0, ns.max))
+          rtEqProbes :+= ((c, ns))
+          runtimeNarrowedCols :+= c
+        } else if (strCols(c) && vs.forall(utf8(_).isDefined)) {
+          val bs = vs.map(utf8(_).get)
+          val lo = bs.reduce((a, b) =>
+            if (graft.core.MinMax.compareBytes(a, b) <= 0) a else b)
+          val hi = bs.reduce((a, b) =>
+            if (graft.core.MinMax.compareBytes(a, b) >= 0) a else b)
+          val (l0, h0) = rtStrRanges.getOrElse(c, (null, null))
+          val l = if (l0 == null || graft.core.MinMax.compareBytes(lo, l0) > 0) lo else l0
+          val h = if (h0 == null || graft.core.MinMax.compareBytes(hi, h0) < 0) hi else h0
+          rtStrRanges += c -> (l, h)
+          rtEqProbes :+= ((c, bs.toSeq))
+          runtimeNarrowedCols :+= c
+        }
+      }
+    }
+  }
+
+  /** Columns runtime filter() actually narrowed on (test/observability). */
+  def runtimeFilteredColumns: Seq[String] = runtimeNarrowedCols.distinct
+
   override def readSchema(): StructType = schema
   override def description(): String =
     s"GraftParquetScan[$dir] cols=${schema.fieldNames.mkString(",")}" +
-      (if (ranges.nonEmpty) s" ranges=$ranges" else "") +
-      (if (strRanges.nonEmpty) " strRanges=" + strRanges.map { case (c, (l, h)) =>
+      (if (rtRanges.nonEmpty) s" ranges=$rtRanges" else "") +
+      (if (rtStrRanges.nonEmpty) " strRanges=" + rtStrRanges.map { case (c, (l, h)) =>
         def r(b: Array[Byte]) = if (b == null) "*"
           else new String(b, java.nio.charset.StandardCharsets.UTF_8)
         s"$c:[${r(l)},${r(h)}]"
       }.mkString(",") else "") +
-      (if (eqProbes.nonEmpty)
-        s" eqProbes=${eqProbes.map(p => s"${p._1}(${p._2.size})").mkString(",")}"
+      (if (rtEqProbes.nonEmpty)
+        s" eqProbes=${rtEqProbes.map(p => s"${p._1}(${p._2.size})").mkString(",")}"
        else "") +
       (if (limit >= 0) s" limit=$limit" else "")
   override def toBatch: Batch = this
@@ -520,10 +615,10 @@ final class GraftScan(dir: String, schema: StructType,
     // footer is touched
     val files = GraftParquetFormat.listFilesPartitioned(dir).filter {
       case (_, kvs) => kvs.forall { case (k, v) =>
-        val longOk = ranges.get(k).forall { case (lo, hi) =>
+        val longOk = rtRanges.get(k).forall { case (lo, hi) =>
           scala.util.Try(v.toLong).toOption.forall(x => x >= lo && x <= hi)
         }
-        val strOk = strRanges.get(k).forall { case (lo, hi) =>
+        val strOk = rtStrRanges.get(k).forall { case (lo, hi) =>
           val b = v.getBytes(java.nio.charset.StandardCharsets.UTF_8)
           (lo == null || graft.core.MinMax.compareBytes(b, lo) >= 0) &&
             (hi == null || graft.core.MinMax.compareBytes(b, hi) <= 0)
@@ -539,11 +634,11 @@ final class GraftScan(dir: String, schema: StructType,
       val meta = ParquetFileReader.readFooterOnly(p)
       val flatOk = GraftFlatScan.isFlat(meta)
       var rgs: Seq[Int] = meta.rowGroups.indices
-      ranges.foreach { case (c, (lo, hi)) =>
+      rtRanges.foreach { case (c, (lo, hi)) =>
         val keep = ParquetFileReader.rowGroupsInRange(meta, c, lo, hi).toSet
         rgs = rgs.filter(keep)
       }
-      strRanges.foreach { case (c, (lo, hi)) =>
+      rtStrRanges.foreach { case (c, (lo, hi)) =>
         val keep =
           ParquetFileReader.rowGroupsInRangeBytes(meta, c, lo, hi).toSet
         rgs = rgs.filter(keep)
@@ -554,7 +649,7 @@ final class GraftScan(dir: String, schema: StructType,
   }
 
   override def createReaderFactory(): PartitionReaderFactory =
-    new GraftReaderFactory(schema, ranges, limit, strRanges, eqProbes)
+    new GraftReaderFactory(schema, rtRanges, limit, rtStrRanges, rtEqProbes)
 
   /** Exact row count + uncompressed byte size from footer tails only —
     * feeds Catalyst's join planning (a small graft-parquet table becomes

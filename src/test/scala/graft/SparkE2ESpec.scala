@@ -1180,6 +1180,61 @@ class SparkE2ESpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(again == rows.map(_.getString(1)).toSeq)
   }
 
+  test("DataSource V2: runtime join-key filtering (DPP) narrows the scan") {
+    import graft.sources.{GraftParquetFormat, ParquetSink}
+    import org.apache.spark.sql.execution.datasources.v2.BatchScanExec
+    import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+    // fact side: one file, many small row groups sorted by doc_id, so a
+    // narrowed doc_id envelope visibly prunes row groups
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+      .select("doc_id", "lang", "text")
+    val dir = java.nio.file.Files.createTempDirectory("graft-dpp").toString
+    ParquetSink.write(docs.coalesce(1).sortWithinPartitions("doc_id"), dir,
+      rowGroupRows = 50).count()
+    val fact = spark.read.format(GraftParquetFormat.Name).load(dir)
+    // dim side: tiny but FILE-backed (a local relation would constant-fold
+    // its filter away and DPP needs a surviving selective predicate)
+    val dimDir = java.nio.file.Files.createTempDirectory("graft-dppdim").toString
+    spark.createDataFrame(Seq((42L, "keep"), (57L, "keep"),
+      (999999999L, "drop"))).toDF("k", "tag")
+      .write.mode("overwrite").parquet(dimDir)
+    val dim = spark.read.parquet(dimDir)
+    val joined = fact.join(dim, fact("doc_id") === dim("k"))
+      .where(col("tag") === "keep")
+      .select("doc_id", "lang", "k")
+    val rows = joined.collect()
+    val expected = docs.where(col("doc_id").isin(42L, 57L)).count()
+    assert(rows.length == expected && rows.forall(r =>
+      r.getLong(0) == r.getLong(2)))
+    // the scan instance in the executed plan must have been runtime-narrowed
+    // on the join key by the dim side's surviving values
+    val exec = joined.queryExecution.executedPlan match {
+      case a: AdaptiveSparkPlanExec => a.executedPlan
+      case p => p
+    }
+    // AQE materializes stages as leaf QueryStageExec nodes — recurse into
+    // their wrapped plans to reach the BatchScanExec
+    def findScans(p: org.apache.spark.sql.execution.SparkPlan):
+        Seq[org.apache.spark.sql.connector.read.Scan] = p.flatMap {
+      case b: BatchScanExec => Seq(b.scan)
+      case q: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
+        findScans(q.plan)
+      case _ => Nil
+    }
+    val scans = findScans(exec)
+      .collectFirst { case g: graft.sources.GraftScan => g }
+    assert(scans.nonEmpty, "GraftScan not found in executed plan")
+    assert(scans.get.runtimeFilteredColumns == Seq("doc_id"),
+      s"runtime filter did not reach the scan: ${exec.toString.take(2000)}")
+    // narrowed planning keeps only row groups overlapping [42, 57]: with
+    // 200-row groups over sorted doc_ids that is 1 of many
+    val planned = scans.get.planInputPartitions().length
+    val total = new graft.sources.GraftScan(dir, fact.schema, Map.empty)
+      .planInputPartitions().length
+    assert(total > 5 && planned < total,
+      s"expected runtime-narrowed plan < $total tasks, got $planned")
+  }
+
   test("resumable parquet sink: lineage commits, reruns skip, partial resumes") {
     import graft.sources.{GraftParquetFormat, ParquetSink}
     val docs = spark.read.parquet(s"$sfDir/documents.parquet")
