@@ -189,7 +189,9 @@ object Bench {
       decSecs = math.min(decSecs, s)
     }
     val decGbps = decRaw / decSecs / 1e9
-    chunks.unpersist()
+    // blocking: the default async unpersist would still be evicting blocks
+    // (and dirtying the heap) under the scan A/B that follows
+    chunks.unpersist(blocking = true)
 
     // --- parquet scan throughput: our DSv2 columnar source vs Spark's ----
     // same table, same files (written once by our own sink); the timed job
@@ -209,7 +211,7 @@ object Bench {
     scanAgg(ourScan); scanAgg(sparkScan) // warm JIT/codegen, excluded
     var scanSecs = Double.MaxValue
     var scanSparkSecs = Double.MaxValue
-    (0 until 2).foreach { _ =>
+    (0 until 3).foreach { _ =>
       val (_, a) = time(scanAgg(ourScan))
       val (_, b) = time(scanAgg(sparkScan))
       scanSecs = math.min(scanSecs, a)

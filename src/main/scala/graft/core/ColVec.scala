@@ -69,6 +69,52 @@ final case class BytesVec(data: Array[Byte], offsets: Array[Int]) extends ColVec
     BytesVec(data, java.util.Arrays.copyOfRange(offsets, from, until + 1))
 }
 
+/** Append-only builder of ONE BytesVec arena across many decoded pages —
+  * the multi-page chunk decode path writes each page's values straight in
+  * here instead of building a per-page vector and paying a full-arena
+  * `concat` copy at the end (on a 256-page string chunk that copy is a
+  * second pass over every value byte). `dataCap` is a hint (the chunk's
+  * uncompressed size bounds pure-PLAIN output exactly; dictionary-expanded
+  * output can exceed it and grows by doubling). The finished vector may
+  * alias an oversized `data` array — BytesVec length/offsets semantics
+  * never look past `offsets(length)`. */
+final class BytesAccum(dataCap: Int, maxValues: Int) {
+  private var data = new Array[Byte](math.max(dataCap, 64))
+  private val offsets = new Array[Int](maxValues + 1)
+  private var count = 0
+  private var pos = 0
+
+  @inline def ensure(extra: Int): Array[Byte] = {
+    if (pos + extra > data.length) {
+      var cap = data.length
+      while (cap < pos + extra) cap = math.max(cap * 2, cap + extra)
+      data = java.util.Arrays.copyOf(data, cap)
+    }
+    data
+  }
+  /** Record one value already written at [pos, pos+len). */
+  @inline def commit(len: Int): Unit = {
+    offsets(count) = pos
+    count += 1
+    pos += len
+  }
+  @inline def writePos: Int = pos
+  def append(v: BytesVec): Unit = {
+    val total = v.totalBytes
+    ensure(total)
+    System.arraycopy(v.data, v.start(0), data, pos, total)
+    val base = pos - v.offsets(0)
+    var i = 0
+    val n = v.length
+    while (i < n) { offsets(count) = base + v.offsets(i); count += 1; i += 1 }
+    pos += total
+  }
+  def toVec: BytesVec = {
+    offsets(count) = pos
+    BytesVec(data, java.util.Arrays.copyOf(offsets, count + 1))
+  }
+}
+
 object BytesVec {
   val empty: BytesVec = BytesVec(Array.emptyByteArray, Array(0))
 

@@ -115,4 +115,26 @@ object PlainCodec {
       }
       BytesVec(data, offsets)
   }
+
+  /** PLAIN BYTE_ARRAY page decode appending into a shared accumulator —
+    * one copy per value, no per-page vector, no cross-page concat. */
+  def decodeBytesInto(buf: Array[Byte], off: Int, len: Int, numValues: Int,
+      acc: BytesAccum): Unit = {
+    var p = off
+    val end = off + len
+    var i = 0
+    while (i < numValues) {
+      require(p + 4 <= end, s"PLAIN byte-array page truncated at value $i")
+      val n = (buf(p) & 0xFF) | ((buf(p + 1) & 0xFF) << 8) |
+        ((buf(p + 2) & 0xFF) << 16) | ((buf(p + 3) & 0xFF) << 24)
+      p += 4
+      require(n >= 0 && p + n <= end,
+        s"PLAIN byte-array value $i claims $n bytes past page end")
+      val data = acc.ensure(n)
+      System.arraycopy(buf, p, data, acc.writePos, n)
+      acc.commit(n)
+      p += n
+      i += 1
+    }
+  }
 }

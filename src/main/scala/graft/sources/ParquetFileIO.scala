@@ -81,11 +81,38 @@ object ParquetFileReader {
     ParquetMeta.parseFileMeta(bytes, n - 8 - footerLen)
   }
 
+  /** Process-wide footer cache. One query reads each footer 2-3× on the
+    * driver (statistics + planning) and once per row-group task on the
+    * executors — a file split into N row-group tasks would parse the same
+    * footer N times. PqFileMeta is immutable, so cache by identity on disk:
+    * (path, size, nanosecond mtime) — a rewritten file misses, an in-place
+    * data-region corruption (tests do this) safely hits since the footer
+    * region is unchanged. Bounded; cleared wholesale on overflow (footers
+    * are KBs — the bound exists for pathological many-file churn, not
+    * memory pressure in normal use). */
+  private val footerCache =
+    new java.util.concurrent.ConcurrentHashMap[(String, Long, Long), PqFileMeta]()
+  private val FooterCacheMax = 8192
+
   /** Footer metadata alone, reading only the file tail (8-byte trailer →
     * footer region) — planning-time metadata access must stay O(footer)
     * regardless of file size. Offsets inside the returned meta remain
     * absolute file offsets. */
   def readFooterOnly(path: String): PqFileMeta = {
+    val attrs = java.nio.file.Files.readAttributes(
+      java.nio.file.Paths.get(path),
+      classOf[java.nio.file.attribute.BasicFileAttributes])
+    val ft = attrs.lastModifiedTime().toInstant
+    val key = (path, attrs.size(), ft.getEpochSecond * 1000000000L + ft.getNano)
+    val hit = footerCache.get(key)
+    if (hit != null) return hit
+    val meta = readFooterUncached(path)
+    if (footerCache.size >= FooterCacheMax) footerCache.clear()
+    footerCache.put(key, meta)
+    meta
+  }
+
+  private def readFooterUncached(path: String): PqFileMeta = {
     val raf = new java.io.RandomAccessFile(path, "r")
     try {
       val n = raf.length()
@@ -402,6 +429,15 @@ object ParquetFileReader {
     require(off >= 0 && off < bytes.length, s"page offset $off out of file")
     var dict: ColVec = null
     val parts = ArrayBuffer.empty[ColVec]
+    // byte-array chunks decode into ONE shared arena across pages (single
+    // copy per value) instead of per-page vectors + a whole-arena concat —
+    // on a multi-page string chunk the concat alone re-copies every byte
+    val acc: BytesAccum =
+      if (col.typ == PqType.ByteArray)
+        new BytesAccum(
+          math.min(cm.totalUncompressedSize, (Int.MaxValue - 16).toLong).toInt,
+          cm.numValues.toInt)
+      else null
     val defParts = if (col.maxDef > 0) ArrayBuffer.empty[Array[Int]] else null
     var remaining = cm.numValues
     while (remaining > 0) {
@@ -432,7 +468,9 @@ object ParquetFileReader {
             defParts += lv
             nNonNull = countMax(lv, col.maxDef)
           }
-          parts += decodeValuesVec(ph.encoding, col.typ, raw, pos,
+          if (acc != null)
+            decodeValuesInto(ph.encoding, raw, pos, nNonNull, dict, acc)
+          else parts += decodeValuesVec(ph.encoding, col.typ, raw, pos,
             nNonNull, dict)
           remaining -= n
         case 3 =>
@@ -455,7 +493,10 @@ object ParquetFileReader {
             if (ph.isCompressed && cm.codec != PqCodec.Uncompressed)
               decompress(bytes, vOff, ph.compressedSize - defLen, vUnc, cm.codec)
             else java.util.Arrays.copyOfRange(bytes, vOff, vOff + vUnc)
-          parts += decodeValuesVec(ph.encoding, col.typ, vraw, 0, nNonNull, dict)
+          if (acc != null)
+            decodeValuesInto(ph.encoding, vraw, 0, nNonNull, dict, acc)
+          else parts += decodeValuesVec(ph.encoding, col.typ, vraw, 0,
+            nNonNull, dict)
           remaining -= n
         case other => throw new IllegalArgumentException(
           s"page type $other not supported")
@@ -463,7 +504,8 @@ object ParquetFileReader {
       off = dataStart.toLong + ph.compressedSize
     }
     val vec =
-      if (parts.isEmpty) decodePlainVec(col.typ, Array.emptyByteArray, 0, 0, 0)
+      if (acc != null) acc.toVec
+      else if (parts.isEmpty) decodePlainVec(col.typ, Array.emptyByteArray, 0, 0, 0)
       else if (parts.size == 1) parts.head
       else ChunkCodec.concat(parts.toSeq)
     val defs =
@@ -493,6 +535,37 @@ object ParquetFileReader {
         s"typed decode: physical type $other unsupported")
     }
     PlainCodec.decodeSlice(phys, buf, off, len, n)
+  }
+
+  /** Byte-array page decode into the shared chunk accumulator: PLAIN and
+    * dictionary pages write values straight in (single copy); the delta
+    * family reuses its page decoder and appends (same copies as the old
+    * per-page-vector path). */
+  private def decodeValuesInto(encoding: Int, raw: Array[Byte], pos: Int,
+      nNonNull: Int, dict: ColVec, acc: BytesAccum): Unit = encoding match {
+    case PqEncoding.Plain =>
+      PlainCodec.decodeBytesInto(raw, pos, raw.length - pos, nNonNull, acc)
+    case PqEncoding.PlainDictionary | PqEncoding.RleDictionary =>
+      require(dict != null, "data page references a missing dictionary")
+      if (nNonNull > 0) {
+        val width = raw(pos) & 0xFF
+        val dec = new RleHybridDecoder(width, raw, pos + 1, raw.length)
+        val ids = new Array[Long](nNonNull)
+        dec.get(ids, 0, nNonNull)
+        val idx = new Array[Int](nNonNull)
+        var i = 0
+        val dn = dict.length
+        while (i < nNonNull) {
+          val id = ids(i).toInt
+          require(id >= 0 && id < dn, s"dict id $id out of [0,$dn)")
+          idx(i) = id
+          i += 1
+        }
+        ChunkCodecSupport.gatherBytesInto(dict.asInstanceOf[BytesVec], idx, acc)
+      }
+    case other =>
+      acc.append(decodeValuesVec(other, PqType.ByteArray, raw, pos,
+        nNonNull, dict).asInstanceOf[BytesVec])
   }
 
   private def decodeValuesVec(encoding: Int, typ: Int, raw: Array[Byte],

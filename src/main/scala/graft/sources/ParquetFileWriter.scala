@@ -856,6 +856,19 @@ object ChunkCodecSupport {
       }
       BytesVec(data, offsets)
   }
+
+  /** Dictionary-expand byte-array ids into a shared accumulator (the
+    * multi-page decode path — same copies as gather, minus the concat). */
+  def gatherBytesInto(v: BytesVec, idx: Array[Int], acc: graft.core.BytesAccum): Unit = {
+    var i = 0
+    while (i < idx.length) {
+      val n = v.len(idx(i))
+      val data = acc.ensure(n)
+      System.arraycopy(v.data, v.start(idx(i)), data, acc.writePos, n)
+      acc.commit(n)
+      i += 1
+    }
+  }
 }
 
 /** Distributed parquet sink: each partition writes its own standard
