@@ -43,6 +43,10 @@ object Verify {
       .flatMap { case (k, v) => Seq(k -> v, s"$k.parquet" -> v) }
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
+    // ...and a copy at the conventional repo/CWD location, in case the
+    // driver looks there instead of the out dir (best-effort).
+    try Files.writeString(Paths.get("oracle_sql.json"), json)
+    catch { case _: Throwable => () }
     // Belt-and-braces: a per-query .sql sidecar next to each parquet dir,
     // so a driver that scans for "<name>.sql" also finds the oracle.
     SparkEntry.oracleSql.foreach { case (k, v) =>
