@@ -27,6 +27,38 @@ object SparkEntry {
   private def embeddings(s: SparkSession, dir: String): DataFrame =
     s.read.parquet(s"$dir/embeddings.parquet")
 
+  /** Shared value-check for the scale-path ANN operators: runs `ann` over
+    * the embeddings table and verifies (a) every query is covered, (b) per
+    * query the ranks are a dense 1..n with non-increasing cosine, and
+    * (c) each reported cosine equals the exact cosine recomputed from the
+    * source embeddings (1e-9 — the pipeline normalizes-then-dots, the check
+    * dots-then-divides). The oracle pins the violation counts at zero. */
+  private def annInvariants(s: SparkSession, dir: String,
+      ann: DataFrame => DataFrame): DataFrame = {
+    import s.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val emb = embeddings(s, dir)
+    val res = ann(emb).cache()
+    val w = Window.partitionBy(col("query")).orderBy(col("rank"))
+    val badRank = res
+      .withColumn("__rn", row_number().over(w))
+      .withColumn("__pc", lag(col("cosine"), 1).over(w))
+      .where(col("__rn") =!= col("rank") ||
+        (col("__pc").isNotNull && col("__pc") < col("cosine") - lit(1e-12)))
+      .count()
+    val ev = emb.select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+    val badCos = res
+      .join(ev.select(col("vec_id").as("query"), col("v").as("va")), "query")
+      .join(ev.select(col("vec_id").as("neighbor"), col("v").as("vb")), "neighbor")
+      .where(abs(col("cosine") - Similarity.cosine(col("va"), col("vb"))) > 1e-9)
+      .count()
+    val covered = res.select("query").distinct().count()
+    val nq = emb.count()
+    res.unpersist()
+    Seq((nq, covered, badRank, badCos))
+      .toDF("n_queries", "queries_covered", "bad_rank", "bad_cosine")
+  }
+
   /** Flagship: synthesize the north-rule code table, encode every column
     * with the auto-selector, return the per-partition lineage. */
   def entry(spark: SparkSession): DataFrame = {
@@ -302,7 +334,8 @@ object SparkEntry {
         in.repartition(2).sortWithinPartitions("doc_id"), out,
         rowGroupRows = 1 << 10).count()
       val dimDir = java.nio.file.Files.createTempDirectory("graft-dppd").toString
-      in.select("doc_id").write.mode("overwrite").parquet(dimDir)
+      // distinct: the oracle's WHERE-filter semantics require unique dim keys
+      in.select("doc_id").distinct().write.mode("overwrite").parquet(dimDir)
       val fact = s.read.format(graft.sources.GraftParquetFormat.Name).load(out)
       val dim = s.read.parquet(dimDir).where(col("doc_id") % 97 === 0)
         .withColumnRenamed("doc_id", "k")
@@ -424,6 +457,12 @@ object SparkEntry {
         .orderBy("col_name")
     }),
     "q_enc_ratio" -> ((s, dir) => {
+      // selector byte accounting, restated in oracle-checkable form: exact
+      // per-column input bytes (DuckDB recomputes them from the data), the
+      // deterministic codec choices (pinned in the oracle), the never-
+      // exceeds-reference-ceiling invariant, and compression booleans at
+      // per-column pinned levels (robust to small selector shifts, unlike
+      // raw output bytes)
       val chunks = EncodeJob.encode(docs(s, dir), numPartitions = 8,
         partitionKeys = Seq("lang"), sortKeys = Seq("doc_id"))
       EncodeJob.lineage(chunks).toDF()
@@ -431,11 +470,12 @@ object SparkEntry {
         .agg(
           concat_ws("+", array_sort(collect_set(col("codecs")))).as("codecs"),
           sum(col("inputBytes")).as("input_bytes"),
-          sum(col("outputBytes")).as("output_bytes"),
-          sum(col("refPolicyBytes")).as("ref_policy_bytes"),
-          round(sum(col("outputBytes")) / sum(col("inputBytes")), 4).as("ratio"),
           max((col("outputBytes") > col("refPolicyBytes")).cast("int"))
-            .as("exceeds_ceiling"))
+            .as("exceeds_ceiling"),
+          (sum(col("outputBytes")) < sum(col("inputBytes"))).cast("int")
+            .as("compresses"),
+          (sum(col("outputBytes")) * 2 < sum(col("inputBytes"))).cast("int")
+            .as("halves"))
         .orderBy("col_name")
     }),
     "q_verify_roundtrip" -> ((s, dir) => {
@@ -494,15 +534,60 @@ object SparkEntry {
         .orderBy("source")
     }),
     "q_minhash_lsh" -> ((s, dir) => {
-      val pairs = Dedup.minhashLsh(docs(s, dir), "doc_id", "text",
-        numHashes = 32, bands = 8, threshold = 0.5)
-      pairs.agg(count(lit(1)).as("dup_pairs"),
-        coalesce(round(avg(col("estJaccard")), 3), lit(0.0)).as("avg_jaccard"))
+      // value-checked MinHash-LSH: ground truth is the EXACT 5-gram jaccard
+      // join (itself brute-force-equality-proven); the oracle recomputes the
+      // >=0.9 true-pair count in DuckDB and pins the invariants — no
+      // high-similarity pair missed, no emitted pair below a floor the
+      // estimator can't plausibly cross, no bucket capped.
+      import s.implicits._
+      val d = docs(s, dir)
+      val found = Dedup.minhashLsh(d, "doc_id", "text",
+        numHashes = 32, bands = 8, threshold = 0.5).cache()
+      val withSh = d.select(col("doc_id"),
+        array_sort(transform(TextOps.wordShingles(col("text"), 5),
+          x => xxhash64(x))).as("sh"))
+      val exact = found
+        .join(withSh.select(col("doc_id").as("keyA"), col("sh").as("shA")), "keyA")
+        .join(withSh.select(col("doc_id").as("keyB"), col("sh").as("shB")), "keyB")
+        .withColumn("__i", size(array_intersect(col("shA"), col("shB"))))
+        .withColumn("exact", col("__i").cast("double") /
+          (size(col("shA")) + size(col("shB")) - col("__i")).cast("double"))
+      val falsePos = exact.where(col("exact") < 0.2).count()
+      val truth = Dedup.ngramJaccardPairs(d, "doc_id", "text",
+        blockCols = Seq.empty, n = 5, threshold = 0.9).cache()
+      val truePairs = truth.count()
+      val missed = truth.join(found, Seq("keyA", "keyB"), "left_anti").count()
+      val sig = Dedup.minhashSignature(d, "text", 32)
+        .select(col("doc_id").as("__key"), col("minhash"))
+      val capped = Dedup.cappedBucketCount(
+        Dedup.minhashBands(sig, bands = 8, rowsPerBand = 4),
+        Seq("band", "bucket"), Dedup.DefaultMaxBucket)
+      val nDocs = d.count()
+      found.unpersist(); truth.unpersist()
+      Seq((nDocs, truePairs, missed, falsePos, capped))
+        .toDF("n_docs", "true_pairs_09", "lsh_missed_09", "false_pos",
+          "capped_buckets")
     }),
     "q_simhash" -> ((s, dir) => {
-      val pairs = Dedup.simhashNearDups(docs(s, dir), "doc_id", "text", maxDist = 8)
-      pairs.agg(count(lit(1)).as("near_pairs"),
-        coalesce(min(col("dist")), lit(0)).as("min_dist"))
+      // blocked pairs at maxDist=8 (nine-segment blocking — full recall by
+      // pigeonhole) compared against brute-force all-pairs hamming: the
+      // driver-checked mismatch count is pinned at zero
+      import s.implicits._
+      val d = docs(s, dir)
+      val withSim = Dedup.simhash(d, "text")
+        .select(col("doc_id").as("__key"), col("simhash")).cache()
+      val blocked = Dedup.simhashPairs(withSim, maxDist = 8)
+        .select("keyA", "keyB")
+      val a = withSim.select(col("__key").as("keyA"), col("simhash").as("sa"))
+      val b = withSim.select(col("__key").as("keyB"), col("simhash").as("sb"))
+      val brute = a.crossJoin(b).where(col("keyA") < col("keyB"))
+        .where(bit_count(col("sa").bitwiseXOR(col("sb"))) <= 8)
+        .select("keyA", "keyB").cache()
+      val missed = brute.join(blocked, Seq("keyA", "keyB"), "left_anti").count()
+      val extra = blocked.join(brute, Seq("keyA", "keyB"), "left_anti").count()
+      val nDocs = withSim.count()
+      withSim.unpersist(); brute.unpersist()
+      Seq((nDocs, missed + extra)).toDF("n_docs", "mismatches")
     }),
     "q_ngram_jaccard" -> ((s, dir) => {
       // exact jaccard join within lang via prefix filtering (PPJoin-style
@@ -518,16 +603,18 @@ object SparkEntry {
         .orderBy("query", "rank")
     }),
     "q_ann_ivf" -> ((s, dir) => {
-      val ivf = Similarity.ivfTopK(embeddings(s, dir), "vec_id", "embedding",
-        k = 3, nLists = 8, nProbe = 2)
-      ivf.agg(count(lit(1)).as("pairs"),
-        countDistinct(col("query")).as("queries_covered"))
+      // value-checked IVF invariants: full query coverage, ranks are a
+      // dense 1..n with non-increasing cosine, and every reported cosine
+      // equals the exact cosine recomputed from the source embeddings
+      annInvariants(s, dir,
+        emb => Similarity.ivfTopK(emb, "vec_id", "embedding",
+          k = 3, nLists = 8, nProbe = 2))
     }),
     "q_ann_lsh" -> ((s, dir) => {
-      val lsh = Similarity.lshTopK(embeddings(s, dir), "vec_id", "embedding",
-        k = 3, planes = 6)
-      lsh.agg(count(lit(1)).as("pairs"),
-        countDistinct(col("query")).as("queries_covered"))
+      // same invariant gate over the multi-table LSH path
+      annInvariants(s, dir,
+        emb => Similarity.lshTopK(emb, "vec_id", "embedding",
+          k = 3, planes = 6))
     }),
     "q_ann_recall" -> ((s, dir) => {
       // value-checks the SCALE-PATH ANN (lsh/ivf), not just the broadcast
@@ -552,9 +639,38 @@ object SparkEntry {
         .toDF("n_queries", "ivf_recall_ok", "lsh_recall_ok")
     }),
     "q_embed_neardup" -> ((s, dir) => {
-      val pairs = Dedup.embeddingNearDups(embeddings(s, dir), "vec_id",
-        "embedding", threshold = 0.9, planes = 8)
-      pairs.agg(count(lit(1)).as("near_pairs"))
+      // value-checked near-dup: true pair count (exact cosine >= 0.9 over
+      // all pairs) is recomputed by DuckDB's list_cosine_similarity; the
+      // LSH result is compared against the Spark-side truth computed with
+      // the IDENTICAL unit-vector arithmetic, so false_pos/missed are pure
+      // set comparisons (bucketing decides, not float rounding)
+      import s.implicits._
+      // plant 5 exact duplicate vectors (max natural pairwise cosine in the
+      // synthetic table is ~0.51, far under any near-dup threshold) — the
+      // DuckDB oracle replays the same union, so true_pairs is a real,
+      // independently recomputed value
+      val base = embeddings(s, dir)
+      val emb = base.unionByName(base.orderBy("vec_id").limit(5)
+        .withColumn("vec_id", col("vec_id") + 100000L))
+      val found = Dedup.embeddingNearDups(emb, "vec_id", "embedding",
+        threshold = 0.9, planes = 8).select("keyA", "keyB").cache()
+      val unit = emb.withColumn("__norm", Similarity.norm(col("embedding")))
+        .select(col("vec_id"),
+          transform(col("embedding"), x =>
+            when(col("__norm") > 0, x / col("__norm")).otherwise(lit(0.0)))
+            .as("u"))
+      val a = unit.select(col("vec_id").as("keyA"), col("u").as("ua"))
+      val b = unit.select(col("vec_id").as("keyB"), col("u").as("ub"))
+      val truth = a.crossJoin(b).where(col("keyA") < col("keyB"))
+        .where(Similarity.dot(col("ua"), col("ub")) >= 0.9)
+        .select("keyA", "keyB").cache()
+      val truePairs = truth.count()
+      val falsePos = found.join(truth, Seq("keyA", "keyB"), "left_anti").count()
+      val missed = truth.join(found, Seq("keyA", "keyB"), "left_anti").count()
+      val nVecs = emb.count()
+      found.unpersist(); truth.unpersist()
+      Seq((nVecs, truePairs, falsePos, missed))
+        .toDF("n_vecs", "true_pairs", "false_pos", "lsh_missed")
     }),
     "q_multimodal_stub" -> ((s, dir) => {
       val bin = docs(s, dir).select(col("doc_id"),
@@ -747,6 +863,67 @@ object SparkEntry {
       // the recall floors are evaluated Spark-side; the oracle pins the
       // query coverage and that both scale-path ANN variants clear them
       "SELECT count(*) AS n_queries, CAST(1 AS BOOLEAN) AS ivf_recall_ok, CAST(1 AS BOOLEAN) AS lsh_recall_ok FROM embeddings",
+    "q_ann_ivf" ->
+      // coverage + structural invariants verified Spark-side (dense ranks,
+      // non-increasing cosine, cosine == exact recompute); pinned at zero
+      "SELECT count(*) AS n_queries, count(*) AS queries_covered, CAST(0 AS BIGINT) AS bad_rank, CAST(0 AS BIGINT) AS bad_cosine FROM embeddings",
+    "q_ann_lsh" ->
+      "SELECT count(*) AS n_queries, count(*) AS queries_covered, CAST(0 AS BIGINT) AS bad_rank, CAST(0 AS BIGINT) AS bad_cosine FROM embeddings",
+    "q_simhash" ->
+      // Spark computes blocked-vs-brute-force mismatches; pigeonhole blocking
+      // (maxDist+1 segments) makes the zero pin exact, not probabilistic
+      "SELECT count(*) AS n_docs, CAST(0 AS BIGINT) AS mismatches FROM documents",
+    "q_embed_neardup" ->
+      // DuckDB recomputes the TRUE cosine>=0.9 pair count brute-force;
+      // false_pos is structurally zero (the operator verifies candidates
+      // with exact cosine); lsh_missed pinned from the deterministic
+      // hash-seeded bucketing
+      ("WITH all_v AS (SELECT vec_id, embedding FROM embeddings " +
+        "UNION ALL SELECT vec_id + 100000, embedding FROM " +
+        "(SELECT vec_id, embedding FROM embeddings ORDER BY vec_id LIMIT 5)), " +
+        "p AS (SELECT a.vec_id AS ka, b.vec_id AS kb, " +
+        "list_cosine_similarity(a.embedding, b.embedding) AS c " +
+        "FROM all_v a, all_v b WHERE a.vec_id < b.vec_id) " +
+        "SELECT (SELECT count(*) FROM all_v) AS n_vecs, " +
+        "count(*) AS true_pairs, CAST(0 AS BIGINT) AS false_pos, " +
+        "CAST(0 AS BIGINT) AS lsh_missed FROM p WHERE c >= 0.9"),
+    "q_minhash_lsh" ->
+      // brute-force 5-gram jaccard in DuckDB (same construction as the
+      // 3-gram q_ngram_jaccard oracle): true >=0.9 pair count is recomputed
+      // independently; missed/false-positive/capped counts pinned at zero
+      ("WITH norm AS (SELECT doc_id, " +
+        "string_split(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' ') AS toks " +
+        "FROM documents), " +
+        "tok AS (SELECT doc_id, len(toks) AS nt, unnest(toks) AS tok, " +
+        "generate_subscripts(toks, 1) AS pos FROM norm), " +
+        "s0 AS (SELECT doc_id, nt, pos, tok " +
+        "|| coalesce(' ' || lead(tok, 1) OVER (PARTITION BY doc_id ORDER BY pos), '') " +
+        "|| coalesce(' ' || lead(tok, 2) OVER (PARTITION BY doc_id ORDER BY pos), '') " +
+        "|| coalesce(' ' || lead(tok, 3) OVER (PARTITION BY doc_id ORDER BY pos), '') " +
+        "|| coalesce(' ' || lead(tok, 4) OVER (PARTITION BY doc_id ORDER BY pos), '') AS g " +
+        "FROM tok), " +
+        "sh AS (SELECT DISTINCT doc_id, g FROM s0 WHERE pos <= greatest(1, nt - 4)), " +
+        "sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id), " +
+        "ix AS (SELECT a.doc_id AS da, b.doc_id AS db, count(*) AS i " +
+        "FROM sh a JOIN sh b ON a.g = b.g AND a.doc_id < b.doc_id " +
+        "GROUP BY a.doc_id, b.doc_id), " +
+        "j AS (SELECT CAST(ix.i AS DOUBLE) / (sa.n + sb.n - ix.i) AS jac " +
+        "FROM ix JOIN sz sa ON ix.da = sa.doc_id JOIN sz sb ON ix.db = sb.doc_id) " +
+        "SELECT (SELECT count(*) FROM documents) AS n_docs, " +
+        "count(*) AS true_pairs_09, CAST(0 AS BIGINT) AS lsh_missed_09, " +
+        "CAST(0 AS BIGINT) AS false_pos, CAST(0 AS BIGINT) AS capped_buckets " +
+        "FROM j WHERE jac >= 0.9"),
+    "q_enc_ratio" ->
+      // input bytes recomputed exactly by DuckDB; codec choices and the
+      // compression-level booleans are deterministic functions of the data
+      // (pinned); exceeds_ceiling = 0 is the never-worse-than-reference
+      // invariant
+      ("SELECT 'doc_id' AS col_name, 'DELTA_BINARY_PACKED' AS codecs, CAST(8*count(*) AS BIGINT) AS input_bytes, 0 AS exceeds_ceiling, 1 AS compresses, 1 AS halves FROM documents " +
+        "UNION ALL SELECT 'lang', 'DICT', CAST(sum(4 + strlen(lang)) AS BIGINT), 0, 1, 1 FROM documents " +
+        "UNION ALL SELECT 'n_chars', 'DELTA_BINARY_PACKED', CAST(8*count(*) AS BIGINT), 0, 1, 1 FROM documents " +
+        "UNION ALL SELECT 'source', 'DELTA_BYTE_ARRAY+DICT', CAST(sum(4 + strlen(source)) AS BIGINT), 0, 1, 1 FROM documents " +
+        "UNION ALL SELECT 'text', 'FSST', CAST(sum(4 + strlen(text)) AS BIGINT), 0, 1, 1 FROM documents " +
+        "ORDER BY col_name"),
     "q_ann_topk" ->
       ("WITH pairs AS (SELECT a.vec_id AS query, b.vec_id AS neighbor, " +
         "list_cosine_similarity(a.embedding, b.embedding) AS c " +

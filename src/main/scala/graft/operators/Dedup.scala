@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.functions.TextOps
 
@@ -10,14 +11,46 @@ import graft.functions.TextOps
   *
   * Scale notes (100 TB): exact dedup is one shuffle on a 64-bit hash;
   * MinHash-LSH shuffles only (docId, bandHash) pairs — `bands * rows` small
-  * rows, never full text; candidate verification joins only within buckets.
+  * rows, never full text. Candidate pairs are deduplicated on the KEY PAIR
+  * alone before any signature/shingle/vector payload is joined back, so the
+  * candidate-dedup exchange moves O(pairs * 16 bytes), not
+  * O(pairs * payload). Every bucket join is bounded by [[DefaultMaxBucket]]:
+  * a degenerate bucket (millions of empty/boilerplate docs sharing a
+  * signature) is truncated to its `maxBucket` smallest keys instead of going
+  * quadratic; [[cappedBucketCount]] surfaces how many buckets were cut.
   */
 object Dedup {
+
+  /** Default per-bucket membership bound for LSH-style blocking joins.
+    * A bucket of b members emits b^2 candidate pairs; 1024 caps any single
+    * bucket at ~1M pairs — one task's worth — while normal buckets (a few
+    * members) are untouched. */
+  val DefaultMaxBucket: Int = 1024
+
+  /** Keeps the `maxBucket` smallest keys per bucket (deterministic at any
+    * parallelism). The window shuffles on the bucket columns — the same
+    * partitioning the candidate self-join needs next, so the exchange is
+    * reused, not added. `maxBucket <= 0` disables the cap. */
+  private[operators] def capBuckets(banded: DataFrame, bucketCols: Seq[String],
+      keyCol: String, maxBucket: Int): DataFrame =
+    if (maxBucket <= 0) banded
+    else {
+      val w = Window.partitionBy(bucketCols.map(col): _*).orderBy(col(keyCol))
+      banded.withColumn("__bn", row_number().over(w))
+        .where(col("__bn") <= maxBucket).drop("__bn")
+    }
+
+  /** Number of buckets whose membership exceeds `maxBucket` — the count of
+    * buckets [[capBuckets]] truncated. Surfaced so pipelines can alert on
+    * lost recall instead of silently dropping pairs. */
+  def cappedBucketCount(banded: DataFrame, bucketCols: Seq[String],
+      maxBucket: Int): Long =
+    banded.groupBy(bucketCols.map(col): _*).agg(count(lit(1)).as("__n"))
+      .where(col("__n") > maxBucket).count()
 
   /** Exact dedup on a content fingerprint: keeps the first row (smallest
     * key) per fingerprint. One shuffle on the 64-bit fingerprint. */
   def exact(df: DataFrame, textCol: String, keyCol: String): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     val w = Window.partitionBy(TextOps.fingerprint(col(textCol))).orderBy(col(keyCol))
     df.withColumn("__rn", row_number().over(w)).where(col("__rn") === 1).drop("__rn")
   }
@@ -45,34 +78,49 @@ object Dedup {
     * candidate pairs; pairs are scored by signature agreement (an unbiased
     * Jaccard estimate) and filtered at `threshold`.
     *
+    * Plan shape: the banded frame carries (key, band, bucket) ONLY — 64-long
+    * signatures never ride the bucket join or the candidate dedup. Pairs are
+    * deduplicated on (keyA, keyB) first; the two signatures are joined back
+    * once per surviving pair for the estimate.
+    *
     * Returns (keyA, keyB, estJaccard) with keyA < keyB.
     */
   def minhashLsh(df: DataFrame, keyCol: String, textCol: String,
-      numHashes: Int = 64, bands: Int = 16, threshold: Double = 0.7): DataFrame = {
-    val rowsPerBand = numHashes / bands
+      numHashes: Int = 64, bands: Int = 16, threshold: Double = 0.7,
+      maxBucket: Int = DefaultMaxBucket): DataFrame = {
     val withSig = minhashSignature(df, textCol, numHashes)
       .select(col(keyCol).as("__key"), col("minhash"))
-    val banded = withSig.select(col("__key"), col("minhash"),
+    val pairs = capBuckets(minhashBands(withSig, bands, numHashes / bands),
+      Seq("band", "bucket"), "__key", maxBucket)
+      .transform { banded =>
+        val a = banded.select(col("band"), col("bucket"), col("__key").as("keyA"))
+        val b = banded.select(col("band"), col("bucket"), col("__key").as("keyB"))
+        a.join(b, Seq("band", "bucket")).where(col("keyA") < col("keyB"))
+          .select("keyA", "keyB").dropDuplicates("keyA", "keyB")
+      }
+    pairs
+      .join(withSig.select(col("__key").as("keyA"), col("minhash").as("sigA")), "keyA")
+      .join(withSig.select(col("__key").as("keyB"), col("minhash").as("sigB")), "keyB")
+      .select(col("keyA"), col("keyB"),
+        (size(filter(zip_with(col("sigA"), col("sigB"), (x, y) =>
+          when(x === y, 1).otherwise(0)), v => v === 1)).cast("double") /
+          lit(numHashes.toDouble)).as("estJaccard"))
+      .where(col("estJaccard") >= threshold)
+  }
+
+  /** LSH band buckets for a (__key, minhash) frame: one (band, bucket) row
+    * per band. Exposed so callers can inspect bucket-size distributions
+    * (e.g. [[cappedBucketCount]]) on the exact frame the join uses. */
+  private[graft] def minhashBands(withSig: DataFrame, bands: Int,
+      rowsPerBand: Int): DataFrame =
+    withSig.select(col("__key"),
       explode(array((0 until bands).map { b =>
         struct(lit(b).as("band"),
           xxhash64(concat_ws(",",
             slice(col("minhash"), b * rowsPerBand + 1, rowsPerBand)), lit(b))
             .as("bucket"))
       }: _*)).as("bb"))
-      .select(col("__key"), col("minhash"), col("bb.band"), col("bb.bucket"))
-    val a = banded.select(col("band"), col("bucket"),
-      col("__key").as("keyA"), col("minhash").as("sigA"))
-    val b = banded.select(col("band"), col("bucket"),
-      col("__key").as("keyB"), col("minhash").as("sigB"))
-    a.join(b, Seq("band", "bucket"))
-      .where(col("keyA") < col("keyB"))
-      .select(col("keyA"), col("keyB"),
-        (size(filter(zip_with(col("sigA"), col("sigB"), (x, y) =>
-          when(x === y, 1).otherwise(0)), v => v === 1)).cast("double") /
-          lit(numHashes.toDouble)).as("estJaccard"))
-      .where(col("estJaccard") >= threshold)
-      .dropDuplicates("keyA", "keyB")
-  }
+      .select(col("__key"), col("bb.band"), col("bb.bucket"))
 
   /** 64-bit SimHash over word tokens: per-bit weighted majority vote,
     * expressed as 64 codegen'd aggregate-free array ops (no shuffle beyond
@@ -93,13 +141,12 @@ object Dedup {
   }
 
   /** Near-dup pairs by SimHash hamming distance ≤ maxDist, blocked with
-    * FOUR tables — one per disjoint 16-bit segment of the hash. Pigeonhole:
-    * a pair with hamming distance < 4 must agree EXACTLY on ≥ 1 of the 4
-    * segments, so blocking has full recall at the default maxDist = 3
-    * (round 1 blocked on the top 16 bits only, silently missing every pair
-    * whose differing bits lived in bits 48-63). One extra explode (4 rows
-    * per doc), still never quadratic: the self-join stays within (table,
-    * segment) buckets. */
+    * maxDist+1 disjoint bit segments. Pigeonhole: a pair within distance
+    * maxDist cannot differ in all maxDist+1 segments, so it agrees EXACTLY
+    * on at least one — blocking has FULL recall at the requested distance
+    * (round 2 hard-coded 4 segments, silently losing recall for
+    * maxDist > 3). Still never quadratic: the self-join stays within
+    * (segment-table, segment-value) buckets. */
   def simhashNearDups(df: DataFrame, keyCol: String, textCol: String,
       maxDist: Int = 3): DataFrame =
     simhashPairs(
@@ -107,24 +154,37 @@ object Dedup {
       maxDist)
 
   /** Blocked pair join over a precomputed (__key, simhash) frame — split
-    * out so tests can plant hash values (e.g. top-bit flips) directly. */
-  private[graft] def simhashPairs(withSim: DataFrame, maxDist: Int): DataFrame = {
-    val banded = withSim.select(col("__key"), col("simhash"),
-      explode(array((0 until 4).map { t =>
-        struct(lit(t).as("tbl"),
-          shiftrightunsigned(col("simhash"), 16 * t)
-            .bitwiseAND(lit(0xFFFFL)).as("seg"))
-      }: _*)).as("b"))
-      .select(col("__key"), col("simhash"), col("b.tbl"), col("b.seg"))
-    val a = banded.select(col("tbl"), col("seg"),
-      col("__key").as("keyA"), col("simhash").as("simA"))
-    val b = banded.select(col("tbl"), col("seg"),
-      col("__key").as("keyB"), col("simhash").as("simB"))
-    a.join(b, Seq("tbl", "seg")).where(col("keyA") < col("keyB"))
+    * out so tests can plant hash values (e.g. top-bit flips) directly.
+    * Segments = maxDist + 1 (full recall by pigeonhole); maxDist ≤ 15 keeps
+    * every segment ≥ 4 bits so segment buckets stay selective. */
+  private[graft] def simhashPairs(withSim: DataFrame, maxDist: Int,
+      maxBucket: Int = DefaultMaxBucket): DataFrame = {
+    require(maxDist >= 0 && maxDist <= 15,
+      s"maxDist must be in [0, 15] (got $maxDist): ${maxDist + 1} segments of " +
+        "64/(maxDist+1) bits each; beyond 15 the segments get too short to block on")
+    val segs = maxDist + 1
+    val segCols = (0 until segs).map { t =>
+      val lo = t * 64 / segs
+      val width = (t + 1) * 64 / segs - lo
+      val v = if (segs == 1) col("simhash")
+        else shiftrightunsigned(col("simhash"), lo)
+          .bitwiseAND(lit((1L << width) - 1))
+      struct(lit(t).as("tbl"), v.as("seg"))
+    }
+    val banded = capBuckets(
+      withSim.select(col("__key"), explode(array(segCols: _*)).as("b"))
+        .select(col("__key"), col("b.tbl"), col("b.seg")),
+      Seq("tbl", "seg"), "__key", maxBucket)
+    val a = banded.select(col("tbl"), col("seg"), col("__key").as("keyA"))
+    val b = banded.select(col("tbl"), col("seg"), col("__key").as("keyB"))
+    val pairs = a.join(b, Seq("tbl", "seg")).where(col("keyA") < col("keyB"))
+      .select("keyA", "keyB").dropDuplicates("keyA", "keyB")
+    pairs
+      .join(withSim.select(col("__key").as("keyA"), col("simhash").as("simA")), "keyA")
+      .join(withSim.select(col("__key").as("keyB"), col("simhash").as("simB")), "keyB")
       .withColumn("dist", bit_count(col("simA").bitwiseXOR(col("simB"))))
       .where(col("dist") <= maxDist)
       .select("keyA", "keyB", "dist")
-      .dropDuplicates("keyA", "keyB")
   }
 
   /** EXACT n-gram Jaccard similarity join at threshold `threshold`, within
@@ -137,9 +197,10 @@ object Dedup {
     // (ascending 64-bit hash); two sets with jaccard >= t MUST share at
     // least one element within each one's first (n - ceil(t*n) + 1)
     // elements. Exploding only those prefix hashes makes the candidate
-    // join linear in "documents x prefix", never quadratic in block size;
-    // the exact jaccard then verifies candidates only. Everything is one
-    // hash-join shuffle + one aggregation — the shape that survives 100 TB.
+    // join linear in "documents x prefix", never quadratic in block size.
+    // The candidate join and pair-dedup carry keys and set SIZES only; the
+    // two shingle arrays are joined back once per surviving pair for the
+    // exact-jaccard verification.
     val withSh = df.select(
       (blockCols.map(col) :+ col(keyCol).as("__key") :+
         array_sort(transform(TextOps.wordShingles(col(textCol), n),
@@ -148,16 +209,20 @@ object Dedup {
       .withColumn("__plen",
         (col("__n") - ceil(col("__n") * threshold) + 1).cast("int"))
     val a = withSh.select((blockCols.map(col) :+ col("__key").as("keyA") :+
-      col("__sh").as("shA") :+ col("__n").as("nA") :+
+      col("__n").as("nA") :+
       explode(slice(col("__sh"), lit(1), col("__plen"))).as("__p")): _*)
     val b = withSh.select((blockCols.map(col) :+ col("__key").as("keyB") :+
-      col("__sh").as("shB") :+ col("__n").as("nB") :+
+      col("__n").as("nB") :+
       explode(slice(col("__sh"), lit(1), col("__plen"))).as("__p")): _*)
-    a.join(b, blockCols :+ "__p")
+    val pairs = a.join(b, blockCols :+ "__p")
       .where(col("keyA") < col("keyB") &&
         col("nA") >= col("nB") * threshold && col("nB") >= col("nA") * threshold)
-      .select("keyA", "keyB", "shA", "shB", "nA", "nB")
-      .dropDuplicates("keyA", "keyB")
+      .select("keyA", "keyB").dropDuplicates("keyA", "keyB")
+    pairs
+      .join(withSh.select(col("__key").as("keyA"), col("__sh").as("shA"),
+        col("__n").as("nA")), "keyA")
+      .join(withSh.select(col("__key").as("keyB"), col("__sh").as("shB"),
+        col("__n").as("nB")), "keyB")
       // union size is |A|+|B|-|A∩B| (array_union never built)
       .withColumn("__inter", size(array_intersect(col("shA"), col("shB"))))
       .withColumn("jaccard", col("__inter").cast("double") /
@@ -168,21 +233,29 @@ object Dedup {
 
   /** Embedding-cosine near-duplicates via the LSH bucketing in
     * [[Similarity.cosineLshBuckets]]: pairs in the same hyperplane-sign
-    * bucket with cosine ≥ threshold. */
+    * bucket with cosine ≥ threshold. Bucket join carries keys only; unit
+    * vectors are joined back once per deduplicated candidate pair. */
   def embeddingNearDups(df: DataFrame, keyCol: String, vecCol: String,
-      threshold: Double = 0.95, planes: Int = 12): DataFrame = {
-    val bucketed = Similarity.cosineLshBuckets(df, vecCol, planes)
-      .withColumn("__norm", Similarity.norm(col(vecCol)))
-      .select(col(keyCol).as("__key"), col("lshBucket"),
+      threshold: Double = 0.95, planes: Int = 12,
+      maxBucket: Int = DefaultMaxBucket): DataFrame = {
+    val bucketed = capBuckets(
+      Similarity.cosineLshBuckets(df, vecCol, planes)
+        .select(col(keyCol).as("__key"), col("lshBucket")),
+      Seq("lshBucket"), "__key", maxBucket)
+    val a = bucketed.select(col("lshBucket"), col("__key").as("keyA"))
+    val b = bucketed.select(col("lshBucket"), col("__key").as("keyB"))
+    val pairs = a.join(b, Seq("lshBucket")).where(col("keyA") < col("keyB"))
+      .select("keyA", "keyB").dropDuplicates("keyA", "keyB")
+    val unit = df.withColumn("__norm", Similarity.norm(col(vecCol)))
+      .select(col(keyCol).as("__key"),
         transform(col(vecCol), x =>
           when(col("__norm") > 0, x / col("__norm")).otherwise(lit(0.0)))
           .as("__unit"))
-    val a = bucketed.select(col("lshBucket"), col("__key").as("keyA"), col("__unit").as("unitA"))
-    val b = bucketed.select(col("lshBucket"), col("__key").as("keyB"), col("__unit").as("unitB"))
-    a.join(b, Seq("lshBucket")).where(col("keyA") < col("keyB"))
+    pairs
+      .join(unit.select(col("__key").as("keyA"), col("__unit").as("unitA")), "keyA")
+      .join(unit.select(col("__key").as("keyB"), col("__unit").as("unitB")), "keyB")
       .withColumn("cosine", Similarity.dot(col("unitA"), col("unitB")))
       .where(col("cosine") >= threshold)
       .select("keyA", "keyB", "cosine")
-      .dropDuplicates("keyA", "keyB")
   }
 }

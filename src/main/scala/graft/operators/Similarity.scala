@@ -1,21 +1,23 @@
 package graft.operators
 
-import org.apache.spark.sql.{Column, DataFrame, Row}
+import org.apache.spark.TaskContext
+import org.apache.spark.sql.{Column, DataFrame, Encoders, Row}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
 /** Approximate-nearest-neighbor search over an embedding column
   * (array<float>). Brute-force cosine top-k is the exact baseline; the
-  * scale path buckets by random-hyperplane signs (LSH) so the self-join is
-  * linear in bucket size.
+  * scale paths bucket by random-hyperplane signs (LSH) or coarse centroids
+  * (IVF) so the candidate join is linear in bucket/cell size.
   *
   * Scale notes (100 TB): [[bruteForceTopK]] broadcasts the corpus side —
   * correct whenever the *indexed* side fits in executor memory (the classic
-  * brute-force-with-broadcast baseline); queries stream through
-  * mapPartitions with a primitive-float kernel, no shuffle at all.
-  * [[lshTopK]] avoids the quadratic join entirely: one shuffle on bucket
-  * id, pairs only within buckets.
+  * brute-force-with-broadcast baseline); a guard rail rejects corpora above
+  * `maxCorpusRows` with a pointer at the scale paths. [[lshTopK]] and
+  * [[ivfTopK]] avoid the quadratic join entirely: one shuffle on bucket/cell
+  * id, pairs only within buckets, candidate pairs deduplicated on keys
+  * before any vector payload moves.
   */
 object Similarity {
 
@@ -29,23 +31,41 @@ object Similarity {
     when(na * nb > 0, d / (na * nb)).otherwise(lit(0.0))
   }
 
-  /** Codegen'd dot product of two array columns. */
+  /** Codegen'd dot product of two array columns. The cast makes every
+    * product a DOUBLE multiply even on array<float> inputs — float*float
+    * would round to 24 bits before accumulating (~1e-7 relative error,
+    * enough to flip near-threshold comparisons). */
   def dot(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, v) => acc + v)
+    aggregate(zip_with(a, b, (x, y) => x.cast("double") * y),
+      lit(0.0), (acc, v) => acc + v)
 
-  /** L2 norm of an array column. */
+  /** L2 norm of an array column (double math on float inputs, see [[dot]]). */
   def norm(a: Column): Column =
-    sqrt(aggregate(a, lit(0.0), (acc, v) => acc + v * v))
+    sqrt(aggregate(a, lit(0.0), (acc, v) => acc + v.cast("double") * v))
+
+  /** Hard ceiling for [[bruteForceTopK]]'s driver-side corpus collect.
+    * 4M rows x (16 dims x 8B + overhead) ≈ 1 GB — the most a sane driver
+    * should hold. Above this, use [[lshTopK]] / [[ivfTopK]]. */
+  val MaxBruteForceCorpus: Long = 4L * 1000 * 1000
 
   /** Exact brute-force cosine top-k for every row: the corpus is collected
     * (normalized, primitive floats) and broadcast; each partition scans its
     * queries against the broadcast matrix with a JIT-friendly fused loop and
-    * a bounded selection — zero shuffle, linear scaling in queries. */
+    * a bounded selection — zero shuffle, linear scaling in queries.
+    *
+    * This is the exact BASELINE / quality gate, not the scale path: it
+    * `require`s the corpus under `maxCorpusRows` (default
+    * [[MaxBruteForceCorpus]]) instead of OOMing the driver at 100 TB. */
   def bruteForceTopK(df: DataFrame, keyCol: String, vecCol: String,
-      k: Int = 5): DataFrame = {
+      k: Int = 5, maxCorpusRows: Long = MaxBruteForceCorpus): DataFrame = {
     val spark = df.sparkSession
     val src = df.select(col(keyCol).cast("long").as("id"),
       col(vecCol).cast("array<double>").as("v"))
+    val nRows = src.count()
+    require(nRows <= maxCorpusRows,
+      s"bruteForceTopK collects the corpus to the driver: $nRows rows > " +
+        s"maxCorpusRows=$maxCorpusRows. Use Similarity.lshTopK or " +
+        "Similarity.ivfTopK for corpora that don't fit one machine.")
     // corpus side: raw doubles + precomputed L2 norms
     val corpus: Array[(Long, Array[Double], Double)] = src.collect().map { r =>
       val id = r.getLong(0)
@@ -63,7 +83,7 @@ object Similarity {
       StructField("cosine", DoubleType, nullable = false),
       StructField("rank", IntegerType, nullable = false)))
     implicit val enc: org.apache.spark.sql.Encoder[Row] =
-      org.apache.spark.sql.Encoders.row(outSchema)
+      Encoders.row(outSchema)
 
     src.mapPartitions { it =>
       val cor = bc.value
@@ -121,18 +141,29 @@ object Similarity {
   }
 
   /** IVF (inverted-file) ANN: `nLists` coarse centroids are seeded from a
-    * deterministic sample and refined with `iters` distributed Lloyd
-    * steps (a groupBy-mean per step — map-side combinable); every vector
-    * is assigned to its nearest centroid (broadcast, tiny); queries probe
-    * their `nProbe` nearest cells, so the candidate join is
-    * |cell| * nProbe per query instead of the full corpus. The 100 TB
-    * shape: centroids stay driver-side KBs, assignment is a map, the only
-    * shuffle is the cell-keyed candidate join. */
+    * deterministic sample and refined with `iters` Lloyd steps whose
+    * per-partition partial sums run in ONE `mapPartitions` kernel (primitive
+    * double loops — no per-row UDF, no per-dimension aggregate expressions,
+    * so a 768-dim embedding column compiles the same plan as a 16-dim one).
+    * Every vector is assigned to its nearest centroid; queries probe their
+    * `nProbe` nearest cells, so the candidate join is |cell| * nProbe per
+    * query instead of the full corpus.
+    *
+    * The 100 TB shape: centroids stay driver-side KBs (nLists * dims * 8B
+    * partials per partition — KBs — are the only driver traffic per Lloyd
+    * step), assignment is a map, the only data shuffle is the cell-keyed
+    * candidate join. The corpus is first hash-repartitioned to a FIXED
+    * width and key-sorted so float summation order — and therefore every
+    * centroid, assignment, and result row — is identical at any
+    * parallelism level. */
   def ivfTopK(df: DataFrame, keyCol: String, vecCol: String,
       k: Int = 5, nLists: Int = 16, nProbe: Int = 2, iters: Int = 2): DataFrame = {
     val spark = df.sparkSession
+    val keyField = df.schema(keyCol)
     val src = df.select(col(keyCol).as("__key"),
-      col(vecCol).cast("array<double>").as("__vec"))
+        col(vecCol).cast("array<double>").as("__vec"))
+      .repartition(32, col("__key"))
+      .sortWithinPartitions("__key")
 
     // deterministic seed sample: smallest nLists keys by hash
     var centroids: Array[Array[Double]] = src
@@ -141,45 +172,85 @@ object Similarity {
       .collect()
       .map(_.getSeq[Double](1).toArray)
 
-    def assignUdf(cents: Array[Array[Double]]) =
-      udf((v: Seq[Double]) => nearestCell(cents, v.toArray))
-
-    // Lloyd refinement: assign -> mean per cell (distributed, 1 shuffle/step)
-    (0 until iters).foreach { _ =>
+    // Lloyd refinement: one kernel pass emits (partition, cell, sumVec, n)
+    // partials; the driver reduces them in (cell, partition) order — exact
+    // same floating-point sequence every run.
+    val partialSchema = StructType(Seq(
+      StructField("pid", IntegerType, nullable = false),
+      StructField("cell", IntegerType, nullable = false),
+      StructField("vsum", ArrayType(DoubleType, containsNull = false), nullable = false),
+      StructField("n", LongType, nullable = false)))
+    for (_ <- 0 until iters) {
       val bc = spark.sparkContext.broadcast(centroids)
-      val assigned = src.withColumn("__cell", assignUdf(bc.value)(col("__vec")))
-      val means = assigned.groupBy("__cell")
-        .agg(count(lit(1)).as("n"),
-          array((0 until centroids(0).length).map(d =>
-            avg(col("__vec").getItem(d))): _*).as("mean"))
-        .collect()
-      val next = centroids.clone()
-      means.foreach { r =>
-        next(r.getInt(0)) = r.getSeq[Double](2).toArray
+      val partials = src.mapPartitions { it =>
+        val cs = bc.value
+        val dim = if (cs.nonEmpty) cs(0).length else 0
+        val sums = Array.fill(cs.length)(new Array[Double](dim))
+        val ns = new Array[Long](cs.length)
+        it.foreach { r =>
+          val v = r.getSeq[Double](1).toArray
+          val c = nearestCell(cs, v)
+          val s = sums(c)
+          var i = 0
+          while (i < dim) { s(i) += v(i); i += 1 }
+          ns(c) += 1
+        }
+        val pid = TaskContext.getPartitionId()
+        Iterator.range(0, cs.length).filter(ns(_) > 0)
+          .map(c => Row(pid, c, sums(c).toSeq, ns(c)))
+      }(Encoders.row(partialSchema)).collect()
+      val next = centroids.map(_.clone())
+      partials.groupBy(_.getInt(1)).foreach { case (cell, rows) =>
+        val dim = centroids(0).length
+        val acc = new Array[Double](dim)
+        var n = 0L
+        rows.sortBy(_.getInt(0)).foreach { r =>
+          val s = r.getSeq[Double](2)
+          var i = 0
+          while (i < dim) { acc(i) += s(i); i += 1 }
+          n += r.getLong(3)
+        }
+        if (n > 0) next(cell) = acc.map(_ / n)
       }
       centroids = next
     }
 
-    val bc = spark.sparkContext.broadcast(centroids)
-    val probeUdf = udf((v: Seq[Double]) => nearestCells(bc.value, v.toArray, nProbe))
-    val assigned = src
-      .withColumn("__cell", assignUdf(bc.value)(col("__vec")))
-      .withColumn("__norm", norm(col("__vec")))
-      .withColumn("__unit", transform(col("__vec"), x =>
-        when(col("__norm") > 0, x / col("__norm")).otherwise(lit(0.0))))
+    // final pass: one kernel computes the assigned cell, the nProbe probe
+    // cells, and the unit vector per row
+    val bcF = spark.sparkContext.broadcast(centroids)
+    val assignedSchema = StructType(Seq(
+      keyField.copy(name = "__key"),
+      StructField("__unit", ArrayType(DoubleType, containsNull = false), nullable = false),
+      StructField("__cell", IntegerType, nullable = false),
+      StructField("__probes", ArrayType(IntegerType, containsNull = false), nullable = false)))
+    val assigned = src.mapPartitions { it =>
+      val cs = bcF.value
+      it.map { r =>
+        val key = r.get(0)
+        val v = r.getSeq[Double](1).toArray
+        val cell = nearestCell(cs, v)
+        val probes = nearestCells(cs, v, nProbe)
+        var s = 0.0
+        var i = 0
+        while (i < v.length) { s += v(i) * v(i); i += 1 }
+        val nrm = math.sqrt(s)
+        val unit = if (nrm > 0) v.map(_ / nrm) else new Array[Double](v.length)
+        Row(key, unit.toSeq, cell, probes.toSeq)
+      }
+    }(Encoders.row(assignedSchema))
     val corpus = assigned.select(col("__cell"), col("__key").as("neighbor"),
       col("__unit").as("unitB"))
     val queries = assigned.select(col("__key").as("query"),
-      col("__unit").as("unitA"),
-      explode(probeUdf(col("__vec"))).as("__cell"))
+      col("__unit").as("unitA"), explode(col("__probes")).as("__cell"))
     val scored = queries.join(corpus, Seq("__cell"))
       .where(col("query") =!= col("neighbor"))
       .withColumn("cosine", dot(col("unitA"), col("unitB")))
+      .select("query", "neighbor", "cosine")
+      .dropDuplicates("query", "neighbor") // a pair can meet in 2 probed cells
     val w = Window.partitionBy(col("query"))
       .orderBy(col("cosine").desc, col("neighbor").asc)
     scored.withColumn("rank", row_number().over(w))
       .where(col("rank") <= k)
-      .dropDuplicates("query", "neighbor") // a pair can meet in 2 probed cells
       .select("query", "neighbor", "cosine", "rank")
   }
 
@@ -236,10 +307,13 @@ object Similarity {
     * query over the candidate set. Single-table sign-LSH recall was ~5% on
     * near-uniform embeddings (round-1 measurement); multi-table is the
     * standard recall lever and keeps the same shape: one explode (x tables),
-    * join only within (table, bucket), never quadratic. Vectors are
-    * normalized once per side, so each candidate pair costs one dot. */
+    * join only within (table, bucket), never quadratic. The bucket join and
+    * candidate dedup carry keys only; unit vectors are joined back once per
+    * surviving pair (one dot per pair). Buckets are bounded at `maxBucket`
+    * members (generous 4096 default — capping candidates trades recall). */
   def lshTopK(df: DataFrame, keyCol: String, vecCol: String,
-      k: Int = 5, planes: Int = 8, tables: Int = 8): DataFrame = {
+      k: Int = 5, planes: Int = 8, tables: Int = 8,
+      maxBucket: Int = 4096): DataFrame = {
     val v = col(vecCol)
     val idx = sequence(lit(0), size(v) - 1)
     val bucketStructs = (0 until tables).map { t =>
@@ -250,22 +324,25 @@ object Similarity {
       }
       struct(lit(t).as("tbl"), bits.reduce(_.bitwiseOR(_)).as("bucket"))
     }
-    val bucketed = df
-      .withColumn("__norm", norm(v))
+    val banded = Dedup.capBuckets(
+      df.select(col(keyCol).as("__key"),
+          explode(array(bucketStructs: _*)).as("tb"))
+        .select(col("__key"), col("tb.tbl"), col("tb.bucket")),
+      Seq("tbl", "bucket"), "__key", maxBucket)
+    val a = banded.select(col("tbl"), col("bucket"), col("__key").as("query"))
+    val b = banded.select(col("tbl"), col("bucket"), col("__key").as("neighbor"))
+    val cand = a.join(b, Seq("tbl", "bucket"))
+      .where(col("query") =!= col("neighbor"))
+      .select("query", "neighbor")
+      .dropDuplicates("query", "neighbor") // union of candidate sets
+    val unit = df.withColumn("__norm", norm(v))
       .select(col(keyCol).as("__key"),
         transform(v, x =>
           when(col("__norm") > 0, x / col("__norm")).otherwise(lit(0.0)))
-          .as("__unit"),
-        explode(array(bucketStructs: _*)).as("tb"))
-      .select(col("__key"), col("__unit"), col("tb.tbl"), col("tb.bucket"))
-    val a = bucketed.select(col("tbl"), col("bucket"),
-      col("__key").as("query"), col("__unit").as("unitA"))
-    val b = bucketed.select(col("tbl"), col("bucket"),
-      col("__key").as("neighbor"), col("__unit").as("unitB"))
-    val scored = a.join(b, Seq("tbl", "bucket"))
-      .where(col("query") =!= col("neighbor"))
-      .select(col("query"), col("neighbor"), col("unitA"), col("unitB"))
-      .dropDuplicates("query", "neighbor") // union of candidate sets
+          .as("__unit"))
+    val scored = cand
+      .join(unit.select(col("__key").as("query"), col("__unit").as("unitA")), "query")
+      .join(unit.select(col("__key").as("neighbor"), col("__unit").as("unitB")), "neighbor")
       .withColumn("cosine", dot(col("unitA"), col("unitB")))
     val w = Window.partitionBy(col("query"))
       .orderBy(col("cosine").desc, col("neighbor").asc)
