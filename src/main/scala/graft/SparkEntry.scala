@@ -293,9 +293,13 @@ object SparkEntry {
       // full our-writer -> our-reader loop, DISTRIBUTED both ways: sink
       // writes per-partition files (sorted, small row groups), source
       // parallelizes the file list and prunes row groups via footer stats
-      // inside each task before decoding; exact filter on top.
+      // inside each task before decoding; exact filter on top. The
+      // directory is addressed as a file:// URI so the whole loop runs
+      // through the pluggable Hadoop FileSystem I/O seam (the in-sandbox
+      // stand-in for hdfs:// / s3a:// paths).
       val in = docs(s, dir).select("doc_id", "lang", "text")
-      val out = java.nio.file.Files.createTempDirectory("graft-pqsrc").toString
+      val out = "file://" +
+        java.nio.file.Files.createTempDirectory("graft-pqsrc").toString
       graft.sources.ParquetSink.write(
         in.repartition(4).sortWithinPartitions("doc_id"), out,
         rowGroupRows = 1 << 10).count()

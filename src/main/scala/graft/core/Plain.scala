@@ -128,7 +128,9 @@ object PlainCodec {
       val n = (buf(p) & 0xFF) | ((buf(p + 1) & 0xFF) << 8) |
         ((buf(p + 2) & 0xFF) << 16) | ((buf(p + 3) & 0xFF) << 24)
       p += 4
-      require(n >= 0 && p + n <= end,
+      // n <= end - p, not p + n <= end: the addition can wrap for a
+      // hostile length near Int.MaxValue and slip past the bound
+      require(n >= 0 && n <= end - p,
         s"PLAIN byte-array value $i claims $n bytes past page end")
       val data = acc.ensure(n)
       System.arraycopy(buf, p, data, acc.writePos, n)

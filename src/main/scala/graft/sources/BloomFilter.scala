@@ -232,23 +232,23 @@ object Sbbf {
   }
 
   /** Read the bloom filter of a column chunk, if present and readable.
-    * One bounded ranged read — never touches page data. */
-  def readFromFile(raf: java.io.RandomAccessFile,
+    * One bounded ranged read — never touches page data. Takes the
+    * [[GraftIO.SeekableInput]] seam, so bloom pruning works over any
+    * backing filesystem. */
+  def readFromFile(in: GraftIO.SeekableInput,
       cm: PqColumnMeta): Option[Sbbf] = {
     if (cm.bloomOffset < 0) return None
     try {
       // the header is tiny (~16 bytes); 64 covers any field ordering
       val headBuf = new Array[Byte](64)
-      raf.seek(cm.bloomOffset)
       val got = math.min(headBuf.length.toLong,
-        raf.length() - cm.bloomOffset).toInt
+        in.length - cm.bloomOffset).toInt
       if (got <= 0) return None
-      raf.readFully(headBuf, 0, got)
+      in.readFully(cm.bloomOffset, headBuf, 0, got)
       val (numBytes, headerLen) = parseHeader(headBuf, 0)
       if (numBytes < MinBytes || numBytes > MaxBytes * 8) return None
       val bits = new Array[Byte](numBytes)
-      raf.seek(cm.bloomOffset + headerLen)
-      raf.readFully(bits)
+      in.readFully(cm.bloomOffset + headerLen, bits)
       Some(fromBytes(bits))
     } catch { case _: Exception => None } // corrupted filter = no pruning
   }

@@ -66,35 +66,41 @@ object GraftParquetFormat {
   private[sources] def listFiles(dir: String): Seq[String] =
     listFilesPartitioned(dir).map(_._1)
 
-  /** Every `.parquet` file under `dir` (recursive) with the partition
-    * values carried by its Hive-style `k=v` path segments. The coarsest
-    * pruning tier at scale: a partition-column predicate drops whole
-    * directories before any footer is read. */
+  /** Every `.parquet` file under `dir` (recursive, via [[GraftIO]] — local
+    * paths and `scheme://` DFS paths alike) with the partition values
+    * carried by its Hive-style `k=v` path segments plus the listed file
+    * size. The coarsest pruning tier at scale: a partition-column predicate
+    * drops whole directories before any footer is read. */
   private[sources] def listFilesPartitioned(dir: String):
-      Seq[(String, Seq[(String, String)])] = {
-    val root = new java.io.File(dir)
-    val out = Seq.newBuilder[(String, Seq[(String, String)])]
-    def walk(f: java.io.File, kvs: List[(String, String)]): Unit =
-      if (f.isFile) {
-        if (f.getName.endsWith(".parquet")) out += ((f.getPath, kvs.reverse))
-      } else if (f.isDirectory) {
-        val kids = f.listFiles()
-        if (kids != null) kids.sortBy(_.getName).foreach { c =>
-          val n = c.getName
+      Seq[(String, Seq[(String, String)])] =
+    listFilesPartitionedSized(dir).map { case (p, kvs, _) => (p, kvs) }
+
+  private[sources] def listFilesPartitionedSized(dir: String):
+      Seq[(String, Seq[(String, String)], Long)] = {
+    val io = GraftIO.forPath(dir)
+    val out = Seq.newBuilder[(String, Seq[(String, String)], Long)]
+    def walk(e: GraftIO.Entry, kvs: List[(String, String)]): Unit =
+      if (!e.isDir) {
+        if (e.name.endsWith(".parquet")) out += ((e.path, kvs.reverse, e.len))
+      } else {
+        io.list(e.path).foreach { c =>
+          val n = c.name
           // skip metadata dirs/files (_lineage, _SUCCESS, .crc) — the same
           // convention Spark's own listing applies
           if (n.startsWith("_") || n.startsWith(".")) ()
           else {
-          val i = n.indexOf('=')
-          val kv =
-            if (c.isDirectory && i > 0)
-              Some((n.take(i), java.net.URLDecoder.decode(n.drop(i + 1), "UTF-8")))
-            else None
-          walk(c, kv.fold(kvs)(_ :: kvs))
+            val i = n.indexOf('=')
+            val kv =
+              if (c.isDir && i > 0)
+                Some((n.take(i), java.net.URLDecoder.decode(n.drop(i + 1), "UTF-8")))
+              else None
+            walk(c, kv.fold(kvs)(_ :: kvs))
           }
         }
       }
-    if (root.isFile) out += ((root.getPath, Nil)) else walk(root, Nil)
+    val root = io.status(dir).getOrElse(
+      throw new IllegalArgumentException(s"no such path: $dir"))
+    if (!root.isDir) out += ((root.path, Nil, root.len)) else walk(root, Nil)
     val files = out.result()
     require(files.nonEmpty, s"no parquet files under $dir")
     val cols = files.head._2.map(_._1)
@@ -164,10 +170,11 @@ final class GraftBatchWrite(dir: String, schema: StructType,
     encPolicy: Int = EncPolicy.Plain) extends BatchWrite {
   override def createBatchWriterFactory(
       info: PhysicalWriteInfo): DataWriterFactory = {
-    val d = new java.io.File(dir)
-    d.mkdirs()
+    val io = GraftIO.forPath(dir)
+    io.mkdirs(dir)
     if (truncate)
-      d.listFiles((_, n) => n.endsWith(".parquet")).foreach(_.delete())
+      io.list(dir).filter(e => !e.isDir && e.name.endsWith(".parquet"))
+        .foreach(e => io.delete(e.path))
     val codec = codecName.toLowerCase match {
       case "snappy" => PqCodec.Snappy
       case "gzip" => PqCodec.Gzip
@@ -209,7 +216,7 @@ final class GraftDataWriter(path: String, schema: StructType, codec: Int,
   override def commit(): WriterCommitMessage = GraftCommit(path, w.close())
   override def abort(): Unit = {
     try w.close() catch { case _: Throwable => () }
-    new java.io.File(path).delete()
+    GraftIO.forPath(path).delete(path)
   }
   override def close(): Unit = ()
 }
@@ -653,21 +660,37 @@ final class GraftScan(dir: String, schema: StructType,
 
   /** Exact row count + uncompressed byte size from footer tails only —
     * feeds Catalyst's join planning (a small graft-parquet table becomes
-    * broadcast-joinable without a manual hint). */
+    * broadcast-joinable without a manual hint). Capped like
+    * [[planInputPartitions]]: past [[GraftScan.FooterPlanLimit]] files the
+    * driver skips the per-file footer reads and reports the summed
+    * on-disk listing sizes instead (no row count) — a directory of a
+    * million files must never cost a million driver RPCs just to build a
+    * stats estimate. */
   override def estimateStatistics(): Statistics = {
-    var rows = 0L
-    var bytes = 0L
-    GraftParquetFormat.listFiles(dir).foreach { f =>
-      val m = ParquetFileReader.readFooterOnly(f)
-      rows += m.numRows
-      bytes += m.rowGroups.map(_.totalByteSize).sum
-    }
-    val (r, b) = (rows, bytes)
-    new Statistics {
-      override def sizeInBytes(): java.util.OptionalLong =
-        java.util.OptionalLong.of(b)
-      override def numRows(): java.util.OptionalLong =
-        java.util.OptionalLong.of(r)
+    val files = GraftParquetFormat.listFilesPartitionedSized(dir)
+    if (files.length > GraftScan.FooterPlanLimit) {
+      val b = files.map(_._3).sum
+      new Statistics {
+        override def sizeInBytes(): java.util.OptionalLong =
+          java.util.OptionalLong.of(b)
+        override def numRows(): java.util.OptionalLong =
+          java.util.OptionalLong.empty()
+      }
+    } else {
+      var rows = 0L
+      var bytes = 0L
+      files.foreach { case (f, _, _) =>
+        val m = ParquetFileReader.readFooterOnly(f)
+        rows += m.numRows
+        bytes += m.rowGroups.map(_.totalByteSize).sum
+      }
+      val (r, b) = (rows, bytes)
+      new Statistics {
+        override def sizeInBytes(): java.util.OptionalLong =
+          java.util.OptionalLong.of(b)
+        override def numRows(): java.util.OptionalLong =
+          java.util.OptionalLong.of(r)
+      }
     }
   }
 }
@@ -723,7 +746,7 @@ private[sources] object GraftFlatScan {
       ParquetFileReader.chunkFor(meta, rg, c).exists(_.bloomOffset >= 0)
     })
     if (!anyBloom) return rgs
-    val raf = new java.io.RandomAccessFile(path, "r")
+    val in = GraftIO.forPath(path).open(path)
     try {
       rgs.filter { rg =>
         eqProbes.forall { case (col, values) =>
@@ -733,13 +756,13 @@ private[sources] object GraftFlatScan {
               // any unhashable candidate ⇒ the conjunct can't be decided
               // by the bloom ⇒ keep the group
               hashes.length != values.length ||
-                Sbbf.readFromFile(raf, cm).forall(f =>
+                Sbbf.readFromFile(in, cm).forall(f =>
                   hashes.exists(f.mightContainHash))
             case _ => true
           }
         }
       }
-    } finally raf.close()
+    } finally in.close()
   }
 
   /** Projected columns' values for one row group: page statistics of the

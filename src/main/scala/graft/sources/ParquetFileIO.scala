@@ -85,13 +85,15 @@ object ParquetFileReader {
     * driver (statistics + planning) and once per row-group task on the
     * executors — a file split into N row-group tasks would parse the same
     * footer N times. PqFileMeta is immutable, so cache by identity on disk:
-    * (path, size, nanosecond mtime) — a rewritten file misses, an in-place
-    * data-region corruption (tests do this) safely hits since the footer
-    * region is unchanged. Bounded; cleared wholesale on overflow (footers
-    * are KBs — the bound exists for pathological many-file churn, not
-    * memory pressure in normal use). */
+    * the [[GraftIO.cacheKey]] (path, size, mtime, and — locally — the
+    * filesystem fileKey/inode, so a same-size in-place rewrite within the
+    * mtime granularity still misses). An in-place data-region corruption
+    * (tests do this) safely hits since the footer region is unchanged.
+    * Bounded; cleared wholesale on overflow (footers are KBs — the bound
+    * exists for pathological many-file churn, not memory pressure in
+    * normal use). */
   private val footerCache =
-    new java.util.concurrent.ConcurrentHashMap[(String, Long, Long), PqFileMeta]()
+    new java.util.concurrent.ConcurrentHashMap[AnyRef, PqFileMeta]()
   private val FooterCacheMax = 8192
 
   /** Footer metadata alone, reading only the file tail (8-byte trailer →
@@ -99,11 +101,7 @@ object ParquetFileReader {
     * regardless of file size. Offsets inside the returned meta remain
     * absolute file offsets. */
   def readFooterOnly(path: String): PqFileMeta = {
-    val attrs = java.nio.file.Files.readAttributes(
-      java.nio.file.Paths.get(path),
-      classOf[java.nio.file.attribute.BasicFileAttributes])
-    val ft = attrs.lastModifiedTime().toInstant
-    val key = (path, attrs.size(), ft.getEpochSecond * 1000000000L + ft.getNano)
+    val key = GraftIO.forPath(path).cacheKey(path)
     val hit = footerCache.get(key)
     if (hit != null) return hit
     val meta = readFooterUncached(path)
@@ -113,13 +111,12 @@ object ParquetFileReader {
   }
 
   private def readFooterUncached(path: String): PqFileMeta = {
-    val raf = new java.io.RandomAccessFile(path, "r")
+    val in = GraftIO.forPath(path).open(path)
     try {
-      val n = raf.length()
+      val n = in.length
       require(n > 12, s"$path too short to be a parquet file")
       val tail = new Array[Byte](8)
-      raf.seek(n - 8)
-      raf.readFully(tail)
+      in.readFully(n - 8, tail)
       require(tail(4) == 'P' && tail(5) == 'A' && tail(6) == 'R' &&
         tail(7) == '1', s"$path: not a parquet file (trailer magic)")
       val footerLen = (tail(0) & 0xFF) | ((tail(1) & 0xFF) << 8) |
@@ -127,10 +124,9 @@ object ParquetFileReader {
       require(footerLen > 0 && footerLen <= n - 12,
         s"$path: bad footer length $footerLen")
       val buf = new Array[Byte](footerLen)
-      raf.seek(n - 8 - footerLen)
-      raf.readFully(buf)
+      in.readFully(n - 8 - footerLen, buf)
       ParquetMeta.parseFileMeta(buf, 0)
-    } finally raf.close()
+    } finally in.close()
   }
 
   /** Leaf columns of row group `rg` with full level descriptors. */
@@ -217,13 +213,29 @@ object ParquetFileReader {
     * a clear message instead of obscurely inside a decoder. Pages pruned by
     * statistics are never read, so they are never checked (same contract as
     * parquet-mr's verify-checksum mode). */
+  /** Page-CRC verification mode, settable via the system property
+    * `graft.parquet.page.verify-crc`: `all` (default — v1, v2, and dict
+    * pages), `v1` (skip DATA_PAGE_V2 — the v2 CRC definition was only
+    * settled by PARQUET-2048, and files stamped by older third-party
+    * writers carry differently-computed v2 CRCs that would hard-fail an
+    * otherwise-readable file), or `off` (parquet-mr's default posture:
+    * verification opt-in). */
+  private def crcMode: String =
+    System.getProperty("graft.parquet.page.verify-crc", "all")
+
   private def checkPageCrc(ph: PqPageHeader, bytes: Array[Byte],
       dataStart: Int): Unit =
     if (ph.crcDefined) {
-      val c = new java.util.zip.CRC32
-      c.update(bytes, dataStart, ph.compressedSize)
-      require(c.getValue.toInt == ph.crc,
-        s"page CRC mismatch: stored ${ph.crc}, computed ${c.getValue.toInt}")
+      val mode = crcMode
+      val skip = mode == "off" || (mode == "v1" && ph.pageType == 3)
+      if (!skip) {
+        val c = new java.util.zip.CRC32
+        c.update(bytes, dataStart, ph.compressedSize)
+        require(c.getValue.toInt == ph.crc,
+          s"page CRC mismatch: stored ${ph.crc}, computed ${c.getValue.toInt}" +
+            " (set -Dgraft.parquet.page.verify-crc=v1|off for files from " +
+            "pre-PARQUET-2048 writers)")
+      }
     }
 
   private def decodeDictPage(bytes: Array[Byte], dataStart: Int,
@@ -417,10 +429,16 @@ object ParquetFileReader {
     val leaf = LeafColumn(Seq(col.name), col.typ, -1, -1, col.maxDef, 0, col.meta)
     val cm = col.meta
     // same density guard as readTriplets: byte-derived bound for PLAIN-ish
-    // pages, absolute 16M-value ceiling for legitimately-denser RLE/delta
-    require(cm.numValues >= 0 && (cm.numValues <=
-      8L * math.max(bytes.length.toLong, cm.totalUncompressedSize) ||
-      cm.numValues <= (1L << 24)),
+    // pages, absolute 16M-value ceiling for legitimately-denser RLE/delta.
+    // totalUncompressedSize is a FOOTER field — hostile values must fail
+    // here, before they size any allocation or reach a .toInt
+    require(cm.totalUncompressedSize >= 0 &&
+      cm.totalUncompressedSize <= Int.MaxValue.toLong,
+      s"chunk claims ${cm.totalUncompressedSize} uncompressed bytes")
+    require(cm.numValues >= 0 && cm.numValues <= Int.MaxValue.toLong &&
+      (cm.numValues <=
+        8L * math.max(bytes.length.toLong, cm.totalUncompressedSize) ||
+        cm.numValues <= (1L << 24)),
       s"chunk claims ${cm.numValues} values in ${bytes.length} bytes")
     var off =
       if (cm.dictionaryPageOffset >= 0)
@@ -431,11 +449,15 @@ object ParquetFileReader {
     val parts = ArrayBuffer.empty[ColVec]
     // byte-array chunks decode into ONE shared arena across pages (single
     // copy per value) instead of per-page vectors + a whole-arena concat —
-    // on a multi-page string chunk the concat alone re-copies every byte
+    // on a multi-page string chunk the concat alone re-copies every byte.
+    // The footer size is only a capacity HINT (the arena doubles on
+    // demand), so clamp it to a sane multiple of the bytes actually read:
+    // a crafted footer must not force a ~2 GB upfront allocation
     val acc: BytesAccum =
       if (col.typ == PqType.ByteArray)
         new BytesAccum(
-          math.min(cm.totalUncompressedSize, (Int.MaxValue - 16).toLong).toInt,
+          math.min(math.min(cm.totalUncompressedSize,
+            64L * bytes.length + 64), (Int.MaxValue - 16).toLong).toInt,
           cm.numValues.toInt)
       else null
     val defParts = if (col.maxDef > 0) ArrayBuffer.empty[Array[Int]] else null
@@ -667,15 +689,14 @@ object ParquetFileReader {
     * meta, so handing them the fetched buffer plus rebased meta reuses
     * the whole decode layer unchanged. */
   final class ChunkFetcher(path: String) extends AutoCloseable {
-    private val raf = new java.io.RandomAccessFile(path, "r")
-    private val fileLen = raf.length()
+    private val in = GraftIO.forPath(path).open(path)
+    private val fileLen = in.length
     def fetch(cm: PqColumnMeta): (Array[Byte], PqColumnMeta) = {
       val (s, e) = chunkByteRange(cm)
       require(s >= 0 && s <= e && e <= fileLen,
         s"chunk byte range [$s,$e) outside $fileLen-byte file")
       val buf = new Array[Byte]((e - s).toInt)
-      raf.seek(s)
-      raf.readFully(buf)
+      in.readFully(s, buf)
       (buf, rebaseChunk(cm))
     }
     def fetchLeaf(col: LeafColumn): (Array[Byte], LeafColumn) = {
@@ -692,11 +713,10 @@ object ParquetFileReader {
       require(off >= 0 && len >= 0 && off + len <= fileLen,
         s"range [$off,+$len) outside $fileLen-byte file")
       val buf = new Array[Byte](len)
-      raf.seek(off)
-      raf.readFully(buf)
+      in.readFully(off, buf)
       buf
     }
-    override def close(): Unit = raf.close()
+    override def close(): Unit = in.close()
   }
 
   // ------------------------------------------------------------- flat reads
@@ -733,7 +753,7 @@ object ParquetFileReader {
 
   /** Read a whole flat file: (column names, per-column values). */
   def readFile(path: String): (Seq[String], Seq[IndexedSeq[Any]]) = {
-    val bytes = java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(path))
+    val bytes = GraftIO.forPath(path).readAll(path)
     val meta = readFooter(bytes)
     val allCols = (0 until meta.rowGroups.size).map(rg => flatColumns(meta, rg))
     val names = allCols.head.map(_.name)

@@ -1,6 +1,5 @@
 package graft.sources
 
-import java.io.{BufferedOutputStream, FileOutputStream}
 import scala.collection.mutable.ArrayBuffer
 
 import org.apache.spark.TaskContext
@@ -126,7 +125,9 @@ object ParquetFileWriter {
       encPolicy: Int = EncPolicy.Plain) {
     private val fields = schema.fields
     private val nCols = fields.length
-    private val out = new BufferedOutputStream(new FileOutputStream(path), 1 << 16)
+    // create-or-truncate through the pluggable I/O seam: local paths hit
+    // the JDK, scheme:// paths stream through Hadoop's FileSystem
+    private val out = GraftIO.forPath(path).create(path)
     private var pos = 0L
     private def write(b: Array[Byte]): Unit = { out.write(b); pos += b.length }
 
@@ -431,10 +432,13 @@ object ParquetFileWriter {
     }
     // fallback (non-dict) encoding chosen per chunk by the active policy;
     // delta/RLE streams restart at every page, so the choice applies to
-    // each page slice independently
-    val fallbackEnc =
+    // each page slice independently. When the Auto policy measured the
+    // WHOLE chunk (it fit the sample bound), the winning encoding's bytes
+    // come back cached — the single-page path below reuses them instead of
+    // encoding twice.
+    val (fallbackEnc, cachedVals) =
       if (dictIds.isEmpty) selectEnc(vec, dt, encPolicy, codec)
-      else PqEncoding.Plain
+      else (PqEncoding.Plain, null)
     val valueEnc =
       if (dictIds.isEmpty) fallbackEnc
       else if (pageVersion >= 2) PqEncoding.RleDictionary
@@ -534,7 +538,8 @@ object ParquetFileWriter {
           if (nVals == 0) Array.emptyByteArray
           else java.util.Arrays.copyOfRange(v.data, v.start(0),
             v.start(nVals - 1) + v.len(nVals - 1))
-        } else encodeValues(vec, fallbackEnc)
+        } else if (cachedVals != null) cachedVals
+        else encodeValues(vec, fallbackEnc)
       }
       // single data page == whole chunk: page stats are the chunk stats
       emitPage(numValues, defLevels, repLevels, valueBytes, stats)
@@ -602,30 +607,54 @@ object ParquetFileWriter {
     case other => throw new IllegalArgumentException(s"writer encoding $other")
   }
 
+  /** Auto-policy measurement bound: candidates are measured on a bounded
+    * PREFIX slice of the chunk, not the whole chunk — a 64 MiB delta chunk
+    * must not be encoded twice just to pick its encoding. A prefix (not a
+    * stride) keeps delta/front-coding adjacency intact, which is exactly
+    * what the candidates exploit. */
+  private val SelectSample = 4096
+
   /** Choose the fallback (non-dict) value encoding for one chunk under
     * `encPolicy` — the file-writer face of the north-star auto-selector.
     * V2Default is the reference's fixed per-type WriterVersion::PARQUET_2_0
     * table (`/root/reference/src/column/writer.rs:718-795`); Auto measures
-    * int/bool candidates exactly (one extra pass over primitives) and
-    * samples byte-array prefix sharing, falling back to PLAIN whenever the
-    * candidate doesn't actually win. */
+    * candidates on a [[SelectSample]]-bounded prefix slice and falls back
+    * to PLAIN whenever the candidate doesn't actually win.
+    *
+    * Returns (encoding, cachedBytes): when the measured slice WAS the whole
+    * chunk and the winner's encoding was materialized, its bytes come back
+    * so a single-page chunk never encodes twice; null otherwise. */
   private def selectEnc(vec: ColVec, dt: DataType, encPolicy: Int,
-      codec: Int): Int = {
+      codec: Int): (Int, Array[Byte]) = {
     if (encPolicy == EncPolicy.Plain || isFlba(dt) || vec.length == 0)
-      return PqEncoding.Plain
+      return (PqEncoding.Plain, null)
+    val whole = vec.length <= SelectSample
+    // bounded prefix slice (identity when the chunk is small)
+    def slice: ColVec =
+      if (whole) vec
+      else ChunkCodecSupport.gather(vec, Array.range(0, SelectSample))
     vec match {
       case BoolVec(vs) =>
-        if (encPolicy == EncPolicy.V2Default) PqEncoding.Rle
-        else if (RleBoolCodec.encode(vs).length < plainExactBytes(vec))
-          PqEncoding.Rle
-        else PqEncoding.Plain
+        if (encPolicy == EncPolicy.V2Default) (PqEncoding.Rle, null)
+        else {
+          val s = slice.asInstanceOf[BoolVec]
+          val rle = RleBoolCodec.encode(s.values)
+          if (rle.length < plainExactBytes(s))
+            (PqEncoding.Rle, if (whole) rle else null)
+          else (PqEncoding.Plain, null)
+        }
       case _: IntVec | _: LongVec =>
-        if (encPolicy == EncPolicy.V2Default) PqEncoding.DeltaBinaryPacked
-        else if (encodeValues(vec, PqEncoding.DeltaBinaryPacked).length <
-          plainExactBytes(vec)) PqEncoding.DeltaBinaryPacked
-        else PqEncoding.Plain
+        if (encPolicy == EncPolicy.V2Default)
+          (PqEncoding.DeltaBinaryPacked, null)
+        else {
+          val s = slice
+          val delta = encodeValues(s, PqEncoding.DeltaBinaryPacked)
+          if (delta.length < plainExactBytes(s))
+            (PqEncoding.DeltaBinaryPacked, if (whole) delta else null)
+          else (PqEncoding.Plain, null)
+        }
       case v: BytesVec =>
-        if (encPolicy == EncPolicy.V2Default) PqEncoding.DeltaByteArray
+        if (encPolicy == EncPolicy.V2Default) (PqEncoding.DeltaByteArray, null)
         else {
           // DELTA_BYTE_ARRAY front-codes against the previous value: it
           // pays a second delta-packed prefix-length stream (well under a
@@ -655,25 +684,30 @@ object ParquetFileWriter {
               else PqEncoding.DeltaLengthByteArray
             }
           // guard: tiny pages where the delta headers outweigh the savings
-          if (encodeValues(vec, pick).length < plainExactBytes(vec)) pick
-          else PqEncoding.Plain
+          // (measured on the bounded slice, cached when it's the chunk)
+          val s = slice.asInstanceOf[BytesVec]
+          val enc = encodeValues(s, pick)
+          if (enc.length < plainExactBytes(s))
+            (pick, if (whole) enc else null)
+          else (PqEncoding.Plain, null)
         }
       case _: FloatVec | _: DoubleVec =>
         // BYTE_STREAM_SPLIT is a pure permutation (same size uncompressed);
         // it only pays through the block codec, so Auto measures the actual
-        // compressed sizes of both layouts and keeps PLAIN on ties. The
-        // reference's own v2 table predates the encoding — V2Default stays
-        // PLAIN for strict parity.
+        // compressed sizes of both layouts (on the bounded slice) and keeps
+        // PLAIN on ties. The reference's own v2 table predates the
+        // encoding — V2Default stays PLAIN for strict parity.
         if (encPolicy != EncPolicy.Auto || codec == PqCodec.Uncompressed)
-          PqEncoding.Plain
+          (PqEncoding.Plain, null)
         else {
-          val plain = PlainCodec.encode(vec)
-          val bss = ByteStreamSplitCodec.encode(vec)
+          val s = slice
+          val plain = PlainCodec.encode(s)
+          val bss = ByteStreamSplitCodec.encode(s)
           if (compress(bss, codec).length < compress(plain, codec).length)
-            PqEncoding.ByteStreamSplit
-          else PqEncoding.Plain
+            (PqEncoding.ByteStreamSplit, if (whole) bss else null)
+          else (PqEncoding.Plain, if (whole) plain else null)
         }
-      case _ => PqEncoding.Plain
+      case _ => (PqEncoding.Plain, null)
     }
   }
 
@@ -882,7 +916,7 @@ object ParquetSink {
       encPolicy: Int = EncPolicy.Plain): DataFrame = {
     val schema = df.schema
     val blooms = bloomCols.toSet
-    new java.io.File(dir).mkdirs()
+    GraftIO.forPath(dir).mkdirs(dir)
     implicit val enc: org.apache.spark.sql.Encoder[Row] =
       Encoders.row(StructType(Seq(
         StructField("path", StringType, nullable = false),
@@ -919,7 +953,7 @@ object ParquetSink {
       rowGroupRows: Int = 1 << 16, pageVersion: Int = 1,
       encPolicy: Int = EncPolicy.Plain): DataFrame = {
     val spark = df.sparkSession
-    new java.io.File(dir).mkdirs()
+    GraftIO.forPath(dir).mkdirs(dir)
     val lineageDir = s"$dir/_lineage"
     val done: Set[Int] =
       try spark.read.parquet(lineageDir).select("partId").distinct()
@@ -938,7 +972,7 @@ object ParquetSink {
           rowGroupRows, codec, pageVersion, encPolicy = encPolicy)
         it.foreach(w.add)
         val n = w.close()
-        val fileBytes = new java.io.File(path).length
+        val fileBytes = GraftIO.forPath(path).length(path)
         val sha = sha256File(path)
         w.columnLineage.iterator.map { case (c, encs, unc, comp, vals) =>
           FileLineageRow(pid, path, n, fileBytes, sha, c,
@@ -952,7 +986,7 @@ object ParquetSink {
 
   private def sha256File(path: String): String = {
     val md = java.security.MessageDigest.getInstance("SHA-256")
-    val in = new java.io.FileInputStream(path)
+    val in = GraftIO.forPath(path).openStream(path)
     try {
       val buf = new Array[Byte](1 << 16)
       var n = in.read(buf)
@@ -978,7 +1012,7 @@ object ParquetSink {
     val dataSchema = StructType(dataFields.toSeq)
     val pIdx = partitionCols.map(df.schema.fieldIndex).toArray
     val dIdx = dataFields.map(f => df.schema.fieldIndex(f.name))
-    new java.io.File(dir).mkdirs()
+    GraftIO.forPath(dir).mkdirs(dir)
     implicit val enc: org.apache.spark.sql.Encoder[Row] =
       Encoders.row(StructType(Seq(
         StructField("path", StringType, nullable = false),
@@ -995,9 +1029,9 @@ object ParquetSink {
           val sub = partitionCols.zip(key).map { case (k, v) =>
             s"$k=${java.net.URLEncoder.encode(v, "UTF-8")}"
           }.mkString("/")
-          val d = new java.io.File(s"$dir/$sub")
-          d.mkdirs()
-          val path = f"${d.getPath}/part-$pid%05d.parquet"
+          val d = s"$dir/$sub"
+          GraftIO.forPath(d).mkdirs(d)
+          val path = f"$d/part-$pid%05d.parquet"
           (path, new ParquetFileWriter.IncrementalFileWriter(path, dataSchema,
             rowGroupRows, codec, pageVersion, encPolicy = encPolicy))
         })

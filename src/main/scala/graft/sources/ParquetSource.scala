@@ -84,10 +84,13 @@ object ParquetSource {
   def read(spark: SparkSession, dir: String,
       range: Option[(String, Long, Long)] = None,
       columns: Seq[String] = Nil): DataFrame = {
-    val f = new java.io.File(dir)
-    val files =
-      if (f.isFile) Array(f.getPath)
-      else f.listFiles((_, n) => n.endsWith(".parquet")).map(_.getPath).sorted
+    val io = GraftIO.forPath(dir)
+    val root = io.status(dir).getOrElse(
+      throw new IllegalArgumentException(s"no such path: $dir"))
+    val files: Seq[String] =
+      if (!root.isDir) Seq(root.path)
+      else io.list(dir).filter(e => !e.isDir && e.name.endsWith(".parquet"))
+        .map(_.path).sorted
     require(files.nonEmpty, s"no parquet files in $dir")
     // planning-time schema: footer tail only, never the whole file
     val full = sparkSchema(ParquetFileReader.readFooterOnly(files.head))

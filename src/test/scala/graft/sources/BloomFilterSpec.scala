@@ -113,7 +113,7 @@ class BloomFilterSpec extends AnyFunSuite with BeforeAndAfterAll {
     val meta = ParquetFileReader.readFooterOnly(file)
     val cm = ParquetFileReader.chunkFor(meta, 0, "commit").get
     assert(cm.bloomOffset >= 0, "spark wrote no bloom_filter_offset")
-    val raf = new java.io.RandomAccessFile(file, "r")
+    val raf = GraftIO.forPath(file).open(file)
     try {
       val f = Sbbf.readFromFile(raf, cm)
       assert(f.nonEmpty, "our parser failed on a parquet-mr bloom filter")
