@@ -436,6 +436,27 @@ object SparkEntry {
           sum(col("doc_id")).as("sum_id"))
         .orderBy("lang")
     }),
+    "q_parquet_int96" -> ((s, dir) => {
+      // legacy INT96 timestamp writes (reference writer.rs:51-100's eighth
+      // physical type, opt-in): our writer emits physical INT96 leaves
+      // (LE nanos-of-day + LE Julian day); SPARK'S OWN reader — with
+      // int96RebaseMode defaults — decodes them for the aggregate the
+      // oracle checks, the external proof the layout is standard.
+      val in = events(s, dir).select("event_id", "ts", "event_type")
+      val out = java.nio.file.Files.createTempDirectory("graft-i96").toString
+      graft.sources.ParquetSink.write(in.repartition(2), out,
+        int96Timestamps = true).count()
+      val back = s.read.parquet(out)
+      require(back.schema("ts").dataType ==
+        org.apache.spark.sql.types.TimestampType, "ts must read as timestamp")
+      // INT96 reads back session-TZ; the source (and DuckDB's oracle view
+      // of it) is NTZ — under the UTC session the wall clocks coincide, so
+      // compare as NTZ
+      back.agg(count(lit(1)).as("n"),
+        min(col("ts")).cast("timestamp_ntz").as("mn_ts"),
+        max(col("ts")).cast("timestamp_ntz").as("mx_ts"),
+        countDistinct(col("event_type")).as("ntypes"))
+    }),
     "q_parquet_bloom_prune" -> ((s, dir) => {
       // Split-block bloom filters: the writer stamps an SBBF per row group
       // on doc_id; rows arrive UNSORTED so min/max stats can't prune, and
@@ -676,6 +697,36 @@ object SparkEntry {
       Seq((nVecs, truePairs, falsePos, missed))
         .toDF("n_vecs", "true_pairs", "false_pos", "lsh_missed")
     }),
+    "q_multimodal_image" -> ((s, dir) => {
+      // REAL image decode (JDK ImageIO, zero new deps): one solid-color
+      // PNG per doc with dimensions/color derived from doc_id; the decoder
+      // must recover the true width/height and 4x4 block luminances from
+      // actual pixels. The oracle recomputes the dimension arithmetic
+      // independently; the luminance check is pinned at zero violations.
+      import s.implicits._
+      val png = docs(s, dir).select(col("doc_id")).as[Long]
+        .mapPartitions(_.map { id =>
+          val w = 16 + (id % 48).toInt
+          val h = 16 + (id % 31).toInt
+          val r = ((id * 37) % 256).toInt
+          val g = ((id * 101) % 256).toInt
+          val b = ((id * 53) % 256).toInt
+          (id, Multimodal.solidPng(w, h, (r << 16) | (g << 8) | b))
+        }).toDF("doc_id", "payload")
+      val feats = Multimodal.extractFeatures(png, "doc_id", "payload").toDF()
+      val expLum = ((col("key") * 37 % 256) + (col("key") * 101 % 256) +
+        (col("key") * 53 % 256)).cast("double") / lit(3.0 * 255.0)
+      feats
+        .withColumn("__bad",
+          col("mediaType") =!= "image" ||
+          col("width") =!= (lit(16) + col("key") % 48).cast("int") ||
+          col("height") =!= (lit(16) + col("key") % 31).cast("int") ||
+          size(filter(col("features"), f => abs(f - expLum) > 0.0005)) > 0)
+        .agg(count(lit(1)).as("n"),
+          sum(col("width").cast("long")).as("sum_w"),
+          sum(col("height").cast("long")).as("sum_h"),
+          sum(col("__bad").cast("long")).as("bad"))
+    }),
     "q_multimodal_stub" -> ((s, dir) => {
       val bin = docs(s, dir).select(col("doc_id"),
         col("text").cast("binary").as("payload"))
@@ -737,6 +788,8 @@ object SparkEntry {
       "SELECT count(*) AS cnt, min(doc_id) AS mn_id, max(doc_id) AS mx_id, min(n_chars) AS mn_chars, max(n_chars) AS mx_chars FROM documents",
     "q_parquet_bloom_prune" ->
       "SELECT count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS sum_chars, CAST(sum(doc_id) AS BIGINT) AS sum_id FROM documents WHERE doc_id IN (3, 777, 1500)",
+    "q_parquet_int96" ->
+      "SELECT count(*) AS n, min(ts) AS mn_ts, max(ts) AS mx_ts, count(DISTINCT event_type) AS ntypes FROM events",
     "q_parquet_enc_auto" ->
       "SELECT lang, count(*) AS cnt, CAST(sum(length(text)) AS BIGINT) AS chars, CAST(sum(doc_id) AS BIGINT) AS sum_id FROM documents GROUP BY lang ORDER BY lang",
     "q_rt_nulls" ->
@@ -823,6 +876,11 @@ object SparkEntry {
         "* (CASE WHEN (CASE WHEN length(text) > 0 THEN (length(text) - length(regexp_replace(text, '\\s', '', 'g')))::DOUBLE / length(text) ELSE 0.0 END) > 0.6 THEN 0.3 ELSE 1.0 END)" +
         ")), 4)), 3) AS sum_quality, count(*) AS n " +
         "FROM documents GROUP BY source ORDER BY source"),
+    "q_multimodal_image" ->
+      ("SELECT count(*) AS n, " +
+        "CAST(sum(16 + doc_id % 48) AS BIGINT) AS sum_w, " +
+        "CAST(sum(16 + doc_id % 31) AS BIGINT) AS sum_h, " +
+        "CAST(0 AS BIGINT) AS bad FROM documents"),
     "q_multimodal_stub" ->
       // replays Multimodal.stubDecode's closed-form hash (length + first/
       // mid/last byte; ASCII corpus so ascii(char) == utf-8 byte) — plain

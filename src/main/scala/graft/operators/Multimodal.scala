@@ -48,10 +48,72 @@ object Multimodal {
     MediaMeta(key, mediaType, bytes.length.toLong, w0, h0, feats)
   }
 
+  /** REAL image decode via the JDK's ImageIO (PNG/GIF/BMP/JPEG — zero new
+    * dependencies): true width/height plus a 16-dim feature vector of 4x4
+    * block mean luminances over the actual pixels. Returns None for
+    * payloads ImageIO can't decode (audio/video/arbitrary bytes), which
+    * fall back to the declared stub. */
+  private[operators] def decodeImage(key: Long,
+      bytes: Array[Byte]): Option[MediaMeta] = {
+    val img =
+      try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+      catch { case _: Exception => null }
+    if (img == null || img.getWidth <= 0 || img.getHeight <= 0) None
+    else {
+      val w = img.getWidth
+      val h = img.getHeight
+      val feats = new Array[Float](16)
+      var gy = 0
+      while (gy < 4) {
+        var gx = 0
+        while (gx < 4) {
+          val x0 = gx * w / 4; val x1 = math.max(x0 + 1, (gx + 1) * w / 4)
+          val y0 = gy * h / 4; val y1 = math.max(y0 + 1, (gy + 1) * h / 4)
+          var sum = 0.0
+          var n = 0
+          var y = y0
+          while (y < y1 && y < h) {
+            var x = x0
+            while (x < x1 && x < w) {
+              val rgb = img.getRGB(x, y)
+              sum += (((rgb >> 16) & 0xFF) + ((rgb >> 8) & 0xFF) +
+                (rgb & 0xFF)) / (3.0 * 255.0)
+              n += 1
+              x += 1
+            }
+            y += 1
+          }
+          feats(gy * 4 + gx) = if (n > 0) (sum / n).toFloat else 0f
+          gx += 1
+        }
+        gy += 1
+      }
+      Some(MediaMeta(key, "image", bytes.length.toLong, w, h, feats))
+    }
+  }
+
+  /** Solid-color PNG encoder (JDK ImageIO) — the deterministic test/data
+    * generator for the image-decode path. */
+  def solidPng(w: Int, h: Int, rgb: Int): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(w, h,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) { img.setRGB(x, y, rgb); x += 1 }
+      y += 1
+    }
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bos)
+    bos.toByteArray
+  }
+
   /** Batched per-partition decode: binary column in, typed metadata +
     * feature vector out. The plan shape (project -> mapPartitions over
     * binary batches) is exactly what a real decoder needs; partitioning is
-    * preserved (no shuffle). */
+    * preserved (no shuffle). Image containers decode for REAL through the
+    * JDK (see [[decodeImage]]); everything else (audio/video — no codecs
+    * in this container) takes the declared deterministic stub. */
   def extractFeatures(df: DataFrame, keyCol: String, mediaCol: String,
       mediaType: String = "image"): Dataset[MediaMeta] = {
     val spark = df.sparkSession
@@ -60,7 +122,9 @@ object Multimodal {
       .as[(Long, Array[Byte])]
       .mapPartitions { it =>
         // batch boundary: a real decoder would reuse native buffers here
-        it.map { case (key, bytes) => stubDecode(key, mediaType, bytes) }
+        it.map { case (key, bytes) =>
+          decodeImage(key, bytes).getOrElse(stubDecode(key, mediaType, bytes))
+        }
       }
   }
 

@@ -86,6 +86,39 @@ object ParquetFileWriter {
     case _ => false
   }
 
+  private def isTimestamp(dt: DataType): Boolean =
+    dt == TimestampType || dt == TimestampNTZType
+
+  /** Days from the Julian-day epoch to 1970-01-01 (public calendar fact). */
+  private val JulianDayOfEpoch = 2440588L
+  private val MicrosPerDay = 86400000000L
+
+  /** micros-since-epoch → legacy INT96 timestamps: 8-byte LE nanos-of-day
+    * followed by 4-byte LE Julian day (the Impala/legacy-Spark layout our
+    * reader already decodes from the reference golden files). */
+  private def int96VecOf(vs: Array[Long]): BytesVec = {
+    val n = vs.length
+    val data = new Array[Byte](12 * n)
+    val offsets = new Array[Int](n + 1)
+    var i = 0
+    while (i < n) {
+      val micros = vs(i)
+      val julian = Math.floorDiv(micros, MicrosPerDay) + JulianDayOfEpoch
+      val nanos = Math.floorMod(micros, MicrosPerDay) * 1000L
+      val p = 12 * i
+      var b = 0
+      while (b < 8) { data(p + b) = ((nanos >>> (8 * b)) & 0xFF).toByte; b += 1 }
+      b = 0
+      while (b < 4) {
+        data(p + 8 + b) = ((julian >>> (8 * b)) & 0xFF).toByte; b += 1
+      }
+      offsets(i) = p
+      i += 1
+    }
+    offsets(n) = 12 * n
+    BytesVec(data, offsets)
+  }
+
   private def convertedTypeOf(dt: DataType): Int = dt match {
     case StringType => PqConvertedType.Utf8
     case DateType => PqConvertedType.Date
@@ -102,9 +135,11 @@ object ParquetFileWriter {
   def writeFile(path: String, schema: StructType, rows: Iterator[Row],
       rowGroupRows: Int = 1 << 16, codec: Int = PqCodec.Snappy,
       pageVersion: Int = 1, bloomCols: Set[String] = Set.empty,
-      encPolicy: Int = EncPolicy.Plain): Long = {
+      encPolicy: Int = EncPolicy.Plain,
+      int96Timestamps: Boolean = false): Long = {
     val w = new IncrementalFileWriter(path, schema, rowGroupRows, codec,
-      pageVersion, bloomCols, encPolicy = encPolicy)
+      pageVersion, bloomCols, encPolicy = encPolicy,
+      int96Timestamps = int96Timestamps)
     rows.foreach(w.add)
     w.close()
   }
@@ -122,7 +157,14 @@ object ParquetFileWriter {
       bloomCols: Set[String] = Set.empty,
       bloomFpp: Double = 0.01,
       /** fallback value-encoding policy — see [[EncPolicy]] */
-      encPolicy: Int = EncPolicy.Plain) {
+      encPolicy: Int = EncPolicy.Plain,
+      /** opt-in LEGACY mode: flat timestamp columns are written as
+        * physical INT96 (8-byte LE nanos-of-day + 4-byte LE Julian day —
+        * the Impala/legacy-Spark layout, reference writer.rs:51-100's
+        * eighth physical type) instead of INT64 TIMESTAMP_MICROS. For
+        * consumers that still expect INT96; modern writers should leave
+        * this off. */
+      int96Timestamps: Boolean = false) {
     private val fields = schema.fields
     private val nCols = fields.length
     // create-or-truncate through the pluggable I/O seam: local paths hit
@@ -226,18 +268,22 @@ object ParquetFileWriter {
               j += 1
             }
           case b =>
-            val vec = b.build()
+            val asInt96 = int96Timestamps && isTimestamp(f.dataType)
+            val vec =
+              if (asInt96) int96VecOf(b.build().asInstanceOf[LongVec].values)
+              else b.build()
             val levels = b.defLevels
             val nRows = b.rowCount
             if (bloomCols.contains(f.name) && vec.length > 0 &&
-                !vec.isInstanceOf[BoolVec] && !isFlba(f.dataType))
+                !vec.isInstanceOf[BoolVec] && !isFlba(f.dataType) && !asInt96)
               pendingBlooms += ((rowGroups.length, chunks.length,
                 Sbbf.build(vec, bloomFpp)))
             chunks += writeColumnChunk(write, () => pos,
               Seq(f.name), f.dataType, vec,
               null, levels, nRows, defWidth = 1, maxDef = 1, codec,
               pageVersion, encPolicy,
-              pages => pendingIdx += ((rowGroups.length, chunks.length, pages)))
+              pages => pendingIdx += ((rowGroups.length, chunks.length, pages)),
+              int96 = asInt96)
         }
         builders(c).clear()
         c += 1
@@ -251,6 +297,10 @@ object ParquetFileWriter {
     // 3-level LIST group, or a MAP key_value group
     private def primitive(name: String, dt: DataType,
         repetition: Int): PqSchemaElement = {
+      if (int96Timestamps && isTimestamp(dt))
+        // legacy INT96 timestamp leaf: no converted type, no type length
+        return PqSchemaElement(name, typ = PqType.Int96,
+          repetition = repetition)
       val (sc, pr) = dt match {
         case d: DecimalType => (d.scale, d.precision)
         case _ => (-1, -1)
@@ -388,9 +438,15 @@ object ParquetFileWriter {
       encPolicy: Int = EncPolicy.Plain,
       /** invoked (during this call) with every data page's location +
         * stats + all-null flag, for the footer page index */
-      recordPages: Seq[(PqPageLocation, Option[PqStats], Boolean)] => Unit = null)
+      recordPages: Seq[(PqPageLocation, Option[PqStats], Boolean)] => Unit = null,
+      /** legacy INT96 timestamp chunk: `vec` holds 12-byte values */
+      int96: Boolean = false)
       : PqColumnMeta = {
-    val typ = pqTypeOf(dt)
+    val typ = if (int96) PqType.Int96 else pqTypeOf(dt)
+    // raw fixed-width values (FLBA decimals, INT96): PLAIN concat with no
+    // length prefixes, no dictionary, no min/max (FLBA decimal order is
+    // signed BE; INT96 sort order is undefined by the spec)
+    val rawFixed = isFlba(dt) || int96
     val pageRec = ArrayBuffer.empty[(PqPageLocation, Option[PqStats], Boolean)]
 
     var numNulls = 0
@@ -403,10 +459,9 @@ object ParquetFileWriter {
     }
     // chunk statistics: stat-encoded min/max over the non-null values plus
     // the null count (the reference's statistics.rs fields; its own writer
-    // left them TODO — writer.rs:352). FLBA decimals skip min/max: their
-    // order is SIGNED big-endian, not the unsigned-lexicographic stat order.
+    // left them TODO — writer.rs:352).
     val stats =
-      if (isFlba(dt)) Some(PqStats(Array.emptyByteArray, Array.emptyByteArray,
+      if (rawFixed) Some(PqStats(Array.emptyByteArray, Array.emptyByteArray,
         numNulls.toLong))
       else {
         val (mn, mx) = MinMax.compute(vec)
@@ -415,7 +470,7 @@ object ParquetFileWriter {
 
     // dictionary attempt (first-seen order, like the reference's writer)
     val dictPair: Option[(Int, Array[Byte], Array[Byte])] =
-      if (isFlba(dt)) None else buildDict(vec)
+      if (rawFixed) None else buildDict(vec)
 
     val startOff = tell()
     var uncTotal = 0L
@@ -437,8 +492,8 @@ object ParquetFileWriter {
     // come back cached — the single-page path below reuses them instead of
     // encoding twice.
     val (fallbackEnc, cachedVals) =
-      if (dictIds.isEmpty) selectEnc(vec, dt, encPolicy, codec)
-      else (PqEncoding.Plain, null)
+      if (dictIds.isEmpty && !rawFixed) selectEnc(vec, dt, encPolicy, codec)
+      else (PqEncoding.Plain, null: Array[Byte])
     val valueEnc =
       if (dictIds.isEmpty) fallbackEnc
       else if (pageVersion >= 2) PqEncoding.RleDictionary
@@ -500,7 +555,7 @@ object ParquetFileWriter {
     // stream (bounded by the 1 MiB dict limit + id widths), FLBA and
     // repeated leaves stay single-page (rep streams would need
     // record-aligned splits).
-    if (dictIds.isEmpty && repLevels == null && !isFlba(dt) &&
+    if (dictIds.isEmpty && repLevels == null && !rawFixed &&
         plainSizeOf(vec) > PageBytes) {
       var r0 = 0
       var v0 = 0
@@ -531,8 +586,8 @@ object ParquetFileWriter {
       cut(numValues, v)
     } else {
       val valueBytes = dictIds.getOrElse {
-        if (isFlba(dt)) {
-          // FLBA PLAIN: raw fixed-size concat, no length prefixes
+        if (rawFixed) {
+          // FLBA/INT96 PLAIN: raw fixed-size concat, no length prefixes
           val v = vec.asInstanceOf[BytesVec]
           val nVals = v.length
           if (nVals == 0) Array.emptyByteArray
@@ -913,7 +968,8 @@ object ParquetSink {
   def write(df: DataFrame, dir: String, codec: Int = PqCodec.Snappy,
       rowGroupRows: Int = 1 << 16, pageVersion: Int = 1,
       bloomCols: Seq[String] = Nil,
-      encPolicy: Int = EncPolicy.Plain): DataFrame = {
+      encPolicy: Int = EncPolicy.Plain,
+      int96Timestamps: Boolean = false): DataFrame = {
     val schema = df.schema
     val blooms = bloomCols.toSet
     GraftIO.forPath(dir).mkdirs(dir)
@@ -927,7 +983,7 @@ object ParquetSink {
         val pid = TaskContext.getPartitionId()
         val path = f"$dir/part-$pid%05d.parquet"
         val n = ParquetFileWriter.writeFile(path, schema, it, rowGroupRows,
-          codec, pageVersion, blooms, encPolicy)
+          codec, pageVersion, blooms, encPolicy, int96Timestamps)
         Iterator(Row(path, n))
       }
     }

@@ -1284,6 +1284,36 @@ class SparkE2ESpec extends AnyFunSuite with BeforeAndAfterAll {
     lin1.unpersist()
   }
 
+  test("INT96 timestamp writes read back exactly through Spark AND our reader") {
+    import graft.sources.{GraftParquetFormat, ParquetSink}
+    val ev = spark.read.parquet(s"$sfDir/events.parquet")
+      .select("event_id", "ts")
+    val dir = java.nio.file.Files.createTempDirectory("graft-i96t").toString
+    ParquetSink.write(ev.repartition(2), dir, int96Timestamps = true).count()
+    // footer pins physical INT96 on the ts leaf
+    val file = new java.io.File(dir).listFiles()
+      .find(_.getName.endsWith(".parquet")).get.getPath
+    val meta = graft.sources.ParquetFileReader.readFooterOnly(file)
+    val tsElem = meta.schema.find(_.name == "ts").get
+    assert(tsElem.typ == graft.sources.PqType.Int96,
+      s"ts leaf wrote physical type ${tsElem.typ}, expected INT96")
+    // INT96 always reads back as a session-TZ timestamp; the source column
+    // is NTZ — under the UTC session both carry the same micros, so the
+    // value comparison happens on unix_micros
+    def micros(df: org.apache.spark.sql.DataFrame): Seq[(Long, Long)] =
+      df.select(col("event_id"),
+          unix_micros(col("ts").cast("timestamp")).as("us"))
+        .orderBy("event_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSeq
+    val exp = micros(ev)
+    // external anchor: Spark's own reader with int96RebaseMode defaults
+    assert(micros(spark.read.parquet(dir)) == exp)
+    // our DSv2 reader (boxed INT96 fill on the columnar path)
+    assert(micros(spark.read.format(GraftParquetFormat.Name).load(dir)) == exp)
+    // and our RDD row source
+    assert(micros(graft.sources.ParquetSource.read(spark, dir)) == exp)
+  }
+
   test("pluggable I/O: full write/scan loop over a Hadoop FileSystem path") {
     // file:// routes every open/list/create/delete through Hadoop's
     // FileSystem — the in-sandbox stand-in for hdfs:// / s3a:// paths
