@@ -679,16 +679,11 @@ object SparkEntry {
         .withColumn("vec_id", col("vec_id") + 100000L))
       val found = Dedup.embeddingNearDups(emb, "vec_id", "embedding",
         threshold = 0.9, planes = 8).select("keyA", "keyB").cache()
-      val unit = emb.withColumn("__norm", Similarity.norm(col("embedding")))
-        .select(col("vec_id"),
-          transform(col("embedding"), x =>
-            when(col("__norm") > 0, x / col("__norm")).otherwise(lit(0.0)))
-            .as("u"))
-      val a = unit.select(col("vec_id").as("keyA"), col("u").as("ua"))
-      val b = unit.select(col("vec_id").as("keyB"), col("u").as("ub"))
-      val truth = a.crossJoin(b).where(col("keyA") < col("keyB"))
-        .where(Similarity.dot(col("ua"), col("ub")) >= 0.9)
-        .select("keyA", "keyB").cache()
+      // ground truth: broadcast brute-force kernel (bit-identical
+      // normalization/dot arithmetic to the LSH operator's SQL path, so
+      // the anti-joins below are exact set comparisons)
+      val truth = Similarity.bruteForceNearDups(emb, "vec_id", "embedding",
+        threshold = 0.9).select("keyA", "keyB").cache()
       val truePairs = truth.count()
       val falsePos = found.join(truth, Seq("keyA", "keyB"), "left_anti").count()
       val missed = truth.join(found, Seq("keyA", "keyB"), "left_anti").count()

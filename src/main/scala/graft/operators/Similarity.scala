@@ -130,6 +130,74 @@ object Similarity {
     }.toDF("query", "neighbor", "cosine", "rank")
   }
 
+  /** Exact cosine-threshold pair join — the brute-force ground truth for
+    * [[Dedup.embeddingNearDups]]: the normalized corpus is collected and
+    * broadcast (same guard rail as [[bruteForceTopK]]); each partition
+    * scans its rows against the broadcast matrix with a fused primitive
+    * loop, emitting (keyA, keyB, cosine) with keyA < keyB and
+    * cosine ≥ threshold. The normalization/dot arithmetic is
+    * operation-for-operation identical to the SQL path (float promoted to
+    * double, left-fold accumulation), so set comparisons against the LSH
+    * operator are exact, not tolerance-based. */
+  def bruteForceNearDups(df: DataFrame, keyCol: String, vecCol: String,
+      threshold: Double,
+      maxCorpusRows: Long = MaxBruteForceCorpus): DataFrame = {
+    val spark = df.sparkSession
+    val src = df.select(col(keyCol).cast("long").as("id"),
+      col(vecCol).cast("array<double>").as("v"))
+    val nRows = src.count()
+    require(nRows <= maxCorpusRows,
+      s"bruteForceNearDups collects the corpus to the driver: $nRows rows > " +
+        s"maxCorpusRows=$maxCorpusRows. Use Dedup.embeddingNearDups for " +
+        "corpora that don't fit one machine.")
+    val corpus: Array[(Long, Array[Double])] = src.collect().map { r =>
+      val v = r.getSeq[Double](1).toArray
+      var s = 0.0
+      var i = 0
+      while (i < v.length) { s += v(i) * v(i); i += 1 }
+      val nrm = math.sqrt(s)
+      val unit =
+        if (nrm > 0) { var j = 0; while (j < v.length) { v(j) /= nrm; j += 1 }; v }
+        else new Array[Double](v.length)
+      (r.getLong(0), unit)
+    }.sortBy(_._1)
+    val bc = spark.sparkContext.broadcast(corpus)
+    val outSchema = StructType(Seq(
+      StructField("keyA", LongType, nullable = false),
+      StructField("keyB", LongType, nullable = false),
+      StructField("cosine", DoubleType, nullable = false)))
+    implicit val enc: org.apache.spark.sql.Encoder[Row] =
+      Encoders.row(outSchema)
+    src.mapPartitions { it =>
+      val cor = bc.value
+      val n = cor.length
+      it.flatMap { r =>
+        val qid = r.getLong(0)
+        val v = r.getSeq[Double](1).toArray
+        var s = 0.0
+        var i = 0
+        while (i < v.length) { s += v(i) * v(i); i += 1 }
+        val nrm = math.sqrt(s)
+        val q =
+          if (nrm > 0) { var j = 0; while (j < v.length) { v(j) /= nrm; j += 1 }; v }
+          else new Array[Double](v.length)
+        val out = scala.collection.mutable.ArrayBuffer.empty[Row]
+        var ci = 0
+        while (ci < n) {
+          val (cid, cv) = cor(ci)
+          if (cid > qid) {
+            var d = 0.0
+            var j = 0
+            while (j < cv.length) { d += q(j) * cv(j); j += 1 }
+            if (d >= threshold) out += Row(qid, cid, d)
+          }
+          ci += 1
+        }
+        out.iterator
+      }
+    }.toDF("keyA", "keyB", "cosine")
+  }
+
   /** Fraction of the exact top-k (query, neighbor) pairs an ANN result
     * recovered — the value-checkable quality gate for the scale-path ANN
     * operators (one semi-join + two counts, fully distributed). */

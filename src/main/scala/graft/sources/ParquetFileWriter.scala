@@ -472,6 +472,16 @@ object ParquetFileWriter {
     val dictPair: Option[(Int, Array[Byte], Array[Byte])] =
       if (rawFixed) None else buildDict(vec)
 
+    // the dict path knows the EXACT distinct count — carry it in the
+    // footer stats (thrift Statistics field 4, the reference's
+    // statistics.rs distinct_count); non-dict chunks leave it unknown,
+    // like parquet-mr
+    val chunkStats = dictPair match {
+      case Some((nDict, _, _)) =>
+        stats.map(_.copy(distinctCount = nDict.toLong))
+      case None => stats
+    }
+
     val startOff = tell()
     var uncTotal = 0L
     var dictOff = -1L
@@ -597,7 +607,7 @@ object ParquetFileWriter {
         else encodeValues(vec, fallbackEnc)
       }
       // single data page == whole chunk: page stats are the chunk stats
-      emitPage(numValues, defLevels, repLevels, valueBytes, stats)
+      emitPage(numValues, defLevels, repLevels, valueBytes, chunkStats)
     }
     val endOff = tell()
     if (recordPages != null) recordPages(pageRec.toSeq)
@@ -606,7 +616,7 @@ object ParquetFileWriter {
       else Seq(PqEncoding.Rle, valueEnc, PqEncoding.Plain)
     PqColumnMeta(typ, encodings, path, codec, numValues.toLong, uncTotal,
       endOff - startOff, dataPageOffset = dataOff,
-      dictionaryPageOffset = dictOff, stats = stats)
+      dictionaryPageOffset = dictOff, stats = chunkStats)
   }
 
   /** PLAIN-encoded size of a whole vector (bools counted one byte — a safe

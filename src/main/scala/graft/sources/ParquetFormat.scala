@@ -253,7 +253,10 @@ final case class PqSchemaElement(
   * reference parses these in `/root/reference/src/file/statistics.rs`).
   * `min`/`max` use the stat encoding (LE ints, raw bytes for BYTE_ARRAY,
   * possibly truncated); empty array = unbounded/absent. */
-final case class PqStats(min: Array[Byte], max: Array[Byte], nullCount: Long)
+/** `distinctCount` = -1 when unknown; written/parsed as thrift Statistics
+  * field 4 (the reference's statistics.rs:252-330 carries it too). */
+final case class PqStats(min: Array[Byte], max: Array[Byte], nullCount: Long,
+    distinctCount: Long = -1L)
 
 final case class PqColumnMeta(
     typ: Int,
@@ -510,6 +513,7 @@ object ParquetMeta {
     var minV: Array[Byte] = null
     var maxV: Array[Byte] = null
     var nullCount = -1L
+    var distinctCount = -1L
     var last = 0
     var done = false
     while (!done) {
@@ -520,6 +524,7 @@ object ParquetMeta {
           case 1 => maxLegacy = r.binary()
           case 2 => minLegacy = r.binary()
           case 3 => nullCount = r.zigzag()
+          case 4 => distinctCount = r.zigzag()
           case 5 => maxV = r.binary()
           case 6 => minV = r.binary()
           case _ => r.skip(t)
@@ -533,7 +538,8 @@ object ParquetMeta {
     else Some(PqStats(
       if (mn == null) Array.emptyByteArray else mn,
       if (mx == null) Array.emptyByteArray else mx,
-      math.max(nullCount, 0L)))
+      math.max(nullCount, 0L),
+      distinctCount))
   }
 
   def parsePageHeader(buf: Array[Byte], off: Int): PqPageHeader = {
@@ -620,6 +626,7 @@ object ParquetMeta {
     if (st.max.nonEmpty) { w.fieldHeader(1, TBinary, l2); w.binary(st.max); l2 = 1 }
     if (st.min.nonEmpty) { w.fieldHeader(2, TBinary, l2); w.binary(st.min); l2 = 2 }
     w.i64Field(3, l2, st.nullCount); l2 = 3
+    if (st.distinctCount >= 0) { w.i64Field(4, l2, st.distinctCount); l2 = 4 }
     if (st.max.nonEmpty) { w.fieldHeader(5, TBinary, l2); w.binary(st.max); l2 = 5 }
     if (st.min.nonEmpty) { w.fieldHeader(6, TBinary, l2); w.binary(st.min) }
     w.stop()

@@ -1284,6 +1284,25 @@ class SparkE2ESpec extends AnyFunSuite with BeforeAndAfterAll {
     lin1.unpersist()
   }
 
+  test("dict chunks carry exact distinct_count in footer statistics") {
+    import graft.sources.{ParquetFileReader, ParquetSink}
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+      .select("doc_id", "lang")
+    val dir = java.nio.file.Files.createTempDirectory("graft-dc").toString
+    ParquetSink.write(docs.coalesce(1), dir).count()
+    val file = new java.io.File(dir).listFiles()
+      .find(_.getName.endsWith(".parquet")).get.getPath
+    val meta = ParquetFileReader.readFooterOnly(file)
+    val langCm = meta.rowGroups.head.columns
+      .find(_.pathInSchema == Seq("lang")).get
+    val expected = docs.select("lang").distinct().count()
+    assert(langCm.stats.exists(_.distinctCount == expected),
+      s"lang distinct_count = ${langCm.stats.map(_.distinctCount)}, " +
+        s"expected $expected")
+    // the field stays well-formed for external readers
+    assert(spark.read.parquet(dir).count() == docs.count())
+  }
+
   test("INT96 timestamp writes read back exactly through Spark AND our reader") {
     import graft.sources.{GraftParquetFormat, ParquetSink}
     val ev = spark.read.parquet(s"$sfDir/events.parquet")
