@@ -566,29 +566,33 @@ object SparkEntry {
       // estimator can't plausibly cross, no bucket capped.
       import s.implicits._
       val d = docs(s, dir)
-      val found = Dedup.minhashLsh(d, "doc_id", "text",
+      // signatures cached once — the operator references them three times
+      // (banding + both join-backs) and the capped-bucket stat reuses them
+      val sig = Dedup.minhashSignature(d, "text", 32)
+        .select(col("doc_id").as("__key"), col("minhash")).cache()
+      val found = Dedup.minhashLshFromSig(sig,
         numHashes = 32, bands = 8, threshold = 0.5).cache()
-      val withSh = d.select(col("doc_id"),
+      // one cached 5-shingle set frame serves the exact-verify join AND the
+      // prefix-filtered ground-truth join (four internal references)
+      val sh = d.select(col("doc_id").as("__key"),
         array_sort(transform(TextOps.wordShingles(col("text"), 5),
-          x => xxhash64(x))).as("sh"))
+          x => xxhash64(x))).as("__sh")).cache()
       val exact = found
-        .join(withSh.select(col("doc_id").as("keyA"), col("sh").as("shA")), "keyA")
-        .join(withSh.select(col("doc_id").as("keyB"), col("sh").as("shB")), "keyB")
+        .join(sh.select(col("__key").as("keyA"), col("__sh").as("shA")), "keyA")
+        .join(sh.select(col("__key").as("keyB"), col("__sh").as("shB")), "keyB")
         .withColumn("__i", size(array_intersect(col("shA"), col("shB"))))
         .withColumn("exact", col("__i").cast("double") /
           (size(col("shA")) + size(col("shB")) - col("__i")).cast("double"))
       val falsePos = exact.where(col("exact") < 0.2).count()
-      val truth = Dedup.ngramJaccardPairs(d, "doc_id", "text",
-        blockCols = Seq.empty, n = 5, threshold = 0.9).cache()
+      val truth = Dedup.ngramJaccardFromSets(sh, blockCols = Seq.empty,
+        threshold = 0.9).cache()
       val truePairs = truth.count()
       val missed = truth.join(found, Seq("keyA", "keyB"), "left_anti").count()
-      val sig = Dedup.minhashSignature(d, "text", 32)
-        .select(col("doc_id").as("__key"), col("minhash"))
       val capped = Dedup.cappedBucketCount(
         Dedup.minhashBands(sig, bands = 8, rowsPerBand = 4),
         Seq("band", "bucket"), Dedup.DefaultMaxBucket)
       val nDocs = d.count()
-      found.unpersist(); truth.unpersist()
+      found.unpersist(); truth.unpersist(); sig.unpersist(); sh.unpersist()
       Seq((nDocs, truePairs, missed, falsePos, capped))
         .toDF("n_docs", "true_pairs_09", "lsh_missed_09", "false_pos",
           "capped_buckets")
@@ -602,7 +606,7 @@ object SparkEntry {
       val withSim = Dedup.simhash(d, "text")
         .select(col("doc_id").as("__key"), col("simhash")).cache()
       val blocked = Dedup.simhashPairs(withSim, maxDist = 8)
-        .select("keyA", "keyB")
+        .select("keyA", "keyB").cache() // referenced by both anti-joins
       val a = withSim.select(col("__key").as("keyA"), col("simhash").as("sa"))
       val b = withSim.select(col("__key").as("keyB"), col("simhash").as("sb"))
       val brute = a.crossJoin(b).where(col("keyA") < col("keyB"))
@@ -611,7 +615,7 @@ object SparkEntry {
       val missed = brute.join(blocked, Seq("keyA", "keyB"), "left_anti").count()
       val extra = blocked.join(brute, Seq("keyA", "keyB"), "left_anti").count()
       val nDocs = withSim.count()
-      withSim.unpersist(); brute.unpersist()
+      withSim.unpersist(); brute.unpersist(); blocked.unpersist()
       Seq((nDocs, missed + extra)).toDF("n_docs", "mismatches")
     }),
     "q_ngram_jaccard" -> ((s, dir) => {

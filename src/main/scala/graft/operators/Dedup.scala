@@ -87,9 +87,19 @@ object Dedup {
     */
   def minhashLsh(df: DataFrame, keyCol: String, textCol: String,
       numHashes: Int = 64, bands: Int = 16, threshold: Double = 0.7,
+      maxBucket: Int = DefaultMaxBucket): DataFrame =
+    minhashLshFromSig(
+      minhashSignature(df, textCol, numHashes)
+        .select(col(keyCol).as("__key"), col("minhash")),
+      numHashes, bands, threshold, maxBucket)
+
+  /** [[minhashLsh]] over a precomputed (__key, minhash) frame. The
+    * signature frame is referenced three times (banding + both payload
+    * join-backs); callers that persist it pay the shingle+hash cost once
+    * instead of three times. */
+  def minhashLshFromSig(withSig: DataFrame,
+      numHashes: Int, bands: Int, threshold: Double,
       maxBucket: Int = DefaultMaxBucket): DataFrame = {
-    val withSig = minhashSignature(df, textCol, numHashes)
-      .select(col(keyCol).as("__key"), col("minhash"))
     val pairs = capBuckets(minhashBands(withSig, bands, numHashes / bands),
       Seq("band", "bucket"), "__key", maxBucket)
       .transform { banded =>
@@ -191,7 +201,20 @@ object Dedup {
     * optional `blockCols` partitions (e.g. lang), via prefix filtering —
     * verified property: identical output to brute-force all-pairs. */
   def ngramJaccardPairs(df: DataFrame, keyCol: String, textCol: String,
-      blockCols: Seq[String], n: Int = 3, threshold: Double = 0.5): DataFrame = {
+      blockCols: Seq[String], n: Int = 3, threshold: Double = 0.5): DataFrame =
+    ngramJaccardFromSets(
+      df.select((blockCols.map(col) :+ col(keyCol).as("__key") :+
+        array_sort(transform(TextOps.wordShingles(col(textCol), n),
+          s => xxhash64(s))).as("__sh")): _*),
+      blockCols, threshold)
+
+  /** [[ngramJaccardPairs]] over a precomputed (blockCols..., __key,
+    * __sh sorted-hash-set) frame. The set frame is referenced four times
+    * (both prefix explodes + both payload join-backs); callers that
+    * persist it pay the shingle+hash+sort cost once instead of four
+    * times. */
+  def ngramJaccardFromSets(withSets: DataFrame, blockCols: Seq[String],
+      threshold: Double): DataFrame = {
     // Exact prefix-filtered set-similarity join (the All-Pairs/PPJoin
     // candidate rule): order every document's shingle hashes globally
     // (ascending 64-bit hash); two sets with jaccard >= t MUST share at
@@ -201,10 +224,7 @@ object Dedup {
     // The candidate join and pair-dedup carry keys and set SIZES only; the
     // two shingle arrays are joined back once per surviving pair for the
     // exact-jaccard verification.
-    val withSh = df.select(
-      (blockCols.map(col) :+ col(keyCol).as("__key") :+
-        array_sort(transform(TextOps.wordShingles(col(textCol), n),
-          s => xxhash64(s))).as("__sh")): _*)
+    val withSh = withSets
       .withColumn("__n", size(col("__sh")))
       .withColumn("__plen",
         (col("__n") - ceil(col("__n") * threshold) + 1).cast("int"))
