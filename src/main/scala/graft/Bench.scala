@@ -163,6 +163,13 @@ object Bench {
     val (rawTiny, _, _, secsTiny) = best(tinyCpus)
     val (rawLo, _, refLo, secsLo) = best(smallCpus)
     val (rawHi, encHi, _, secsHi) = best(cpus)
+    // Encode-only mode for controlled codec experiments: print the scaling
+    // levels + deterministic compression ratio and skip the decode/scan/
+    // query sections (SPARK_GRAFT_BENCH_ENCODE_ONLY=1).
+    if (sys.env.get("SPARK_GRAFT_BENCH_ENCODE_ONLY").contains("1")) {
+      println(f"""{"encode_gbps_p$cpus":${rawHi / secsHi / 1e9}%.4f,"encode_sec_p$tinyCpus":$secsTiny%.2f,"encode_sec_p$smallCpus":$secsLo%.2f,"encode_sec_p$cpus":$secsHi%.2f,"scaling_efficiency":${median(effSamples.toSeq)}%.3f,"compression_ratio":${encHi.toDouble / rawHi}%.4f,"ref_policy_ratio":${refLo.toDouble / rawLo}%.4f}""")
+      return
+    }
     val gbpsTiny = rawTiny / secsTiny / 1e9
     val gbpsLo = rawLo / secsLo / 1e9
     val gbpsHi = rawHi / secsHi / 1e9

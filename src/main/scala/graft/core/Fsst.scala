@@ -25,7 +25,7 @@ object FsstCodec {
   private val MaxSymbolLen = 8
 
   private val HashBits = 12
-  private val HashSize = 1 << HashBits // 4096 slots, 64 KiB of parallel arrays
+  private val HashSize = 1 << HashBits // 4096 interleaved slots = 64 KiB/table
 
   final class SymbolTable(val symbols: Array[Array[Byte]]) {
     // O(1) match per position (the two-table idea of the FSST paper,
@@ -36,23 +36,24 @@ object FsstCodec {
     // ratio, never correctness, and keeps the probe to one masked 64-bit
     // compare)
     private[FsstCodec] val symWord: Array[Long] = symbols.map(wordOf)
-    private[FsstCodec] val symMask: Array[Long] =
-      symbols.map(s => if (s.length >= 8) -1L else (1L << (8 * s.length)) - 1)
     private[FsstCodec] val symLen: Array[Int] = symbols.map(_.length)
     // short(idx) = (len << 8) | code for the longest 1/2-byte symbol whose
-    // prefix matches idx; 0 = no match
+    // prefix matches idx; 0 in the low 24 bits = no short match. Bit
+    // `LongPrefixFlag` marks prefixes some PLACED length>=3 symbol starts
+    // with: when it is clear the hash probes cannot hit, so the encode loop
+    // resolves the position from this single load (the majority of
+    // positions in escape-/short-match-heavy regions).
     private[FsstCodec] val short2: Array[Int] = new Array[Int](1 << 16)
     // 1-byte-only variant used when just one input byte remains
     private[FsstCodec] val short1: Array[Int] = new Array[Int](1 << 8)
     // two probe tables: hash4 keyed on the 4-byte prefix (symbols of length
     // >= 4, longest wins a slot), hash3 keyed on the 3-byte prefix (length-3
-    // symbols, plus hash4 slot losers so they stay matchable)
-    private[FsstCodec] val hash3Word: Array[Long] = new Array[Long](HashSize)
-    private[FsstCodec] val hash3Mask: Array[Long] = new Array[Long](HashSize)
-    private[FsstCodec] val hash3Packed: Array[Int] = Array.fill(HashSize)(-1)
-    private[FsstCodec] val hash4Word: Array[Long] = new Array[Long](HashSize)
-    private[FsstCodec] val hash4Mask: Array[Long] = new Array[Long](HashSize)
-    private[FsstCodec] val hash4Packed: Array[Int] = Array.fill(HashSize)(-1)
+    // symbols, plus hash4 slot losers so they stay matchable). Each slot is
+    // an interleaved [word, (len << 8) | code] Long pair so a probe touches
+    // one cache line instead of two parallel arrays; packed 0 = empty (real
+    // entries have len >= 3, so packed >= 0x300).
+    private[FsstCodec] val hash3: Array[Long] = new Array[Long](HashSize * 2)
+    private[FsstCodec] val hash4: Array[Long] = new Array[Long](HashSize * 2)
 
     locally {
       var c = 0
@@ -85,25 +86,32 @@ object FsstCodec {
       long3.foreach { c =>
         var placed = false
         if (symLen(c) >= 4) {
-          val h = hashIdx4(symWord(c))
-          if (hash4Packed(h) < 0) {
-            hash4Word(h) = symWord(c)
-            hash4Mask(h) = symMask(c)
-            hash4Packed(h) = (symLen(c) << 8) | c
+          val h = hashIdx4(symWord(c)) << 1
+          if (hash4(h + 1) == 0) {
+            hash4(h) = symWord(c)
+            hash4(h + 1) = ((symLen(c) << 8) | c).toLong
             placed = true
           }
         }
         if (!placed) {
-          val h = hashIdx(symWord(c))
-          if (hash3Packed(h) < 0) {
-            hash3Word(h) = symWord(c)
-            hash3Mask(h) = symMask(c)
-            hash3Packed(h) = (symLen(c) << 8) | c
+          val h = hashIdx(symWord(c)) << 1
+          if (hash3(h + 1) == 0) {
+            hash3(h) = symWord(c)
+            hash3(h + 1) = ((symLen(c) << 8) | c).toLong
+            placed = true
           }
         }
+        // flag the 2-byte prefix only for symbols that actually hold a
+        // slot — an unplaced symbol can never match, so flagging it would
+        // only send its prefix down the probe path for nothing
+        if (placed) short2((symWord(c) & 0xFFFF).toInt) |= LongPrefixFlag
       }
     }
   }
+
+  // short2 bit marking "a placed length>=3 symbol starts with this 2-byte
+  // prefix" — when clear, the encode loop skips both hash probes entirely.
+  private final val LongPrefixFlag = 1 << 24
 
   @inline private def hashIdx(word: Long): Int =
     ((((word & 0xFFFFFFL) * 2654435761L) >>> (32 - HashBits)).toInt) & (HashSize - 1)
@@ -252,19 +260,19 @@ object FsstCodec {
     val avail = end - pos
     val word = loadWord(a, pos, end)
     if (avail >= 4) {
-      val h = hashIdx4(word)
-      val packed = t.hash4Packed(h)
-      if (packed >= 0 && (packed >>> 8) <= avail &&
-          (word & t.hash4Mask(h)) == t.hash4Word(h)) return packed
+      val h = hashIdx4(word) << 1
+      val packed = t.hash4(h + 1).toInt
+      if (packed != 0 && (packed >>> 8) <= avail &&
+          (word & lenMask(packed >>> 8)) == t.hash4(h)) return packed
     }
     if (avail >= 3) {
-      val h = hashIdx(word)
-      val packed = t.hash3Packed(h)
-      if (packed >= 0 && (packed >>> 8) <= avail &&
-          (word & t.hash3Mask(h)) == t.hash3Word(h)) return packed
+      val h = hashIdx(word) << 1
+      val packed = t.hash3(h + 1).toInt
+      if (packed != 0 && (packed >>> 8) <= avail &&
+          (word & lenMask(packed >>> 8)) == t.hash3(h)) return packed
     }
     if (avail >= 2) {
-      val sc = t.short2((word & 0xFFFF).toInt)
+      val sc = t.short2((word & 0xFFFF).toInt) & ~LongPrefixFlag
       if (sc != 0) return sc
       -1
     } else {
@@ -288,34 +296,47 @@ object FsstCodec {
     var pos = from
     val end = from + len
     val fastEnd = end - 8 // full 8-byte word available; no avail checks needed
-    val hash3Word = t.hash3Word
-    val hash3Packed = t.hash3Packed
-    val hash4Word = t.hash4Word
-    val hash4Packed = t.hash4Packed
+    val hash3 = t.hash3
+    val hash4 = t.hash4
     val short2 = t.short2
     while (pos <= fastEnd) {
       val word: Long = LongView.get(a, pos)
-      val h4 = hashIdx4(word)
-      val p4 = hash4Packed(h4)
-      if (p4 >= 0 && (word & lenMask(p4 >>> 8)) == hash4Word(h4)) {
-        out(outPos) = (p4 & 0xFF).toByte; outPos += 1
-        pos += (p4 >>> 8)
-      } else {
-        val h3 = hashIdx(word)
-        val p3 = hash3Packed(h3)
-        if (p3 >= 0 && (word & lenMask(p3 >>> 8)) == hash3Word(h3)) {
-          out(outPos) = (p3 & 0xFF).toByte; outPos += 1
-          pos += (p3 >>> 8)
+      // one short2 load resolves the position outright unless its flag bit
+      // says a length>=3 symbol could start here — only then pay the probes
+      val sc = short2((word & 0xFFFF).toInt)
+      if (sc < LongPrefixFlag) {
+        if (sc != 0) {
+          out(outPos) = (sc & 0xFF).toByte; outPos += 1
+          pos += (sc >>> 8)
         } else {
-          val sc = short2((word & 0xFFFF).toInt)
-          if (sc != 0) {
-            out(outPos) = (sc & 0xFF).toByte; outPos += 1
-            pos += (sc >>> 8)
+          out(outPos) = Escape.toByte
+          out(outPos + 1) = a(pos)
+          outPos += 2
+          pos += 1
+        }
+      } else {
+        val h4 = hashIdx4(word) << 1
+        val p4 = hash4(h4 + 1).toInt
+        if (p4 != 0 && (word & lenMask(p4 >>> 8)) == hash4(h4)) {
+          out(outPos) = (p4 & 0xFF).toByte; outPos += 1
+          pos += (p4 >>> 8)
+        } else {
+          val h3 = hashIdx(word) << 1
+          val p3 = hash3(h3 + 1).toInt
+          if (p3 != 0 && (word & lenMask(p3 >>> 8)) == hash3(h3)) {
+            out(outPos) = (p3 & 0xFF).toByte; outPos += 1
+            pos += (p3 >>> 8)
           } else {
-            out(outPos) = Escape.toByte
-            out(outPos + 1) = a(pos)
-            outPos += 2
-            pos += 1
+            val scm = sc & ~LongPrefixFlag
+            if (scm != 0) {
+              out(outPos) = (scm & 0xFF).toByte; outPos += 1
+              pos += (scm >>> 8)
+            } else {
+              out(outPos) = Escape.toByte
+              out(outPos + 1) = a(pos)
+              outPos += 2
+              pos += 1
+            }
           }
         }
       }

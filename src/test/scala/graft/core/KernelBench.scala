@@ -46,6 +46,13 @@ object KernelBench {
       time("AUTO repo", repo.rawSize)(ChunkCodec.encodeAuto(repo))
       time("AUTO lens", lens.rawSize)(ChunkCodec.encodeAuto(lens))
       val blob = ChunkCodec.encodeAuto(content).blob
+      val fsstBlob = ChunkCodec.encodeWith(content, CodecId.Fsst)
+      println(f"  fsst content ratio ${fsstBlob.length.toDouble / content.rawSize}%.4f")
+      Seq("content" -> content, "path" -> path, "commit" -> commit,
+        "lang" -> lang, "repo" -> repo).foreach { case (nm, v) =>
+        val e = ChunkCodec.encodeAuto(v)
+        println(f"  AUTO $nm%-8s codec=${e.codecId} ratio ${e.blob.length.toDouble / v.rawSize}%.4f")
+      }
       time("decode content", content.rawSize)(ChunkCodec.decode(blob))
       // bit-unpack-bound decode paths: dict id streams (RLE/bit-packed
       // getBatch) and delta miniblocks
