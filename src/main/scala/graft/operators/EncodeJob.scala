@@ -2,8 +2,11 @@ package graft.operators
 
 import org.apache.spark.TaskContext
 import org.apache.spark.sql.{Column, DataFrame, Dataset, Encoders, Row, SparkSession}
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.SpecializedGetters
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.Platform
 
 import graft.core._
 
@@ -110,33 +113,29 @@ object EncodeJob {
     val salt =
       if (saltCols.isEmpty) pmod(spark_partition_id().cast("long"), lit(saltBuckets)).as("__salt")
       else pmod(xxhash64(saltCols.map(col): _*), lit(saltBuckets)).as("__salt")
-    // String columns travel as binary: Spark's internal UTF8String is
-    // already UTF-8, so `encode(c, 'UTF-8')` is a cheap byte handoff inside
-    // codegen, and the per-row hot loop below never decodes/re-encodes
-    // chars. Sort order is unchanged (UTF8String compares byte-wise, as
-    // does BinaryType).
-    val asBinary = df.select(schema.fields.map { f =>
-      if (f.dataType == StringType)
-        org.apache.spark.sql.functions.encode(col(f.name), "UTF-8").as(f.name)
-      else col(f.name)
-    }.toSeq: _*)
-    val binarySchema = asBinary.schema
     // numPartitions <= 0 keeps the caller's partitioning (e.g. a
     // repartitionByRange whose clustering makes min/max chunk stats tight)
     val keyed =
-      if (numPartitions <= 0) asBinary
-      else if (partitionKeys.isEmpty) asBinary.repartition(numPartitions, salt)
-      else asBinary.repartition(numPartitions, (partitionKeys.map(col) :+ salt): _*)
+      if (numPartitions <= 0) df
+      else if (partitionKeys.isEmpty) df.repartition(numPartitions, salt)
+      else df.repartition(numPartitions, (partitionKeys.map(col) :+ salt): _*)
     val sorted =
       if (sortKeys.isEmpty) keyed
       else keyed.sortWithinPartitions(sortKeys.map(col): _*)
     val skip = spark.sparkContext.broadcast(skipPartitions)
-    sorted.mapPartitions { rows =>
+    // The terminal operator consumes CATALYST rows (queryExecution.toRdd):
+    // string columns are read as UTF8String views and copied once straight
+    // into the column arenas — no per-row external Row materialization, no
+    // per-field boxing, no intermediate byte-array per string. Measured at
+    // local[1] the external-Row deserialization was ~20% of total encode
+    // wall time.
+    val chunkRdd = sorted.queryExecution.toRdd.mapPartitions { rows =>
       val partId = TaskContext.getPartitionId()
       if (skip.value.contains(partId)) Iterator.empty
-      else encodePartition(partId, binarySchema, rows, chunkRows, chunkRawBytes,
+      else encodePartition(partId, schema, rows, chunkRows, chunkRawBytes,
         forcedCodecs, blockCodec)
     }
+    spark.createDataset(chunkRdd)
   }
 
   /** Pure per-partition encode: buffer up to chunkRows/chunkRawBytes rows,
@@ -150,7 +149,8 @@ object EncodeJob {
     * first OOM at 100x). Chunk cut points are unchanged: a chunk closes the
     * first time the post-add row/byte condition trips, so manifests stay
     * byte-identical to the eager version. */
-  def encodePartition(partId: Int, schema: StructType, rows: Iterator[Row],
+  def encodePartition(partId: Int, schema: StructType,
+      rows: Iterator[InternalRow],
       chunkRows: Int, chunkRawBytes: Long,
       forcedCodecs: Map[String, Int] = Map.empty,
       blockCodec: Int = BlockCodec.None): Iterator[ChunkRow] = {
@@ -316,10 +316,16 @@ object EncodeJob {
 }
 
 /** Boxing-free per-column row buffer: `add` pulls the typed value straight
-  * off the Row into a primitive array (strings decode to UTF-8 bytes once)
-  * and returns the raw-size delta used for chunk-cut accounting. Nulls are
-  * tracked as definition levels (0 = null, 1 = present); the value buffer
-  * holds only non-null values, mirroring Parquet page semantics. */
+  * off the CATALYST row (InternalRow / ArrayData — anything implementing
+  * SpecializedGetters) into a primitive array; string bytes copy once from
+  * the row buffer into the column arena. Consuming internal rows avoids the
+  * per-row external-Row materialization entirely (no boxed fields, no
+  * UTF8String -> String -> bytes round trip). Values are fully copied out
+  * inside `add`, so the caller may reuse the row instance (UnsafeRow
+  * iterators do). Returns the raw-size delta used for chunk-cut accounting.
+  * Nulls are tracked as definition levels (0 = null, 1 = present); the
+  * value buffer holds only non-null values, mirroring Parquet page
+  * semantics. */
 sealed abstract class ColBuilder {
   private var levels = new Array[Byte](1024)
   private var nRows = 0
@@ -327,7 +333,7 @@ sealed abstract class ColBuilder {
 
   // overridable (not final): ArrayBuilder replaces the whole row protocol
   // with slot-level rep/def tracking
-  def add(row: Row, i: Int): Long = {
+  def add(row: SpecializedGetters, i: Int): Long = {
     if (nRows == levels.length) levels = java.util.Arrays.copyOf(levels, nRows << 1)
     if (row.isNullAt(i)) {
       levels(nRows) = 0; nRows += 1; nNulls += 1
@@ -347,7 +353,7 @@ sealed abstract class ColBuilder {
 
   def clear(): Unit = { nRows = 0; nNulls = 0; clearValues() }
 
-  protected def addValue(row: Row, i: Int): Long
+  protected def addValue(row: SpecializedGetters, i: Int): Long
   protected def clearValues(): Unit
   def build(): ColVec
 }
@@ -375,30 +381,24 @@ object ColBuilder {
   }
 
   def apply(dt: DataType): ColBuilder = dt match {
-    case StringType => new BytesBuilder((r, i) =>
-      r.getString(i).getBytes(java.nio.charset.StandardCharsets.UTF_8))
-    case BinaryType => new BytesBuilder((r, i) => r.getAs[Array[Byte]](i))
-    case IntegerType => new IntBuilder(null)
-    case DateType => new IntBuilder((r, i) =>
-      r.getDate(i).toLocalDate.toEpochDay.toInt)
-    case LongType => new LongBuilder(null)
-    case TimestampType => new LongBuilder((r, i) => {
-      val ts = r.getTimestamp(i)
-      Math.floorDiv(ts.getTime, 1000L) * 1000000L + ts.getNanos / 1000L
-    })
-    case TimestampNTZType => new LongBuilder((r, i) => {
-      val ldt = r.getAs[java.time.LocalDateTime](i)
-      ldt.toEpochSecond(java.time.ZoneOffset.UTC) * 1000000L + ldt.getNano / 1000L
-    })
+    // null conv = direct UTF8String arena copy (one copy, no intermediate
+    // per-string array)
+    case StringType => new BytesBuilder(null)
+    case BinaryType => new BytesBuilder((r, i) => r.getBinary(i))
+    // catalyst already stores DATE as epoch days and TIMESTAMP[_NTZ] as
+    // epoch/local micros — exactly our physical representation
+    case IntegerType | DateType => new IntBuilder(null)
+    case LongType | TimestampType | TimestampNTZType => new LongBuilder(null)
     case FloatType => new FloatBuilder
     case DoubleType => new DoubleBuilder
     case BooleanType => new BoolBuilder
     case dt: DecimalType if dt.precision <= 18 => new LongBuilder((r, i) =>
-      r.getDecimal(i).setScale(dt.scale).unscaledValue().longValueExact())
+      r.getDecimal(i, dt.precision, dt.scale).toUnscaledLong)
     case dt: DecimalType => { // p > 18: FIXED_LEN_BYTE_ARRAY path
       val len = decimalFlbaLen(dt.precision)
-      new BytesBuilder((r, i) =>
-        decimalToFlba(r.getDecimal(i).setScale(dt.scale).unscaledValue(), len))
+      new BytesBuilder((r, i) => decimalToFlba(
+        r.getDecimal(i, dt.precision, dt.scale)
+          .toJavaBigDecimal.unscaledValue(), len))
     }
     case ArrayType(et, _) => new ArrayBuilder(et)
     case MapType(kt, vt, _) => new MapBuilder(kt, vt)
@@ -428,20 +428,21 @@ object ColBuilder {
       rep(nSlots) = r; defs(nSlots) = d; nSlots += 1
     }
 
-    override def add(row: Row, i: Int): Long = {
+    override def add(row: SpecializedGetters, i: Int): Long = {
       nR += 1
       if (row.isNullAt(i)) { nN += 1; slot(0, 0); 4L }
       else {
-        val seq = row.getSeq[Any](i)
-        if (seq.isEmpty) { slot(0, 1); 4L }
+        val arr = row.getArray(i)
+        val m = arr.numElements()
+        if (m == 0) { slot(0, 1); 4L }
         else {
           var delta = 4L
-          var first = true
-          seq.foreach { v =>
-            val r: Byte = if (first) 0 else 1
-            first = false
-            if (v == null) slot(r, 2)
-            else { slot(r, 3); delta += elems.append(v) }
+          var j = 0
+          while (j < m) {
+            val r: Byte = if (j == 0) 0 else 1
+            if (arr.isNullAt(j)) slot(r, 2)
+            else { slot(r, 3); delta += elems.append(arr, j) }
+            j += 1
           }
           delta
         }
@@ -458,7 +459,7 @@ object ColBuilder {
       (elems.build(), java.util.Arrays.copyOf(rep, nSlots),
         java.util.Arrays.copyOf(defs, nSlots))
 
-    protected def addValue(row: Row, i: Int): Long =
+    protected def addValue(row: SpecializedGetters, i: Int): Long =
       throw new UnsupportedOperationException
     protected def clearValues(): Unit = ()
     def build(): ColVec = throw new UnsupportedOperationException(
@@ -490,21 +491,24 @@ object ColBuilder {
       rep(nSlots) = r; defs(nSlots) = d; nSlots += 1
     }
 
-    override def add(row: Row, i: Int): Long = {
+    override def add(row: SpecializedGetters, i: Int): Long = {
       nR += 1
       if (row.isNullAt(i)) { nN += 1; slot(0, 0); 4L }
       else {
-        val m = row.getMap[Any, Any](i)
-        if (m.isEmpty) { slot(0, 1); 4L }
+        val m = row.getMap(i)
+        val sz = m.numElements()
+        if (sz == 0) { slot(0, 1); 4L }
         else {
+          val ka = m.keyArray()
+          val va = m.valueArray()
           var delta = 4L
-          var first = true
-          m.foreach { case (k, v) =>
-            val r: Byte = if (first) 0 else 1
-            first = false
-            delta += keys.append(k)
-            if (v == null) slot(r, 2)
-            else { slot(r, 3); delta += vals.append(v) }
+          var j = 0
+          while (j < sz) {
+            val r: Byte = if (j == 0) 0 else 1
+            delta += keys.append(ka, j)
+            if (va.isNullAt(j)) slot(r, 2)
+            else { slot(r, 3); delta += vals.append(va, j) }
+            j += 1
           }
           delta
         }
@@ -521,7 +525,7 @@ object ColBuilder {
       (keys.build(), vals.build(), java.util.Arrays.copyOf(rep, nSlots),
         java.util.Arrays.copyOf(defs, nSlots))
 
-    protected def addValue(row: Row, i: Int): Long =
+    protected def addValue(row: SpecializedGetters, i: Int): Long =
       throw new UnsupportedOperationException
     protected def clearValues(): Unit = ()
     def build(): ColVec = throw new UnsupportedOperationException(
@@ -542,7 +546,7 @@ object ColBuilder {
     private var nR = 0
     private var nN = 0
 
-    override def add(row: Row, i: Int): Long = {
+    override def add(row: SpecializedGetters, i: Int): Long = {
       if (nR == defs(0).length) {
         var j = 0
         while (j < this.n) {
@@ -556,12 +560,12 @@ object ColBuilder {
         while (j < this.n) { defs(j)(nR - 1) = 0; j += 1 }
         n.toLong
       } else {
-        val inner = row.getStruct(i)
+        val inner = row.getStruct(i, this.n)
         var delta = 0L
         var j = 0
         while (j < this.n) {
           if (inner.isNullAt(j)) defs(j)(nR - 1) = 1
-          else { defs(j)(nR - 1) = 2; delta += bufs(j).append(inner.get(j)) }
+          else { defs(j)(nR - 1) = 2; delta += bufs(j).append(inner, j) }
           j += 1
         }
         delta + n
@@ -581,17 +585,18 @@ object ColBuilder {
       Array.tabulate(n)(j =>
         (bufs(j).build(), java.util.Arrays.copyOf(defs(j), nR)))
 
-    protected def addValue(row: Row, i: Int): Long =
+    protected def addValue(row: SpecializedGetters, i: Int): Long =
       throw new UnsupportedOperationException
     protected def clearValues(): Unit = ()
     def build(): ColVec = throw new UnsupportedOperationException(
       "use buildStruct for STRUCT columns")
   }
 
-  /** Typed element-value buffer for ArrayBuilder (values arrive boxed from
-    * Row.getSeq; the buffers store primitives). */
+  /** Typed element-value buffer for Array/Map/Struct builders — reads the
+    * value at `ordinal` straight off a catalyst container (ArrayData or a
+    * nested InternalRow both implement SpecializedGetters), no boxing. */
   private sealed abstract class ElemBuf {
-    def append(v: Any): Long
+    def append(g: SpecializedGetters, ordinal: Int): Long
     def build(): ColVec
     def clear(): Unit
   }
@@ -611,45 +616,45 @@ object ColBuilder {
 
     private final class IntEB extends ElemBuf {
       private var a = new Array[Int](1024); private var n = 0
-      def append(v: Any): Long = {
+      def append(g: SpecializedGetters, i: Int): Long = {
         if (n == a.length) a = java.util.Arrays.copyOf(a, n << 1)
-        a(n) = v.asInstanceOf[Int]; n += 1; 4L
+        a(n) = g.getInt(i); n += 1; 4L
       }
       def build(): ColVec = IntVec(java.util.Arrays.copyOf(a, n))
       def clear(): Unit = n = 0
     }
     private final class LongEB extends ElemBuf {
       private var a = new Array[Long](1024); private var n = 0
-      def append(v: Any): Long = {
+      def append(g: SpecializedGetters, i: Int): Long = {
         if (n == a.length) a = java.util.Arrays.copyOf(a, n << 1)
-        a(n) = v.asInstanceOf[Long]; n += 1; 8L
+        a(n) = g.getLong(i); n += 1; 8L
       }
       def build(): ColVec = LongVec(java.util.Arrays.copyOf(a, n))
       def clear(): Unit = n = 0
     }
     private final class FloatEB extends ElemBuf {
       private var a = new Array[Float](1024); private var n = 0
-      def append(v: Any): Long = {
+      def append(g: SpecializedGetters, i: Int): Long = {
         if (n == a.length) a = java.util.Arrays.copyOf(a, n << 1)
-        a(n) = v.asInstanceOf[Float]; n += 1; 4L
+        a(n) = g.getFloat(i); n += 1; 4L
       }
       def build(): ColVec = FloatVec(java.util.Arrays.copyOf(a, n))
       def clear(): Unit = n = 0
     }
     private final class DoubleEB extends ElemBuf {
       private var a = new Array[Double](1024); private var n = 0
-      def append(v: Any): Long = {
+      def append(g: SpecializedGetters, i: Int): Long = {
         if (n == a.length) a = java.util.Arrays.copyOf(a, n << 1)
-        a(n) = v.asInstanceOf[Double]; n += 1; 8L
+        a(n) = g.getDouble(i); n += 1; 8L
       }
       def build(): ColVec = DoubleVec(java.util.Arrays.copyOf(a, n))
       def clear(): Unit = n = 0
     }
     private final class BoolEB extends ElemBuf {
       private var a = new Array[Boolean](1024); private var n = 0
-      def append(v: Any): Long = {
+      def append(g: SpecializedGetters, i: Int): Long = {
         if (n == a.length) a = java.util.Arrays.copyOf(a, n << 1)
-        a(n) = v.asInstanceOf[Boolean]; n += 1; 1L
+        a(n) = g.getBoolean(i); n += 1; 1L
       }
       def build(): ColVec = BoolVec(java.util.Arrays.copyOf(a, n))
       def clear(): Unit = n = 0
@@ -659,23 +664,31 @@ object ColBuilder {
       private var offsets = new Array[Int](1024)
       private var n = 0
       offsets(0) = 0
-      def append(v: Any): Long = {
+      def append(g: SpecializedGetters, i: Int): Long = {
         if (n + 1 == offsets.length)
           offsets = java.util.Arrays.copyOf(offsets, offsets.length << 1)
-        val b =
-          if (fromString) v.asInstanceOf[String]
-            .getBytes(java.nio.charset.StandardCharsets.UTF_8)
-          else v.asInstanceOf[Array[Byte]]
         val end = offsets(n)
-        if (end + b.length > data.length) {
-          var cap = data.length << 1
-          while (cap < end + b.length) cap <<= 1
-          data = java.util.Arrays.copyOf(data, cap)
+        var len = 0
+        if (fromString) {
+          // UTF8String bytes copy once, row buffer -> arena
+          val u = g.getUTF8String(i)
+          len = u.numBytes()
+          if (end + len > data.length) grow(end + len)
+          u.writeToMemory(data, Platform.BYTE_ARRAY_OFFSET + end)
+        } else {
+          val b = g.getBinary(i)
+          len = b.length
+          if (end + len > data.length) grow(end + len)
+          System.arraycopy(b, 0, data, end, len)
         }
-        System.arraycopy(b, 0, data, end, b.length)
         n += 1
-        offsets(n) = end + b.length
-        4L + b.length
+        offsets(n) = end + len
+        4L + len
+      }
+      private def grow(need: Int): Unit = {
+        var cap = data.length << 1
+        while (cap < need) cap <<= 1
+        data = java.util.Arrays.copyOf(data, cap)
       }
       def build(): ColVec =
         BytesVec(data, java.util.Arrays.copyOf(offsets, n + 1))
@@ -683,27 +696,39 @@ object ColBuilder {
     }
   }
 
-  private final class BytesBuilder(conv: (Row, Int) => Array[Byte])
+  /** `conv == null` means the column is a STRING: its UTF8String view is
+    * copied ONCE from the catalyst row buffer straight into the arena (no
+    * intermediate per-string byte array at all). */
+  private final class BytesBuilder(conv: (SpecializedGetters, Int) => Array[Byte])
       extends ColBuilder {
-    // arena: the row-boundary copy lands directly in one contiguous buffer;
-    // the small per-row array Spark hands us dies young
+    // arena: the row-boundary copy lands directly in one contiguous buffer
     private var data = new Array[Byte](1 << 16)
     private var offsets = new Array[Int](1024)
     private var n = 0
     offsets(0) = 0
-    protected def addValue(row: Row, i: Int): Long = {
+    protected def addValue(row: SpecializedGetters, i: Int): Long = {
       if (n + 1 == offsets.length) offsets = java.util.Arrays.copyOf(offsets, offsets.length << 1)
-      val v = conv(row, i)
       val end = offsets(n)
-      if (end + v.length > data.length) {
-        var cap = data.length << 1
-        while (cap < end + v.length) cap <<= 1
-        data = java.util.Arrays.copyOf(data, cap)
+      var len = 0
+      if (conv == null) {
+        val u = row.getUTF8String(i)
+        len = u.numBytes()
+        if (end + len > data.length) grow(end + len)
+        u.writeToMemory(data, Platform.BYTE_ARRAY_OFFSET + end)
+      } else {
+        val v = conv(row, i)
+        len = v.length
+        if (end + len > data.length) grow(end + len)
+        System.arraycopy(v, 0, data, end, len)
       }
-      System.arraycopy(v, 0, data, end, v.length)
       n += 1
-      offsets(n) = end + v.length
-      4L + v.length
+      offsets(n) = end + len
+      4L + len
+    }
+    private def grow(need: Int): Unit = {
+      var cap = data.length << 1
+      while (cap < need) cap <<= 1
+      data = java.util.Arrays.copyOf(data, cap)
     }
     // zero-copy: the returned vec shares the arena. Safe because flushChunk
     // fully consumes the vec (encode + stats + hash) before the next add()
@@ -714,10 +739,10 @@ object ColBuilder {
     protected def clearValues(): Unit = { n = 0; offsets(0) = 0 }
   }
 
-  private class IntBuilder(get: (Row, Int) => Int) extends ColBuilder {
+  private class IntBuilder(get: (SpecializedGetters, Int) => Int) extends ColBuilder {
     private var a = new Array[Int](1024)
     private var n = 0
-    protected def addValue(row: Row, i: Int): Long = {
+    protected def addValue(row: SpecializedGetters, i: Int): Long = {
       if (n == a.length) a = java.util.Arrays.copyOf(a, a.length << 1)
       a(n) = if (get == null) row.getInt(i) else get(row, i)
       n += 1
@@ -727,10 +752,10 @@ object ColBuilder {
     protected def clearValues(): Unit = n = 0
   }
 
-  private class LongBuilder(get: (Row, Int) => Long) extends ColBuilder {
+  private class LongBuilder(get: (SpecializedGetters, Int) => Long) extends ColBuilder {
     private var a = new Array[Long](1024)
     private var n = 0
-    protected def addValue(row: Row, i: Int): Long = {
+    protected def addValue(row: SpecializedGetters, i: Int): Long = {
       if (n == a.length) a = java.util.Arrays.copyOf(a, a.length << 1)
       a(n) = if (get == null) row.getLong(i) else get(row, i)
       n += 1
@@ -743,7 +768,7 @@ object ColBuilder {
   private final class FloatBuilder extends ColBuilder {
     private var a = new Array[Float](1024)
     private var n = 0
-    protected def addValue(row: Row, i: Int): Long = {
+    protected def addValue(row: SpecializedGetters, i: Int): Long = {
       if (n == a.length) a = java.util.Arrays.copyOf(a, a.length << 1)
       a(n) = row.getFloat(i)
       n += 1
@@ -756,7 +781,7 @@ object ColBuilder {
   private final class DoubleBuilder extends ColBuilder {
     private var a = new Array[Double](1024)
     private var n = 0
-    protected def addValue(row: Row, i: Int): Long = {
+    protected def addValue(row: SpecializedGetters, i: Int): Long = {
       if (n == a.length) a = java.util.Arrays.copyOf(a, a.length << 1)
       a(n) = row.getDouble(i)
       n += 1
@@ -769,7 +794,7 @@ object ColBuilder {
   private final class BoolBuilder extends ColBuilder {
     private var a = new Array[Boolean](1024)
     private var n = 0
-    protected def addValue(row: Row, i: Int): Long = {
+    protected def addValue(row: SpecializedGetters, i: Int): Long = {
       if (n == a.length) a = java.util.Arrays.copyOf(a, a.length << 1)
       a(n) = row.getBoolean(i)
       n += 1

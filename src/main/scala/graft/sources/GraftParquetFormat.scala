@@ -208,11 +208,12 @@ final class GraftDataWriter(path: String, schema: StructType, codec: Int,
     pageVersion: Int, rowGroupRows: Int,
     bloomCols: Set[String] = Set.empty,
     encPolicy: Int = EncPolicy.Plain) extends DataWriter[InternalRow] {
-  private val toScala = CatalystTypeConverters.createToScalaConverter(schema)
   private val w = new ParquetFileWriter.IncrementalFileWriter(path, schema,
     rowGroupRows, codec, pageVersion, bloomCols, encPolicy = encPolicy)
-  override def write(r: InternalRow): Unit =
-    w.add(toScala(r).asInstanceOf[org.apache.spark.sql.Row])
+  // catalyst rows feed the writer directly — the builders copy every value
+  // out inside add(), so Spark's row reuse is safe (no per-row external
+  // conversion, which round 2 paid here)
+  override def write(r: InternalRow): Unit = w.add(r)
   override def commit(): WriterCommitMessage = GraftCommit(path, w.close())
   override def abort(): Unit = {
     try w.close() catch { case _: Throwable => () }

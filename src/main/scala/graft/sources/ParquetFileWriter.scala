@@ -4,6 +4,8 @@ import scala.collection.mutable.ArrayBuffer
 
 import org.apache.spark.TaskContext
 import org.apache.spark.sql.{DataFrame, Encoders, Row}
+import org.apache.spark.sql.catalyst.{CatalystTypeConverters, InternalRow}
+import org.apache.spark.sql.catalyst.expressions.{BoundReference, UnsafeProjection}
 import org.apache.spark.sql.types._
 
 import graft.core._
@@ -140,7 +142,7 @@ object ParquetFileWriter {
     val w = new IncrementalFileWriter(path, schema, rowGroupRows, codec,
       pageVersion, bloomCols, encPolicy = encPolicy,
       int96Timestamps = int96Timestamps)
-    rows.foreach(w.add)
+    rows.foreach(w.addRow)
     w.close()
   }
 
@@ -187,12 +189,20 @@ object ParquetFileWriter {
     private var totalRows = 0L
     private var buffered = 0
 
-    def add(row: Row): Unit = {
+    /** Push one CATALYST row (the native DSv2 DataWriter shape — values are
+      * copied out before return, so the caller may reuse the instance). */
+    def add(row: InternalRow): Unit = {
       var c = 0
       while (c < nCols) { builders(c).add(row, c); c += 1 }
       buffered += 1
       if (buffered >= rowGroupRows) { flushRowGroup(buffered); buffered = 0 }
     }
+
+    // external-Row convenience for tests/tools; converts at the boundary
+    private lazy val toInternal =
+      org.apache.spark.sql.catalyst.CatalystTypeConverters
+        .createToCatalystConverter(schema)
+    def addRow(row: Row): Unit = add(toInternal(row).asInstanceOf[InternalRow])
 
     /** Flush the tail row group, write the footer, return total rows. */
     def close(): Long = {
@@ -980,23 +990,26 @@ object ParquetSink {
       bloomCols: Seq[String] = Nil,
       encPolicy: Int = EncPolicy.Plain,
       int96Timestamps: Boolean = false): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
     val schema = df.schema
     val blooms = bloomCols.toSet
     GraftIO.forPath(dir).mkdirs(dir)
-    implicit val enc: org.apache.spark.sql.Encoder[Row] =
-      Encoders.row(StructType(Seq(
-        StructField("path", StringType, nullable = false),
-        StructField("rows", LongType, nullable = false))))
-    df.mapPartitions { it =>
+    // catalyst rows straight into the writer — no per-row external
+    // conversion (same hot-loop shape as the DSv2 DataWriter)
+    val rdd = df.queryExecution.toRdd.mapPartitions { it =>
       if (!it.hasNext) Iterator.empty
       else {
         val pid = TaskContext.getPartitionId()
         val path = f"$dir/part-$pid%05d.parquet"
-        val n = ParquetFileWriter.writeFile(path, schema, it, rowGroupRows,
-          codec, pageVersion, blooms, encPolicy, int96Timestamps)
-        Iterator(Row(path, n))
+        val w = new ParquetFileWriter.IncrementalFileWriter(path, schema,
+          rowGroupRows, codec, pageVersion, blooms, encPolicy = encPolicy,
+          int96Timestamps = int96Timestamps)
+        it.foreach(w.add)
+        Iterator((path, w.close()))
       }
     }
+    spark.createDataset(rdd).toDF("path", "rows")
   }
 
   /** One per-column lineage row of a resumable write — the north rule's
@@ -1029,7 +1042,7 @@ object ParquetSink {
     val doneB = spark.sparkContext.broadcast(done)
     implicit val enc: org.apache.spark.sql.Encoder[FileLineageRow] =
       Encoders.product[FileLineageRow]
-    val lineage = df.mapPartitions { it =>
+    val lineageRdd = df.queryExecution.toRdd.mapPartitions { it =>
       val pid = TaskContext.getPartitionId()
       if (doneB.value.contains(pid) || !it.hasNext) Iterator.empty
       else {
@@ -1046,6 +1059,7 @@ object ParquetSink {
         }
       }
     }
+    val lineage = spark.createDataset(lineageRdd)
     lineage.write.mode("append").parquet(lineageDir)
     spark.read.parquet(lineageDir)
   }
@@ -1076,21 +1090,30 @@ object ParquetSink {
       partitionCols.contains(f.name))
     require(dataFields.nonEmpty, "all columns are partition columns")
     val dataSchema = StructType(dataFields.toSeq)
+    val allFields = df.schema.fields
     val pIdx = partitionCols.map(df.schema.fieldIndex).toArray
-    val dIdx = dataFields.map(f => df.schema.fieldIndex(f.name))
+    val dIdx = dataFields.map(f => df.schema.fieldIndex(f.name)).toArray
     GraftIO.forPath(dir).mkdirs(dir)
-    implicit val enc: org.apache.spark.sql.Encoder[Row] =
-      Encoders.row(StructType(Seq(
-        StructField("path", StringType, nullable = false),
-        StructField("rows", LongType, nullable = false))))
+    val spark = df.sparkSession
+    import spark.implicits._
     import org.apache.spark.sql.functions.col
-    df.repartition(partitionCols.map(col): _*).mapPartitions { it =>
+    val rdd = df.repartition(partitionCols.map(col): _*)
+      .queryExecution.toRdd.mapPartitions { it =>
       val pid = TaskContext.getPartitionId()
+      // partition values render through the external converter so directory
+      // names (dates, decimals, ...) match the external-Row behavior
+      val keyConvs = pIdx.map(i =>
+        CatalystTypeConverters.createToScalaConverter(allFields(i).dataType))
+      // projection of the data columns only (partition cols live in the path)
+      val proj = UnsafeProjection.create(dIdx.map(i =>
+        BoundReference(i, allFields(i).dataType, allFields(i).nullable)).toSeq)
       val writers = scala.collection.mutable.LinkedHashMap
         .empty[Seq[String], (String, ParquetFileWriter.IncrementalFileWriter)]
       it.foreach { row =>
-        val key: Seq[String] =
-          pIdx.toSeq.map(i => String.valueOf(row.get(i)))
+        val key: Seq[String] = pIdx.indices.map { k =>
+          val i = pIdx(k)
+          String.valueOf(keyConvs(k)(row.get(i, allFields(i).dataType)))
+        }.toSeq
         val (_, w) = writers.getOrElseUpdate(key, {
           val sub = partitionCols.zip(key).map { case (k, v) =>
             s"$k=${java.net.URLEncoder.encode(v, "UTF-8")}"
@@ -1101,9 +1124,11 @@ object ParquetSink {
           (path, new ParquetFileWriter.IncrementalFileWriter(path, dataSchema,
             rowGroupRows, codec, pageVersion, encPolicy = encPolicy))
         })
-        w.add(Row.fromSeq(dIdx.toSeq.map(row.get)))
+        // the projection output is reused; the writer copies values out
+        w.add(proj(row))
       }
-      writers.valuesIterator.map { case (path, w) => Row(path, w.close()) }
+      writers.valuesIterator.map { case (path, w) => (path, w.close()) }
     }
+    spark.createDataset(rdd).toDF("path", "rows")
   }
 }

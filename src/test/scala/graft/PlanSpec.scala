@@ -70,9 +70,16 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
   test("encode pipeline has exactly one exchange (the salted repartition)") {
     val docs = spark.read.parquet(s"$sfDir/documents.parquet")
     val chunks = EncodeJob.encode(docs, 4, Seq("lang"), Seq("doc_id"))
+    // the encode terminal consumes the physical plan via toRdd, so the
+    // shuffle count lives in the RDD lineage (one ShuffledRowRDD = the
+    // salted repartition), and the resulting chunk Dataset itself must add
+    // no further exchange
+    val shuffles = chunks.rdd.toDebugString.linesIterator
+      .count(_.contains("ShuffledRowRDD"))
+    assert(shuffles == 1,
+      s"expected 1 shuffle in lineage:\n${chunks.rdd.toDebugString}")
     val plan = planOf(chunks.toDF())
-    val exchanges = "(?m)^.*Exchange".r.findAllIn(plan).size
-    assert(exchanges == 1, s"expected 1 exchange, plan:\n$plan")
+    assert(!plan.contains("Exchange"), s"chunk dataset added an exchange:\n$plan")
   }
 
   test("brute-force ANN plan is shuffle-free (broadcast corpus + map)") {

@@ -31,7 +31,7 @@ object ScanPhaseProbe {
     var i = 0
     while (i < n) {
       val r = CodeTableGen.genRow(42L, i.toLong, 500, 1024)
-      w.add(Row(r.repo, r.path, r.commit, r.lang, r.content,
+      w.addRow(Row(r.repo, r.path, r.commit, r.lang, r.content,
         r.content.length.toLong, 1L + (i % 40).toLong))
       i += 1
     }
