@@ -217,35 +217,97 @@ object FsstCodec {
       } else gains(h) += v
     }
 
-    /** Top-k symbols by (gain desc, bytes lex asc) — the same deterministic
-      * order as sorting ISO-8859-1 keyed strings. */
-    def top(k: Int): Array[Array[Byte]] = {
-      val entries = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Int)]
-      var i = 0
-      while (i < cap) {
-        if (lens(i) != 0) entries += ((gains(i), words(i), lens(i).toInt))
-        i += 1
+    /** True iff entry 1 orders BEFORE entry 2: gain desc, then unsigned
+      * lexicographic byte compare, equal prefix -> shorter first — the same
+      * deterministic order as sorting ISO-8859-1 keyed strings. Total over
+      * distinct (word, len) keys, so top-k selection is unambiguous. */
+    private def better(g1: Long, w1: Long, l1: Int,
+        g2: Long, w2: Long, l2: Int): Boolean = {
+      if (g1 != g2) return g1 > g2
+      val minLen = math.min(l1, l2)
+      var b = 0
+      while (b < minLen) {
+        val c = (((w1 >>> (8 * b)) & 0xFF) - ((w2 >>> (8 * b)) & 0xFF)).toInt
+        if (c != 0) return c < 0
+        b += 1
       }
-      entries.sortInPlaceWith { case ((g1, w1, l1), (g2, w2, l2)) =>
-        if (g1 != g2) g1 > g2
-        else {
-          // unsigned lexicographic byte compare; equal prefix -> shorter first
-          val minLen = math.min(l1, l2)
-          var b = 0
-          var cmp = 0
-          while (b < minLen && cmp == 0) {
-            cmp = ((w1 >>> (8 * b)) & 0xFF).toInt - ((w2 >>> (8 * b)) & 0xFF).toInt
-            b += 1
-          }
-          if (cmp != 0) cmp < 0 else l1 < l2
+      l1 < l2
+    }
+
+    /** Top-k symbols by the `better` order. One pass with a bounded
+      * worst-at-root heap (k = 255), then a sort of the survivors — same
+      * result as sorting every entry, without the O(n log n) boxed sort
+      * that dominated training cost on high-cardinality samples (a 64 KiB
+      * commit-hash sample produces ~10^5 candidate entries per iteration
+      * for 255 kept symbols). */
+    def top(k: Int): Array[Array[Byte]] = {
+      val hg = new Array[Long](k)
+      val hw = new Array[Long](k)
+      val hl = new Array[Int](k)
+      var size = 0
+      // heap order: parent is WORSE than children (root = worst kept)
+      def siftUp(i0: Int): Unit = {
+        var i = i0
+        while (i > 0 && better(hg((i - 1) >> 1), hw((i - 1) >> 1), hl((i - 1) >> 1),
+            hg(i), hw(i), hl(i))) {
+          val p = (i - 1) >> 1
+          val g = hg(i); val w = hw(i); val l = hl(i)
+          hg(i) = hg(p); hw(i) = hw(p); hl(i) = hl(p)
+          hg(p) = g; hw(p) = w; hl(p) = l
+          i = p
         }
       }
-      entries.take(k).map { case (_, w, l) =>
-        val bytes = new Array[Byte](l)
+      def siftDown(): Unit = {
+        var i = 0
+        var done = false
+        while (!done) {
+          var worst = i
+          val l = 2 * i + 1
+          val r = 2 * i + 2
+          if (l < size && better(hg(worst), hw(worst), hl(worst), hg(l), hw(l), hl(l))) worst = l
+          if (r < size && better(hg(worst), hw(worst), hl(worst), hg(r), hw(r), hl(r))) worst = r
+          if (worst == i) done = true
+          else {
+            val g = hg(i); val w = hw(i); val ln = hl(i)
+            hg(i) = hg(worst); hw(i) = hw(worst); hl(i) = hl(worst)
+            hg(worst) = g; hw(worst) = w; hl(worst) = ln
+            i = worst
+          }
+        }
+      }
+      var i = 0
+      while (i < cap) {
+        if (lens(i) != 0) {
+          val g = gains(i); val w = words(i); val l = lens(i).toInt
+          if (size < k) {
+            hg(size) = g; hw(size) = w; hl(size) = l
+            size += 1
+            siftUp(size - 1)
+          } else if (better(g, w, l, hg(0), hw(0), hl(0))) {
+            hg(0) = g; hw(0) = w; hl(0) = l
+            siftDown()
+          }
+        }
+        i += 1
+      }
+      // final order: best first (insertion sort — k <= 255 survivors)
+      val idx = Array.range(0, size)
+      var a = 1
+      while (a < size) {
+        val v = idx(a)
+        var b = a - 1
+        while (b >= 0 && better(hg(v), hw(v), hl(v), hg(idx(b)), hw(idx(b)), hl(idx(b)))) {
+          idx(b + 1) = idx(b); b -= 1
+        }
+        idx(b + 1) = v
+        a += 1
+      }
+      idx.map { j =>
+        val bytes = new Array[Byte](hl(j))
         var b = 0
-        while (b < l) { bytes(b) = ((w >>> (8 * b)) & 0xFF).toByte; b += 1 }
+        while (b < hl(j)) { bytes(b) = ((hw(j) >>> (8 * b)) & 0xFF).toByte; b += 1 }
         bytes
-      }.toArray
+      }
     }
   }
 
@@ -254,27 +316,32 @@ object FsstCodec {
     if (packed >= 0) packed >>> 8 else 0
   }
 
-  /** Returns (len << 8) | code of the matched symbol at `pos`, or -1. */
+  /** Returns (len << 8) | code of the matched symbol at `pos`, or -1.
+    * Same short-table fast path as the encode loop: a clear flag bit means
+    * no length>=3 symbol can start here, so both hash probes are skipped —
+    * this also makes TRAINING's first iteration (single-byte table, every
+    * flag clear) a straight table walk. */
   @inline private def matchPacked(t: SymbolTable, a: Array[Byte], pos: Int,
       end: Int): Int = {
     val avail = end - pos
     val word = loadWord(a, pos, end)
-    if (avail >= 4) {
-      val h = hashIdx4(word) << 1
-      val packed = t.hash4(h + 1).toInt
-      if (packed != 0 && (packed >>> 8) <= avail &&
-          (word & lenMask(packed >>> 8)) == t.hash4(h)) return packed
-    }
-    if (avail >= 3) {
-      val h = hashIdx(word) << 1
-      val packed = t.hash3(h + 1).toInt
-      if (packed != 0 && (packed >>> 8) <= avail &&
-          (word & lenMask(packed >>> 8)) == t.hash3(h)) return packed
-    }
     if (avail >= 2) {
-      val sc = t.short2((word & 0xFFFF).toInt) & ~LongPrefixFlag
-      if (sc != 0) return sc
-      -1
+      val sc = t.short2((word & 0xFFFF).toInt)
+      if (sc < LongPrefixFlag) return if (sc != 0) sc else -1
+      if (avail >= 4) {
+        val h = hashIdx4(word) << 1
+        val packed = t.hash4(h + 1).toInt
+        if (packed != 0 && (packed >>> 8) <= avail &&
+            (word & lenMask(packed >>> 8)) == t.hash4(h)) return packed
+      }
+      if (avail >= 3) {
+        val h = hashIdx(word) << 1
+        val packed = t.hash3(h + 1).toInt
+        if (packed != 0 && (packed >>> 8) <= avail &&
+            (word & lenMask(packed >>> 8)) == t.hash3(h)) return packed
+      }
+      val scm = sc & ~LongPrefixFlag
+      if (scm != 0) scm else -1
     } else {
       val sc = t.short1((word & 0xFF).toInt)
       if (sc != 0) sc else -1

@@ -45,6 +45,9 @@ object KernelBench {
       time("AUTO lang", lang.rawSize)(ChunkCodec.encodeAuto(lang))
       time("AUTO repo", repo.rawSize)(ChunkCodec.encodeAuto(repo))
       time("AUTO lens", lens.rawSize)(ChunkCodec.encodeAuto(lens))
+      time("train content", content.rawSize)(FsstCodec.trainChunk(content))
+      time("train path", path.rawSize)(FsstCodec.trainChunk(path))
+      time("train commit", commit.rawSize)(FsstCodec.trainChunk(commit))
       val blob = ChunkCodec.encodeAuto(content).blob
       val fsstBlob = ChunkCodec.encodeWith(content, CodecId.Fsst)
       println(f"  fsst content ratio ${fsstBlob.length.toDouble / content.rawSize}%.4f")
