@@ -194,7 +194,9 @@ object FsstCodec {
   }
 
   /** Open-addressing (symbol word, symbol length) -> gain counter. */
-  private final class GainCounter(sampleLen: Int) {
+  // private[core] so the test suite can pin the bounded top-k selection
+  // against a brute-force full sort on random counters
+  private[core] final class GainCounter(sampleLen: Int) {
     // <= 2 bumps per sample position; size to load factor <= 0.5
     private val cap = java.lang.Integer.highestOneBit(
       math.max(1024, 4 * math.min(sampleLen, 1 << 16))) << 1

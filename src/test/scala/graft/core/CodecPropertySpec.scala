@@ -172,4 +172,39 @@ class CodecPropertySpec extends AnyFunSuite {
         }
     }
   }
+
+  test("property: bounded top-k symbol selection equals a full sort") {
+    // the training heap keeps the 255 best (gain desc, bytes lex asc,
+    // shorter first); pin it against a brute-force reference on random
+    // counters, including heavy gain ties
+    val rnd = new scala.util.Random(4242)
+    (0 until 20).foreach { _ =>
+      val gc = new FsstCodec.GainCounter(1 << 12)
+      val nEntries = 1 + rnd.nextInt(4000)
+      val seen = scala.collection.mutable.LinkedHashMap.empty[(Long, Int), Long]
+      (0 until nEntries).foreach { _ =>
+        val len = 1 + rnd.nextInt(8)
+        // mask the word to `len` bytes so it is a valid symbol key
+        val word = rnd.nextLong() & (if (len >= 8) -1L else (1L << (8 * len)) - 1)
+        val gain = 1L + rnd.nextInt(8) // few distinct gains => many ties
+        gc.bump(word, len, gain)
+        seen.updateWith((word, len))(prev => Some(prev.getOrElse(0L) + gain))
+      }
+      val got = gc.top(255).toSeq.map(_.toSeq)
+      def key(w: Long, l: Int): Seq[Byte] =
+        (0 until l).map(b => ((w >>> (8 * b)) & 0xFF).toByte)
+      val expected = seen.toSeq
+        .map { case ((w, l), g) => (g, key(w, l)) }
+        .sortWith { case ((g1, b1), (g2, b2)) =>
+          if (g1 != g2) g1 > g2
+          else {
+            val cmp = b1.map(_ & 0xFF).zip(b2.map(_ & 0xFF))
+              .collectFirst { case (x, y) if x != y => x - y }.getOrElse(0)
+            if (cmp != 0) cmp < 0 else b1.length < b2.length
+          }
+        }
+        .take(255).map(_._2)
+      assert(got == expected)
+    }
+  }
 }
