@@ -149,6 +149,43 @@ object FileFuzzSoak {
             s"case $c row $i col ${f.name} (${f.dataType}):\n  exp=$exp\n  got=$act")
         }
       }
+      // flat schemas: the TYPED column decode (the DSv2 columnar scan's
+      // kernel) must agree with the boxed record path value-for-value
+      if (schema.fields.forall(f => leafTypes.contains(f.dataType))) {
+        val bytes0 = java.nio.file.Files.readAllBytes(
+          java.nio.file.Paths.get(path))
+        val meta = ParquetFileReader.readFooter(bytes0)
+        meta.rowGroups.indices.foreach { rg =>
+          ParquetFileReader.flatColumns(meta, rg).foreach { col =>
+            val boxed = ParquetFileReader.readColumn(bytes0, col)
+            val (vec, defs) = ParquetFileReader.readColumnVec(bytes0, col)
+            var vi = -1
+            (0 until boxed.length).foreach { i =>
+              val t: Any =
+                if (defs != null && defs(i) != col.maxDef) null
+                else {
+                  vi += 1
+                  vec match {
+                    case graft.core.BoolVec(vs) => vs(vi)
+                    case graft.core.IntVec(vs) => vs(vi)
+                    case graft.core.LongVec(vs) => vs(vi)
+                    case graft.core.FloatVec(vs) => vs(vi)
+                    case graft.core.DoubleVec(vs) => vs(vi)
+                    case b: graft.core.BytesVec => java.util.Arrays.copyOfRange(
+                      b.data, b.start(vi), b.start(vi) + b.len(vi))
+                  }
+                }
+              (boxed(i), t) match {
+                case (x: Array[Byte], y: Array[Byte]) =>
+                  require(java.util.Arrays.equals(x, y),
+                    s"case $c rg$rg ${col.name} row $i: typed != boxed")
+                case (a, b) => require(a == b,
+                  s"case $c rg$rg ${col.name} row $i: $a != $b")
+              }
+            }
+          }
+        }
+      }
       // corruption pass: random flips must fail cleanly or read something
       val bytes = java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(path))
       if (bytes.length > 8) {
