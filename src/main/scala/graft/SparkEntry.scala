@@ -167,6 +167,17 @@ object SparkEntry {
           sum(octet_length(col("text"))).as("bytes"))
         .orderBy("lang")
     }),
+    "q_rt_brotli_text" -> ((s, dir) => {
+      // same shape again through the from-scratch RFC 7932 BROTLI codec
+      // (reference compression.rs:141-172) — externally anchored against
+      // google/brotli streams in BrotliSpec
+      val in = docs(s, dir).select("doc_id", "lang", "text")
+      Roundtrip.through(in, sortKeys = Seq("doc_id"),
+          blockCodec = graft.core.BlockCodec.Brotli)
+        .groupBy("lang").agg(count(lit(1)).as("cnt"),
+          sum(octet_length(col("text"))).as("bytes"))
+        .orderBy("lang")
+    }),
     "q_rt_nulls" -> ((s, dir) => {
       // nullable columns: def-level (validity) streams through the chunk
       // container, values null-suppressed like Parquet data pages
@@ -284,6 +295,21 @@ object SparkEntry {
       graft.sources.ParquetSink.write(in.repartition(4), out,
         pageVersion = 2).count()
       s.read.parquet(out)
+        .groupBy("lang").agg(count(lit(1)).as("cnt"),
+          sum(length(col("text"))).as("chars"),
+          sum(col("doc_id")).as("sum_id"))
+        .orderBy("lang")
+    }),
+    "q_parquet_brotli" -> ((s, dir) => {
+      // real .parquet files with BROTLI-compressed pages, written and read
+      // by OUR codec end to end (Spark/DuckDB don't ship a brotli parquet
+      // codec; the external anchor is pyarrow reading these same pages in
+      // ParquetInteropSpec/BrotliSpec)
+      val in = docs(s, dir).select("doc_id", "lang", "text")
+      val out = java.nio.file.Files.createTempDirectory("graft-pqbr").toString
+      graft.sources.ParquetSink.write(in.repartition(4), out,
+        codec = graft.sources.PqCodec.Brotli).count()
+      graft.sources.ParquetSource.read(s, out)
         .groupBy("lang").agg(count(lit(1)).as("cnt"),
           sum(length(col("text"))).as("chars"),
           sum(col("doc_id")).as("sum_id"))
@@ -760,6 +786,10 @@ object SparkEntry {
       "SELECT lang, count(*) AS cnt, CAST(sum(strlen(text)) AS BIGINT) AS bytes FROM documents GROUP BY lang ORDER BY lang",
     "q_rt_gzip_text" ->
       "SELECT lang, count(*) AS cnt, CAST(sum(strlen(text)) AS BIGINT) AS bytes FROM documents GROUP BY lang ORDER BY lang",
+    "q_rt_brotli_text" ->
+      "SELECT lang, count(*) AS cnt, CAST(sum(strlen(text)) AS BIGINT) AS bytes FROM documents GROUP BY lang ORDER BY lang",
+    "q_parquet_brotli" ->
+      "SELECT lang, count(*) AS cnt, CAST(sum(length(text)) AS BIGINT) AS chars, CAST(sum(doc_id) AS BIGINT) AS sum_id FROM documents GROUP BY lang ORDER BY lang",
     "q_rt_struct" ->
       ("SELECT count(*) AS n, " +
         "count(CASE WHEN n_chars % 9 = 0 THEN NULL ELSE 1 END) AS n_struct, " +

@@ -16,10 +16,11 @@ object BlockCodec {
   val Zstd = 2
   val Lz4 = 3
   val Gzip = 4
+  val Brotli = 5
 
   val names: Map[Int, String] = Map(
     None -> "NONE", Snappy -> "SNAPPY", Zstd -> "ZSTD", Lz4 -> "LZ4",
-    Gzip -> "GZIP")
+    Gzip -> "GZIP", Brotli -> "BROTLI")
 
   def byName(name: String): Int = name.toUpperCase match {
     case "NONE" | "" => None
@@ -27,6 +28,7 @@ object BlockCodec {
     case "ZSTD" => Zstd
     case "LZ4" => Lz4
     case "GZIP" => Gzip
+    case "BROTLI" => Brotli
     case other => throw new IllegalArgumentException(s"unknown block codec $other")
   }
 
@@ -65,6 +67,7 @@ object BlockCodec {
         val c = net.jpountz.lz4.LZ4Factory.fastestInstance().fastCompressor()
         c.compress(blob)
       case Gzip => gzipCompress(blob)
+      case Brotli => graft.core.Brotli.compress(blob)
       case other => throw new IllegalArgumentException(s"unknown block codec $other")
     }
     val w = new BitWriter(compressed.length + 16)
@@ -97,6 +100,7 @@ object BlockCodec {
         val d = net.jpountz.lz4.LZ4Factory.fastestInstance().fastDecompressor()
         d.decompress(blob, pos, rawLen)
       case Gzip => gzipDecompress(blob, pos, rawLen)
+      case Brotli => graft.core.Brotli.decompress(blob, pos, blob.length - pos, rawLen)
       case other => throw new IllegalArgumentException(s"unknown block codec $other")
     }
   }

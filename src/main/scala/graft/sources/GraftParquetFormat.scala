@@ -180,6 +180,7 @@ final class GraftBatchWrite(dir: String, schema: StructType,
       case "gzip" => PqCodec.Gzip
       case "zstd" => PqCodec.Zstd
       case "lz4_raw" | "lz4" => PqCodec.Lz4Raw
+      case "brotli" => PqCodec.Brotli
       case "uncompressed" | "none" => PqCodec.Uncompressed
       case other => throw new IllegalArgumentException(s"codec $other")
     }

@@ -1239,6 +1239,8 @@ object ParquetFileReader {
       net.jpountz.lz4.LZ4Factory.fastestInstance().safeDecompressor()
         .decompress(bytes, off, compLen, out, 0)
       out
+    case PqCodec.Brotli =>
+      graft.core.Brotli.decompress(bytes, off, compLen, uncLen)
     case other => throw new IllegalArgumentException(s"codec $other not supported")
   }
 

@@ -942,6 +942,7 @@ object ParquetFileWriter {
       val out = new Array[Byte](c.maxCompressedLength(content.length))
       val n = c.compress(content, 0, content.length, out, 0)
       java.util.Arrays.copyOf(out, n)
+    case PqCodec.Brotli => graft.core.Brotli.compress(content)
     case other => throw new IllegalArgumentException(s"writer codec $other")
   }
 }

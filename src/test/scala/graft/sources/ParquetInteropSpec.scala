@@ -1020,4 +1020,49 @@ class ParquetInteropSpec extends AnyFunSuite {
     assert(cols(2) == (0 until 5000).map(_ * 0.5))
     assert(cols(3) == (0 until 5000).map(_ % 3 == 0))
   }
+
+  test("brotli: pyarrow-written BROTLI parquet decodes value-exactly") {
+    // fixture written by parquet-cpp-arrow 16.1.0 with compression=BROTLI
+    // (google/brotli encoder) — the third-party-page interop anchor for the
+    // reference's BrotliCodec (/root/reference/src/compression.rs:141-172)
+    val url = getClass.getResource("/brotli/brotli.parquet")
+    assert(url != null, "missing brotli.parquet fixture")
+    val path = new java.io.File(url.toURI).getAbsolutePath
+    val (names, cols) = ParquetFileReader.readFile(path)
+    assert(names == Seq("doc_id", "lang", "score", "text"))
+    val n = 2000
+    assert(cols(0) == (0 until n).map(_.toLong))
+    val langs = Seq("scala", "rust", "python", "go", "java")
+    assert(cols(1).zipWithIndex.forall { case (v, i) => str(v) == langs(i % 5) })
+    assert(cols(2) == (0 until n).map(i => (i * 7919 % 1000) / 10.0))
+    assert(cols(3).zipWithIndex.forall { case (v, i) =>
+      str(v) == s"the quick columnar scan $i " + "batch " * (i % 7) })
+  }
+
+  test("brotli: our writer's BROTLI pages read back, both page versions") {
+    val tmp = java.nio.file.Files.createTempDirectory("pqbr").toString
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("id",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("s",
+        org.apache.spark.sql.types.StringType)))
+    val rows = (0 until 4000).map(i =>
+      org.apache.spark.sql.Row(i.toLong,
+        if (i % 13 == 0) null else s"brotli page payload ${i % 97} " * 3))
+    for (pv <- Seq(1, 2)) {
+      val path = s"$tmp/br_v$pv.parquet"
+      val n = ParquetFileWriter.writeFile(path, schema, rows.iterator,
+        rowGroupRows = 1500, codec = PqCodec.Brotli, pageVersion = pv)
+      assert(n == 4000)
+      val bytes = java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(path))
+      val meta = ParquetFileReader.readFooter(bytes)
+      assert(meta.rowGroups.forall(_.columns.forall(_.codec == PqCodec.Brotli)))
+      val (names, cols) = ParquetFileReader.readFile(path)
+      assert(names == Seq("id", "s"))
+      assert(cols(0) == (0 until 4000).map(_.toLong))
+      assert(cols(1).zipWithIndex.forall { case (v, i) =>
+        if (i % 13 == 0) v == null
+        else str(v) == s"brotli page payload ${i % 97} " * 3 })
+    }
+  }
 }
