@@ -30,6 +30,10 @@ object Brotli {
   final class InvalidStream(msg: String) extends RuntimeException(msg)
   private def invalid(msg: String): Nothing = throw new InvalidStream(msg)
 
+  /** Unaligned little-endian long view for the bit reader's bulk refill. */
+  private val LongLE = java.lang.invoke.MethodHandles
+    .byteArrayViewVarHandle(classOf[Array[Long]], java.nio.ByteOrder.LITTLE_ENDIAN)
+
   // ------------------------------------------------------------ static data
 
   private def res(name: String): Array[Byte] = {
@@ -125,10 +129,20 @@ object Brotli {
     private var cnt = 0
 
     private def fill(): Unit = {
-      while (cnt <= 55 && pos < end) {
-        acc |= (buf(pos) & 0xffL) << cnt
-        cnt += 8
-        pos += 1
+      if (pos + 8 <= end) {
+        // one unaligned LE long load refills the accumulator to >= 56 bits;
+        // bits shifted off the top belong to bytes we don't consume
+        val v = Brotli.LongLE.get(buf, pos): Long
+        val nBytes = (64 - cnt) >>> 3
+        acc |= v << cnt
+        cnt += nBytes << 3
+        pos += nBytes
+      } else {
+        while (cnt <= 55 && pos < end) {
+          acc |= (buf(pos) & 0xffL) << cnt
+          cnt += 8
+          pos += 1
+        }
       }
     }
     def peek(n: Int): Int = {
@@ -512,16 +526,28 @@ object Brotli {
               val copyLen = CopyBase(copyCode) + b.take(CopyExtra(copyCode))
               if (insLen > rem) invalid("insert length exceeds metablock")
 
-              var j = 0
-              while (j < insLen) {
-                L.switchIfDone(b); L.len -= 1
-                val mode = cmodes(L.btype) << 9
-                val p1 = if (pos > 0) out(pos - 1) & 0xff else 0
-                val p2 = if (pos > 1) out(pos - 2) & 0xff else 0
-                val ctx = (contextLut(mode + p1) | contextLut(mode + 256 + p2)) & 0xff
-                out(pos) = readSym(litTrees(cmapL(L.btype * 64 + ctx) & 0xff), b).toByte
-                pos += 1
-                j += 1
+              if (L.n == 1 && ntreesL == 1) {
+                // common writer shape (q0/q1, incl. ours): one literal block
+                // type, one literal tree — context and switch checks vanish
+                val t = litTrees(0)
+                var j = 0
+                while (j < insLen) {
+                  out(pos) = readSym(t, b).toByte
+                  pos += 1
+                  j += 1
+                }
+              } else {
+                var j = 0
+                while (j < insLen) {
+                  L.switchIfDone(b); L.len -= 1
+                  val mode = cmodes(L.btype) << 9
+                  val p1 = if (pos > 0) out(pos - 1) & 0xff else 0
+                  val p2 = if (pos > 1) out(pos - 2) & 0xff else 0
+                  val ctx = (contextLut(mode + p1) | contextLut(mode + 256 + p2)) & 0xff
+                  out(pos) = readSym(litTrees(cmapL(L.btype * 64 + ctx) & 0xff), b).toByte
+                  pos += 1
+                  j += 1
+                }
               }
               rem -= insLen
 
@@ -561,8 +587,23 @@ object Brotli {
                 if (distance <= maxDist) {
                   if (copyLen > rem) invalid("copy length exceeds metablock")
                   var src = pos - distance
-                  var k = 0
-                  while (k < copyLen) { out(pos) = out(src); pos += 1; src += 1; k += 1 }
+                  if (distance >= copyLen) {
+                    System.arraycopy(out, src, out, pos, copyLen)
+                    pos += copyLen
+                  } else {
+                    // overlapping: replicate the period, doubling via
+                    // arraycopy once enough bytes exist
+                    var done2 = 0
+                    while (done2 < copyLen && done2 < distance) {
+                      out(pos) = out(src); pos += 1; src += 1; done2 += 1
+                    }
+                    while (done2 < copyLen) {
+                      val chunk = math.min(done2, copyLen - done2)
+                      System.arraycopy(out, pos - done2, out, pos, chunk)
+                      pos += chunk
+                      done2 += chunk
+                    }
+                  }
                   rem -= copyLen
                 } else {
                   // static dictionary reference
