@@ -30,10 +30,6 @@ object Brotli {
   final class InvalidStream(msg: String) extends RuntimeException(msg)
   private def invalid(msg: String): Nothing = throw new InvalidStream(msg)
 
-  /** Unaligned little-endian long view for the bit reader's bulk refill. */
-  private val LongLE = java.lang.invoke.MethodHandles
-    .byteArrayViewVarHandle(classOf[Array[Long]], java.nio.ByteOrder.LITTLE_ENDIAN)
-
   // ------------------------------------------------------------ static data
 
   private def res(name: String): Array[Byte] = {
@@ -132,7 +128,7 @@ object Brotli {
       if (pos + 8 <= end) {
         // one unaligned LE long load refills the accumulator to >= 56 bits;
         // bits shifted off the top belong to bytes we don't consume
-        val v = Brotli.LongLE.get(buf, pos): Long
+        val v = BitUtil.LongView.get(buf, pos): Long
         val nBytes = (64 - cnt) >>> 3
         acc |= v << cnt
         cnt += nBytes << 3
@@ -175,6 +171,10 @@ object Brotli {
         dst(o) = (acc & 0xff).toByte
         acc >>>= 8; cnt -= 8; o += 1; rem -= 1
       }
+      // the bulk fill parks a preview of buf(pos)'s low bits above cnt;
+      // once the valid bits are drained and pos is about to move, that
+      // preview is stale and must not be OR-merged with the next fill
+      if (cnt == 0) acc = 0
       if (rem > 0) {
         if (pos + rem > end) invalid("truncated uncompressed metablock")
         System.arraycopy(buf, pos, dst, o, rem)
@@ -737,11 +737,10 @@ object Brotli {
     // ---- greedy LZ parse ----
     // command i: literals [litStart(i), litStart(i)+litLen(i)), then copy
     // copyLen(i) at dist(i); dist(i) == 0 ⇒ trailing literal-only command.
-    val litStart = new IntVecB
-    val litLen = new IntVecB
-    val copyLen = new IntVecB
-    val dist = new IntVecB
-    var lastDist = lastDist0
+    val litStart = new IntArrayList
+    val litLen = new IntArrayList
+    val copyLen = new IntArrayList
+    val dist = new IntArrayList
 
     var i = start
     var anchor = start
@@ -758,7 +757,6 @@ object Brotli {
         while (l < maxL && in(cand + l) == in(i + l)) l += 1
         litStart.add(anchor); litLen.add(i - anchor)
         copyLen.add(l); dist.add(d)
-        if (d != lastDist) lastDist = d // decoder pushes explicit distances
         var k = i + 1
         val stop = math.min(i + l, hashEnd)
         while (k < stop) {
@@ -1113,8 +1111,8 @@ object Brotli {
     // decoder's repeat chain, keeping emission independent).
     var last = lens.length - 1
     while (lens(last) == 0) last -= 1
-    val tokSym = new IntVecB
-    val tokExtra = new IntVecB
+    val tokSym = new IntArrayList
+    val tokExtra = new IntArrayList
     i = 0
     while (i <= last) {
       val v = lens(i)
@@ -1176,14 +1174,4 @@ object Brotli {
   }
 
   /** Minimal growable int vector (no boxing). */
-  private final class IntVecB {
-    private var a = new Array[Int](64)
-    var size = 0
-    def add(v: Int): Unit = {
-      if (size == a.length) a = java.util.Arrays.copyOf(a, a.length * 2)
-      a(size) = v
-      size += 1
-    }
-    def get(i: Int): Int = a(i)
-  }
 }

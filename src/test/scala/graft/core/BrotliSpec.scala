@@ -93,6 +93,55 @@ class BrotliSpec extends AnyFunSuite {
     assert(java.util.Arrays.equals(Brotli.decompress(enc2, n), rnd))
   }
 
+  test("compressed metablock followed by uncompressed metablock") {
+    // regression: the bulk bit refill parks a preview of the next byte's low
+    // bits above cnt; readBytes must not leave that preview behind once the
+    // read position moves past the previewed byte, or the first metablock
+    // after an uncompressed one decodes corrupt. Needs a stream whose
+    // uncompressed block FOLLOWS a compressed one (all-uncompressed streams
+    // never pollute the accumulator).
+    val r = new Random(13)
+    val n = (4 << 20) + (1 << 20)
+    val raw = new Array[Byte](n)
+    var i = 0
+    while (i < (4 << 20)) { raw(i) = ('a' + (i % 7)).toByte; i += 1 } // compresses
+    val tail = new Array[Byte](1 << 20); r.nextBytes(tail) // doesn't
+    System.arraycopy(tail, 0, raw, 4 << 20, tail.length)
+    val enc = Brotli.compress(raw)
+    assert(java.util.Arrays.equals(Brotli.decompress(enc, n), raw))
+    // and the reverse order in one stream: incompressible then compressible
+    val raw2 = new Array[Byte](n)
+    System.arraycopy(tail, 0, raw2, 0, tail.length)
+    r.nextBytes(tail); System.arraycopy(tail, 0, raw2, 1 << 20, tail.length)
+    r.nextBytes(tail); System.arraycopy(tail, 0, raw2, 2 << 20, tail.length)
+    r.nextBytes(tail); System.arraycopy(tail, 0, raw2, 3 << 20, tail.length)
+    i = 4 << 20
+    while (i < n) { raw2(i) = ('a' + (i % 7)).toByte; i += 1 }
+    val enc2 = Brotli.compress(raw2)
+    assert(java.util.Arrays.equals(Brotli.decompress(enc2, n), raw2))
+    // the sharp trigger: compressed (pollutes the accumulator with preview
+    // bits) -> uncompressed (drains it and moves pos) -> compressed again
+    // (misreads its header if the stale preview survived). A trailing-only
+    // uncompressed block can't catch it: the final empty metablock is all
+    // 1-bits and OR-corruption never clears bits.
+    val n3 = (9 << 20)
+    val raw3 = new Array[Byte](n3)
+    i = 0
+    while (i < (4 << 20)) { raw3(i) = ('a' + (i % 7)).toByte; i += 1 }
+    val mid = new Array[Byte](4 << 20); r.nextBytes(mid)
+    System.arraycopy(mid, 0, raw3, 4 << 20, mid.length)
+    i = 8 << 20
+    while (i < n3) { raw3(i) = ('k' + (i % 5)).toByte; i += 1 }
+    val enc3 = Brotli.compress(raw3)
+    assert(java.util.Arrays.equals(Brotli.decompress(enc3, n3), raw3))
+    // google/brotli q1 over alternating text/random content interleaves
+    // compressed and uncompressed metablocks freely — the third-party shape
+    // that exercises the accumulator across every block-kind transition
+    val mraw = res("mixed.raw")
+    val mbr = res("mixed.q1.br")
+    assert(java.util.Arrays.equals(Brotli.decompress(mbr, mraw.length), mraw))
+  }
+
   test("truncated and corrupted streams fail cleanly, never hang") {
     val br = res("docs.q5.br")
     val raw = res("docs.raw")
