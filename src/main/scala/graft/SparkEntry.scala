@@ -641,8 +641,14 @@ object SparkEntry {
       val missed = brute.join(blocked, Seq("keyA", "keyB"), "left_anti").count()
       val extra = blocked.join(brute, Seq("keyA", "keyB"), "left_anti").count()
       val nDocs = withSim.count()
+      // the pigeonhole full-recall guarantee is conditional on NO segment
+      // bucket being truncated by the scale cap — pin that precondition too
+      val capped = Dedup.cappedBucketCount(
+        Dedup.simhashBands(withSim, maxDist = 8), Seq("tbl", "seg"),
+        Dedup.DefaultMaxBucket)
       withSim.unpersist(); brute.unpersist(); blocked.unpersist()
-      Seq((nDocs, missed + extra)).toDF("n_docs", "mismatches")
+      Seq((nDocs, missed + extra, capped))
+        .toDF("n_docs", "mismatches", "capped_buckets")
     }),
     "q_ngram_jaccard" -> ((s, dir) => {
       // exact jaccard join within lang via prefix filtering (PPJoin-style
@@ -962,8 +968,10 @@ object SparkEntry {
       "SELECT count(*) AS n_queries, count(*) AS queries_covered, CAST(0 AS BIGINT) AS bad_rank, CAST(0 AS BIGINT) AS bad_cosine FROM embeddings",
     "q_simhash" ->
       // Spark computes blocked-vs-brute-force mismatches; pigeonhole blocking
-      // (maxDist+1 segments) makes the zero pin exact, not probabilistic
-      "SELECT count(*) AS n_docs, CAST(0 AS BIGINT) AS mismatches FROM documents",
+      // (maxDist+1 segments) makes the zero pin exact, not probabilistic —
+      // and capped_buckets=0 pins the no-truncation precondition it rests on
+      ("SELECT count(*) AS n_docs, CAST(0 AS BIGINT) AS mismatches, " +
+        "CAST(0 AS BIGINT) AS capped_buckets FROM documents"),
     "q_embed_neardup" ->
       // DuckDB recomputes the TRUE cosine>=0.9 pair count brute-force;
       // false_pos is structurally zero (the operator verifies candidates

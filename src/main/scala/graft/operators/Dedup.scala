@@ -163,12 +163,11 @@ object Dedup {
       simhash(df, textCol).select(col(keyCol).as("__key"), col("simhash")),
       maxDist)
 
-  /** Blocked pair join over a precomputed (__key, simhash) frame — split
-    * out so tests can plant hash values (e.g. top-bit flips) directly.
-    * Segments = maxDist + 1 (full recall by pigeonhole); maxDist ≤ 15 keeps
-    * every segment ≥ 4 bits so segment buckets stay selective. */
-  private[graft] def simhashPairs(withSim: DataFrame, maxDist: Int,
-      maxBucket: Int = DefaultMaxBucket): DataFrame = {
+  /** Segment-blocking frame for [[simhashPairs]]: one (__key, tbl, seg) row
+    * per maxDist+1 disjoint bit segment. Exposed so callers can measure
+    * bucket-size distributions ([[cappedBucketCount]]) on the exact frame
+    * the pair join uses. */
+  private[graft] def simhashBands(withSim: DataFrame, maxDist: Int): DataFrame = {
     require(maxDist >= 0 && maxDist <= 15,
       s"maxDist must be in [0, 15] (got $maxDist): ${maxDist + 1} segments of " +
         "64/(maxDist+1) bits each; beyond 15 the segments get too short to block on")
@@ -181,9 +180,20 @@ object Dedup {
           .bitwiseAND(lit((1L << width) - 1))
       struct(lit(t).as("tbl"), v.as("seg"))
     }
-    val banded = capBuckets(
-      withSim.select(col("__key"), explode(array(segCols: _*)).as("b"))
-        .select(col("__key"), col("b.tbl"), col("b.seg")),
+    withSim.select(col("__key"), explode(array(segCols: _*)).as("b"))
+      .select(col("__key"), col("b.tbl"), col("b.seg"))
+  }
+
+  /** Blocked pair join over a precomputed (__key, simhash) frame — split
+    * out so tests can plant hash values (e.g. top-bit flips) directly.
+    * Segments = maxDist + 1, so by pigeonhole recall is FULL at the
+    * requested distance AS LONG AS no segment bucket is truncated: the cap
+    * is a scale guard, and a capped bucket means possible misses — check
+    * [[cappedBucketCount]] on [[simhashBands]] (the q_simhash oracle pins
+    * it at zero) or pass maxBucket <= 0 for unconditional exactness. */
+  private[graft] def simhashPairs(withSim: DataFrame, maxDist: Int,
+      maxBucket: Int = DefaultMaxBucket): DataFrame = {
+    val banded = capBuckets(simhashBands(withSim, maxDist),
       Seq("tbl", "seg"), "__key", maxBucket)
     val a = banded.select(col("tbl"), col("seg"), col("__key").as("keyA"))
     val b = banded.select(col("tbl"), col("seg"), col("__key").as("keyB"))
@@ -234,15 +244,22 @@ object Dedup {
     val b = withSh.select((blockCols.map(col) :+ col("__key").as("keyB") :+
       col("__n").as("nB") :+
       explode(slice(col("__sh"), lit(1), col("__plen"))).as("__p")): _*)
+    // blockCols stay on the pair through dedup and the payload join-backs:
+    // keys need only be unique WITHIN a block (that is blockCols' contract),
+    // so a bare-key join-back could pick up the same key's row from another
+    // block and verify against the wrong shingle set
     val pairs = a.join(b, blockCols :+ "__p")
       .where(col("keyA") < col("keyB") &&
         col("nA") >= col("nB") * threshold && col("nB") >= col("nA") * threshold)
-      .select("keyA", "keyB").dropDuplicates("keyA", "keyB")
+      .select((blockCols.map(col) :+ col("keyA") :+ col("keyB")): _*)
+      .dropDuplicates(blockCols :+ "keyA" :+ "keyB")
     pairs
-      .join(withSh.select(col("__key").as("keyA"), col("__sh").as("shA"),
-        col("__n").as("nA")), "keyA")
-      .join(withSh.select(col("__key").as("keyB"), col("__sh").as("shB"),
-        col("__n").as("nB")), "keyB")
+      .join(withSh.select((blockCols.map(col) :+ col("__key").as("keyA") :+
+        col("__sh").as("shA") :+ col("__n").as("nA")): _*),
+        blockCols :+ "keyA")
+      .join(withSh.select((blockCols.map(col) :+ col("__key").as("keyB") :+
+        col("__sh").as("shB") :+ col("__n").as("nB")): _*),
+        blockCols :+ "keyB")
       // union size is |A|+|B|-|A∩B| (array_union never built)
       .withColumn("__inter", size(array_intersect(col("shA"), col("shB"))))
       .withColumn("jaccard", col("__inter").cast("double") /

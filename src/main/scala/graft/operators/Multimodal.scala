@@ -48,15 +48,47 @@ object Multimodal {
     MediaMeta(key, mediaType, bytes.length.toLong, w0, h0, feats)
   }
 
+  /** Decode bound: a few-KB crafted header can declare a huge raster
+    * (30000x30000 = ~3.6 GB TYPE_INT_RGB) and OOM the executor on
+    * `ImageIO.read`; dimensions are checked from the header BEFORE any
+    * pixel allocation. 2^24 pixels = 64 MB raster, generous for real
+    * training images. */
+  val MaxImagePixels: Long = 1L << 24
+
+  /** Header-only dimension probe — no pixel decode, no big allocation.
+    * None if no installed reader recognizes the container. */
+  private def imageDims(bytes: Array[Byte]): Option[(Int, Int)] = {
+    val iis = javax.imageio.ImageIO.createImageInputStream(
+      new java.io.ByteArrayInputStream(bytes))
+    try {
+      val readers = javax.imageio.ImageIO.getImageReaders(iis)
+      if (!readers.hasNext) None
+      else {
+        val r = readers.next()
+        try {
+          r.setInput(iis)
+          Some((r.getWidth(0), r.getHeight(0)))
+        } finally r.dispose()
+      }
+    } catch { case _: Exception => None }
+    finally iis.close()
+  }
+
   /** REAL image decode via the JDK's ImageIO (PNG/GIF/BMP/JPEG — zero new
     * dependencies): true width/height plus a 16-dim feature vector of 4x4
     * block mean luminances over the actual pixels. Returns None for
-    * payloads ImageIO can't decode (audio/video/arbitrary bytes), which
-    * fall back to the declared stub. */
+    * payloads ImageIO can't decode (audio/video/arbitrary bytes) — which
+    * fall back to the declared stub — and for images whose DECLARED
+    * dimensions exceed [[MaxImagePixels]] (hostile-header guard). */
   private[operators] def decodeImage(key: Long,
       bytes: Array[Byte]): Option[MediaMeta] = {
+    val okDims = imageDims(bytes) match {
+      case Some((w, h)) => w > 0 && h > 0 && w.toLong * h <= MaxImagePixels
+      case None => false
+    }
     val img =
-      try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+      if (!okDims) null
+      else try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
       catch { case _: Exception => null }
     if (img == null || img.getWidth <= 0 || img.getHeight <= 0) None
     else {
@@ -111,19 +143,24 @@ object Multimodal {
   /** Batched per-partition decode: binary column in, typed metadata +
     * feature vector out. The plan shape (project -> mapPartitions over
     * binary batches) is exactly what a real decoder needs; partitioning is
-    * preserved (no shuffle). Image containers decode for REAL through the
-    * JDK (see [[decodeImage]]); everything else (audio/video — no codecs
-    * in this container) takes the declared deterministic stub. */
+    * preserved (no shuffle). Payloads DECLARED "image" decode for REAL
+    * through the JDK (see [[decodeImage]]); other declared types
+    * (audio/video — no codecs in this container) take the deterministic
+    * stub unconditionally, so the declared-type contract of the output is
+    * never silently rewritten by a payload that happens to parse as an
+    * image. */
   def extractFeatures(df: DataFrame, keyCol: String, mediaCol: String,
       mediaType: String = "image"): Dataset[MediaMeta] = {
     val spark = df.sparkSession
     import spark.implicits._
+    val tryImage = mediaType == "image"
     df.select(col(keyCol).cast("long"), col(mediaCol))
       .as[(Long, Array[Byte])]
       .mapPartitions { it =>
         // batch boundary: a real decoder would reuse native buffers here
         it.map { case (key, bytes) =>
-          decodeImage(key, bytes).getOrElse(stubDecode(key, mediaType, bytes))
+          (if (tryImage) decodeImage(key, bytes) else None)
+            .getOrElse(stubDecode(key, mediaType, bytes))
         }
       }
   }

@@ -221,16 +221,19 @@ object Similarity {
     * partials per partition — KBs — are the only driver traffic per Lloyd
     * step), assignment is a map, the only data shuffle is the cell-keyed
     * candidate join. The corpus is first hash-repartitioned to a FIXED
-    * width and key-sorted so float summation order — and therefore every
-    * centroid, assignment, and result row — is identical at any
-    * parallelism level. */
+    * width (`nPartitions`) and key-sorted so float summation order — and
+    * therefore every centroid, assignment, and result row — is identical
+    * at any parallelism level. Determinism needs the width FIXED per job,
+    * not small: size `nPartitions` to the cluster (it caps Lloyd/assignment
+    * parallelism and each task holds corpus/nPartitions rows). */
   def ivfTopK(df: DataFrame, keyCol: String, vecCol: String,
-      k: Int = 5, nLists: Int = 16, nProbe: Int = 2, iters: Int = 2): DataFrame = {
+      k: Int = 5, nLists: Int = 16, nProbe: Int = 2, iters: Int = 2,
+      nPartitions: Int = 32): DataFrame = {
     val spark = df.sparkSession
     val keyField = df.schema(keyCol)
     val src = df.select(col(keyCol).as("__key"),
         col(vecCol).cast("array<double>").as("__vec"))
-      .repartition(32, col("__key"))
+      .repartition(nPartitions, col("__key"))
       .sortWithinPartitions("__key")
 
     // deterministic seed sample: smallest nLists keys by hash
@@ -377,8 +380,11 @@ object Similarity {
     * standard recall lever and keeps the same shape: one explode (x tables),
     * join only within (table, bucket), never quadratic. The bucket join and
     * candidate dedup carry keys only; unit vectors are joined back once per
-    * surviving pair (one dot per pair). Buckets are bounded at `maxBucket`
-    * members (generous 4096 default — capping candidates trades recall). */
+    * surviving pair (one dot per pair). Only the NEIGHBOR side of a bucket
+    * is bounded at `maxBucket` members (generous 4096 default): a hot
+    * bucket of size N yields N x maxBucket candidate pairs instead of N^2,
+    * but every key still rides the query side uncapped, so no query can
+    * vanish from the output — capping trades neighbor recall only. */
   def lshTopK(df: DataFrame, keyCol: String, vecCol: String,
       k: Int = 5, planes: Int = 8, tables: Int = 8,
       maxBucket: Int = 4096): DataFrame = {
@@ -392,13 +398,12 @@ object Similarity {
       }
       struct(lit(t).as("tbl"), bits.reduce(_.bitwiseOR(_)).as("bucket"))
     }
-    val banded = Dedup.capBuckets(
-      df.select(col(keyCol).as("__key"),
-          explode(array(bucketStructs: _*)).as("tb"))
-        .select(col("__key"), col("tb.tbl"), col("tb.bucket")),
-      Seq("tbl", "bucket"), "__key", maxBucket)
+    val banded = df.select(col(keyCol).as("__key"),
+        explode(array(bucketStructs: _*)).as("tb"))
+      .select(col("__key"), col("tb.tbl"), col("tb.bucket"))
     val a = banded.select(col("tbl"), col("bucket"), col("__key").as("query"))
-    val b = banded.select(col("tbl"), col("bucket"), col("__key").as("neighbor"))
+    val b = Dedup.capBuckets(banded, Seq("tbl", "bucket"), "__key", maxBucket)
+      .select(col("tbl"), col("bucket"), col("__key").as("neighbor"))
     val cand = a.join(b, Seq("tbl", "bucket"))
       .where(col("query") =!= col("neighbor"))
       .select("query", "neighbor")

@@ -124,10 +124,28 @@ object HadoopIO extends GraftIO {
   import org.apache.hadoop.conf.Configuration
   import org.apache.hadoop.fs.{FileSystem, Path}
 
-  private def conf(): Configuration =
+  /** Hadoop conf resolution mirrors Spark's own sources on BOTH sides of
+    * the cluster: the driver has an active session (session-state Hadoop
+    * conf, including runtime `spark.conf.set` overrides); executors don't,
+    * so `spark.hadoop.*` entries are lifted from the executor's SparkConf
+    * (`SparkEnv`) — that is where s3a credentials/endpoints set on the
+    * SparkConf live, and a bare `new Configuration()` would drop them.
+    * Cached per JVM: `FileSystem.get` caches by (scheme, authority, user)
+    * only, so a fresh Configuration per call would just re-parse XML. */
+  private lazy val cachedConf: Configuration =
     org.apache.spark.sql.SparkSession.getActiveSession
       .map(_.sessionState.newHadoopConf())
-      .getOrElse(new Configuration())
+      .getOrElse {
+        val c = new Configuration()
+        val env = org.apache.spark.SparkEnv.get
+        if (env != null) env.conf.getAll.foreach { case (k, v) =>
+          if (k.startsWith("spark.hadoop."))
+            c.set(k.stripPrefix("spark.hadoop."), v)
+        }
+        c
+      }
+
+  private def conf(): Configuration = cachedConf
 
   private def fs(path: String): FileSystem =
     FileSystem.get(new java.net.URI(path), conf())

@@ -664,14 +664,25 @@ final class GraftScan(dir: String, schema: StructType,
     * feeds Catalyst's join planning (a small graft-parquet table becomes
     * broadcast-joinable without a manual hint). Capped like
     * [[planInputPartitions]]: past [[GraftScan.FooterPlanLimit]] files the
-    * driver skips the per-file footer reads and reports the summed
-    * on-disk listing sizes instead (no row count) — a directory of a
-    * million files must never cost a million driver RPCs just to build a
-    * stats estimate. */
+    * driver reads only a bounded SAMPLE of footers to learn the
+    * uncompressed/on-disk expansion ratio and extrapolates over the listing
+    * sizes — a directory of a million files must never cost a million
+    * driver RPCs, but the estimate must stay in UNCOMPRESSED bytes on both
+    * sides of the cap (summed on-disk sizes of a zstd table under-estimate
+    * several-fold and could flip Catalyst into broadcasting a table that
+    * explodes in memory). */
   override def estimateStatistics(): Statistics = {
     val files = GraftParquetFormat.listFilesPartitionedSized(dir)
     if (files.length > GraftScan.FooterPlanLimit) {
-      val b = files.map(_._3).sum
+      val onDisk = files.map(_._3).sum
+      val sample = files.take(64)
+      val (sUnc, sDisk) = sample.foldLeft((0L, 0L)) {
+        case ((u, d), (f, _, sz)) =>
+          val m = ParquetFileReader.readFooterOnly(f)
+          (u + m.rowGroups.map(_.totalByteSize).sum, d + sz)
+      }
+      val ratio = if (sDisk > 0) sUnc.toDouble / sDisk else 1.0
+      val b = math.max(onDisk, (onDisk * ratio).toLong)
       new Statistics {
         override def sizeInBytes(): java.util.OptionalLong =
           java.util.OptionalLong.of(b)

@@ -1391,6 +1391,74 @@ class SparkE2ESpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(sPairs.count() > 0)
   }
 
+  test("lshTopK cap bounds candidates but never drops a query") {
+    val sp = spark
+    import sp.implicits._
+    // 300 near-identical vectors: one (tbl, bucket) per table holds all of
+    // them. A both-sides cap would delete 300-maxBucket keys from every
+    // bucket and those queries would vanish from the output entirely; the
+    // neighbor-side-only cap keeps every key on the query side.
+    val n = 300
+    val vecs = (0 until n).map { i =>
+      (i.toLong, Array.tabulate(8)(d => 1.0f + (i * 8 + d) * 1e-6f))
+    }.toDF("vec_id", "embedding")
+    val top = Similarity.lshTopK(vecs, "vec_id", "embedding",
+      k = 1, planes = 4, tables = 2, maxBucket = 32)
+    val queries = top.select("query").distinct().count()
+    assert(queries == n, s"every key must stay a query: $queries of $n")
+    // and the candidate explosion is bounded: <= n * maxBucket * tables
+    assert(top.count() == n) // k=1: exactly one neighbor per query
+  }
+
+  test("ngram jaccard join-backs stay block-scoped for per-block keys") {
+    val sp = spark
+    import sp.implicits._
+    // doc ids are unique only WITHIN lang (the reason blockCols exists):
+    // key 1 is a different document in en vs fr. A bare-key payload
+    // join-back would cross-match the fr row onto the en pair.
+    val rows = Seq(
+      (1L, "en", "alpha beta gamma delta epsilon zeta"),
+      (2L, "en", "alpha beta gamma delta epsilon eta"),
+      (1L, "fr", "un deux trois quatre cinq six"),
+      (2L, "fr", "sept huit neuf dix onze douze"))
+      .toDF("doc_id", "lang", "text")
+    val pairs = Dedup.ngramJaccardPairs(rows, "doc_id", "text",
+      blockCols = Seq("lang"), n = 2, threshold = 0.3).collect()
+    // en 1-2 share 4 of 5 bigrams (j = 4/6 = 0.667); fr 1-2 share none.
+    // exactly ONE pair row: cross-block duplication would emit more (or
+    // compute a jaccard from mismatched shingle sets)
+    assert(pairs.length == 1, pairs.mkString(", "))
+    assert(pairs.head.getLong(0) == 1L && pairs.head.getLong(1) == 2L)
+    assert(math.abs(pairs.head.getDouble(2) - 4.0 / 6.0) < 1e-9)
+  }
+
+  test("image decode guards hostile headers and the declared media type") {
+    val sp = spark
+    import sp.implicits._
+    // craft a PNG whose IHDR declares 40000x40000 (~6.4 GB raster) on a
+    // tiny payload: the header-probe guard must refuse it before any
+    // pixel allocation, falling back to the stub
+    val png = Multimodal.solidPng(4, 4, 0x336699)
+    val evil = png.clone()
+    def be(v: Int, off: Int): Unit = {
+      evil(off) = (v >>> 24).toByte; evil(off + 1) = (v >>> 16).toByte
+      evil(off + 2) = (v >>> 8).toByte; evil(off + 3) = v.toByte
+    }
+    be(40000, 16); be(40000, 20) // IHDR width, height
+    val crc = new java.util.zip.CRC32
+    crc.update(evil, 12, 17) // chunk type + IHDR body
+    be(crc.getValue.toInt, 29)
+    val df = Seq((1L, evil), (2L, png)).toDF("doc_id", "payload")
+    val feats = Multimodal.extractFeatures(df, "doc_id", "payload")
+      .collect().sortBy(_.key)
+    assert(feats(0).width != 40000, "hostile header must not be decoded")
+    assert(feats(1).width == 4 && feats(1).height == 4) // real decode intact
+    // declared non-image payloads take the stub even if image-decodable
+    val audio = Multimodal.extractFeatures(df, "doc_id", "payload",
+      mediaType = "audio").collect()
+    assert(audio.forall(_.mediaType == "audio"))
+  }
+
   test("IVF compiles a sane plan and answers at 768 dims (no per-dim aggs)") {
     val sp = spark
     import sp.implicits._
@@ -1419,8 +1487,9 @@ class SparkE2ESpec extends AnyFunSuite with BeforeAndAfterAll {
 
   test("estimateStatistics over >FooterPlanLimit files skips footer reads") {
     // a directory of (limit+1) tiny parquet files: the stats path must fall
-    // back to listing sizes (sizeInBytes present, numRows absent) instead
-    // of opening every footer on the driver
+    // back to a bounded footer sample + listing-size extrapolation
+    // (sizeInBytes present and in uncompressed terms, numRows absent)
+    // instead of opening every footer on the driver
     import graft.sources.{GraftScan, ParquetFileWriter}
     val dir = java.nio.file.Files.createTempDirectory("graft-manyfiles").toString
     val schema = org.apache.spark.sql.types.StructType(Seq(
@@ -1436,8 +1505,13 @@ class SparkE2ESpec extends AnyFunSuite with BeforeAndAfterAll {
     val stats = scan.estimateStatistics()
     val ms = (System.nanoTime() - t0) / 1e6
     assert(stats.sizeInBytes().isPresent && stats.sizeInBytes().getAsLong > 0)
+    // never below on-disk bytes: the estimate must stay uncompressed-like
+    // on both sides of the cap so a compressed table can't flip into a
+    // too-small broadcast estimate by crossing the file-count threshold
+    val onDisk = new java.io.File(dir).listFiles().map(_.length).sum
+    assert(stats.sizeInBytes().getAsLong >= onDisk)
     assert(!stats.numRows().isPresent,
       "fallback stats must not claim a row count")
-    assert(ms < 5000, f"stats path took $ms%.0f ms — footers were read?")
+    assert(ms < 5000, f"stats path took $ms%.0f ms — all footers were read?")
   }
 }
