@@ -398,11 +398,18 @@ object Similarity {
       }
       struct(lit(t).as("tbl"), bits.reduce(_.bitwiseOR(_)).as("bucket"))
     }
-    val banded = df.select(col(keyCol).as("__key"),
+    // one windowed frame feeds BOTH join sides (query side ignores the
+    // rank, neighbor side filters on it): identical child plans let Spark
+    // reuse the (tbl, bucket) exchange instead of recomputing the 8-table
+    // hyperplane projections twice
+    val withBn = df.select(col(keyCol).as("__key"),
         explode(array(bucketStructs: _*)).as("tb"))
       .select(col("__key"), col("tb.tbl"), col("tb.bucket"))
-    val a = banded.select(col("tbl"), col("bucket"), col("__key").as("query"))
-    val b = Dedup.capBuckets(banded, Seq("tbl", "bucket"), "__key", maxBucket)
+      .withColumn("__bn", row_number().over(
+        Window.partitionBy(col("tbl"), col("bucket")).orderBy(col("__key"))))
+    val a = withBn.select(col("tbl"), col("bucket"), col("__key").as("query"))
+    // maxBucket <= 0 means uncapped (same contract as Dedup.capBuckets)
+    val b = (if (maxBucket > 0) withBn.where(col("__bn") <= maxBucket) else withBn)
       .select(col("tbl"), col("bucket"), col("__key").as("neighbor"))
     val cand = a.join(b, Seq("tbl", "bucket"))
       .where(col("query") =!= col("neighbor"))

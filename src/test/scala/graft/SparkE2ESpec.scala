@@ -1119,6 +1119,15 @@ class SparkE2ESpec extends AnyFunSuite with BeforeAndAfterAll {
     docs.limit(10).repartition(1).write.format(GraftParquetFormat.Name)
       .mode("overwrite").save(dir)
     assert(spark.read.format(GraftParquetFormat.Name).load(dir).count() == 10)
+    // brotli option: written and read back entirely by our codec (Spark's
+    // own reader has no brotli parquet codec on this classpath)
+    val brDir = java.nio.file.Files.createTempDirectory("graft-dsv2br").toString
+    docs.repartition(2).write.format(GraftParquetFormat.Name)
+      .option("codec", "brotli").mode("append").save(brDir)
+    val brBack = spark.read.format(GraftParquetFormat.Name).load(brDir)
+      .select("doc_id", "lang", "text", "n_chars")
+      .orderBy("doc_id").collect().map(_.toSeq).toSeq
+    assert(brBack == a)
   }
 
   test("big decimals (p>18) roundtrip as FLBA through both readers") {
