@@ -43,27 +43,43 @@ object MinMax {
         }
         (le(mn, 8), le(mx, 8))
       }
+    // float/double follow the spec's TypeDefinedOrder writer rules
+    // (parquet-format Statistics docs): NaN never lands in min/max (a
+    // leading NaN would otherwise poison both via always-false compares),
+    // all-NaN chunks omit the stat entirely, and signed zeros canonicalize
+    // to min=-0.0 / max=+0.0 so a reader ordering -0.0 < +0.0 never prunes
+    // a chunk that holds the other zero.
     case FloatVec(vs) =>
-      if (vs.isEmpty) (Array.emptyByteArray, Array.emptyByteArray)
-      else {
-        var mn = vs(0); var mx = vs(0); var i = 1
-        while (i < vs.length) {
-          if (vs(i) < mn) mn = vs(i)
-          if (vs(i) > mx) mx = vs(i)
-          i += 1
+      var mn = Float.NaN; var mx = Float.NaN; var i = 0
+      while (i < vs.length) {
+        val v = vs(i)
+        if (!v.isNaN) {
+          if (mn.isNaN || v < mn) mn = v
+          if (mx.isNaN || v > mx) mx = v
         }
+        i += 1
+      }
+      if (mn.isNaN) (Array.emptyByteArray, Array.emptyByteArray)
+      else {
+        if (mn == 0.0f) mn = -0.0f
+        if (mx == 0.0f) mx = 0.0f
         (le(java.lang.Float.floatToIntBits(mn).toLong, 4),
           le(java.lang.Float.floatToIntBits(mx).toLong, 4))
       }
     case DoubleVec(vs) =>
-      if (vs.isEmpty) (Array.emptyByteArray, Array.emptyByteArray)
-      else {
-        var mn = vs(0); var mx = vs(0); var i = 1
-        while (i < vs.length) {
-          if (vs(i) < mn) mn = vs(i)
-          if (vs(i) > mx) mx = vs(i)
-          i += 1
+      var mn = Double.NaN; var mx = Double.NaN; var i = 0
+      while (i < vs.length) {
+        val v = vs(i)
+        if (!v.isNaN) {
+          if (mn.isNaN || v < mn) mn = v
+          if (mx.isNaN || v > mx) mx = v
         }
+        i += 1
+      }
+      if (mn.isNaN) (Array.emptyByteArray, Array.emptyByteArray)
+      else {
+        if (mn == 0.0) mn = -0.0
+        if (mx == 0.0) mx = 0.0
         (le(java.lang.Double.doubleToLongBits(mn), 8),
           le(java.lang.Double.doubleToLongBits(mx), 8))
       }

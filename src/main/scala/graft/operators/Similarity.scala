@@ -398,18 +398,21 @@ object Similarity {
       }
       struct(lit(t).as("tbl"), bits.reduce(_.bitwiseOR(_)).as("bucket"))
     }
-    // one windowed frame feeds BOTH join sides (query side ignores the
-    // rank, neighbor side filters on it): identical child plans let Spark
-    // reuse the (tbl, bucket) exchange instead of recomputing the 8-table
-    // hyperplane projections twice
-    val withBn = df.select(col(keyCol).as("__key"),
+    // materialize the banded frame's shuffle ONCE: the explicit repartition
+    // on (tbl, bucket) gives both join sides a canonically identical
+    // Exchange subtree, so the planner substitutes a ReusedExchange for the
+    // second — the `tables`-way hyperplane projection is computed and
+    // shuffled exactly once. (A shared Window frame does NOT achieve this:
+    // the query side never references the rank, ColumnPruning deletes the
+    // Window from that side, and the subtrees diverge again.) The join keys
+    // equal the repartition keys, so neither side shuffles a second time;
+    // only the neighbor side pays the cap's within-partition sort.
+    val banded = df.select(col(keyCol).as("__key"),
         explode(array(bucketStructs: _*)).as("tb"))
       .select(col("__key"), col("tb.tbl"), col("tb.bucket"))
-      .withColumn("__bn", row_number().over(
-        Window.partitionBy(col("tbl"), col("bucket")).orderBy(col("__key"))))
-    val a = withBn.select(col("tbl"), col("bucket"), col("__key").as("query"))
-    // maxBucket <= 0 means uncapped (same contract as Dedup.capBuckets)
-    val b = (if (maxBucket > 0) withBn.where(col("__bn") <= maxBucket) else withBn)
+      .repartition(col("tbl"), col("bucket"))
+    val a = banded.select(col("tbl"), col("bucket"), col("__key").as("query"))
+    val b = Dedup.capBuckets(banded, Seq("tbl", "bucket"), "__key", maxBucket)
       .select(col("tbl"), col("bucket"), col("__key").as("neighbor"))
     val cand = a.join(b, Seq("tbl", "bucket"))
       .where(col("query") =!= col("neighbor"))

@@ -306,7 +306,12 @@ final case class PqFileMeta(
     schema: Seq[PqSchemaElement],
     numRows: Long,
     rowGroups: Seq[PqRowGroup],
-    createdBy: String)
+    createdBy: String,
+    /** parsed size of the footer's `column_orders` list (field 7) — the
+      * spec's precondition for readers to trust `min_value`/`max_value`;
+      * 0 when the writer omitted it. The writer always re-derives the list
+      * from the schema's leaf count rather than trusting this. */
+    columnOrders: Int = 0)
 
 final case class PqPageHeader(
     pageType: Int, // 0 data v1, 2 dictionary, 3 data v2
@@ -347,6 +352,7 @@ object ParquetMeta {
     var numRows = 0L
     var rowGroups: Seq[PqRowGroup] = Nil
     var createdBy = ""
+    var columnOrders = 0
     var last = 0
     var done = false
     while (!done) {
@@ -359,12 +365,14 @@ object ParquetMeta {
           case 3 => numRows = r.zigzag()
           case 4 => rowGroups = parseList(r)(parseRowGroup)
           case 6 => createdBy = r.string()
+          case 7 => columnOrders = parseList(r)(rr => rr.skip(TStruct)).size
           case _ => r.skip(t)
         }
         last = id
       }
     }
-    PqFileMeta(version, schema, numRows, rowGroups, createdBy)
+    PqFileMeta(version, schema, numRows, rowGroups, createdBy,
+      columnOrders = columnOrders)
   }
 
   private def parseList[A](r: Reader)(elem: Reader => A): Seq[A] = {
@@ -810,6 +818,26 @@ object ParquetMeta {
     meta.rowGroups.foreach(rg => writeRowGroup(w, rg))
     w.fieldHeader(6, TBinary, 4)
     w.string(meta.createdBy)
+    // column_orders (field 7): one ColumnOrder per schema LEAF, each the
+    // TYPE_ORDER union arm (an empty TypeDefinedOrder struct). Without
+    // this field the spec tells readers to IGNORE min_value/max_value, so
+    // omitting it silently disables stats pruning in strict readers.
+    // Our stats follow type-defined order for every type we emit them for
+    // (signed ints, unsigned-lexicographic byte arrays, NaN-free floats
+    // with canonicalized zeros); INT96/FLBA chunks carry no min/max, which
+    // is exactly what the spec prescribes for undefined/unsupported orders.
+    val leaves = meta.schema.drop(1).count(_.numChildren <= 0)
+    if (leaves > 0) {
+      w.fieldHeader(7, TList, 6)
+      w.listHeader(TStruct, leaves)
+      var i = 0
+      while (i < leaves) {
+        w.fieldHeader(1, TStruct, 0) // union arm 1: TypeDefinedOrder
+        w.stop() // empty TypeDefinedOrder struct
+        w.stop() // end ColumnOrder union
+        i += 1
+      }
+    }
     w.stop()
     w.result()
   }

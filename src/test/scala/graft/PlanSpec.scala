@@ -88,4 +88,18 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
     val plan = planOf(bf)
     assert(!plan.contains("Exchange"), plan)
   }
+
+  test("lshTopK computes the banded projection once (ReusedExchange)") {
+    // both candidate-join sides must come off ONE (tbl, bucket) exchange —
+    // the 8-table hyperplane projection is the expensive child, and a
+    // non-identical second subtree would recompute it per side. AQE defers
+    // reuse to runtime stages, so pin the property on the static planner.
+    val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val plan = planOf(
+        Similarity.lshTopK(emb, "vec_id", "embedding", k = 3, planes = 6))
+      assert(plan.contains("ReusedExchange"), plan)
+    } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
+  }
 }

@@ -668,6 +668,59 @@ class ParquetInteropSpec extends AnyFunSuite {
     assert(got.map(_("id")) == (200L until 500L).toIndexedSeq)
   }
 
+  test("column_orders: TypeDefinedOrder per leaf; float stats NaN-free " +
+      "with canonical zeros") {
+    val tmp = java.nio.file.Files.createTempDirectory("pqcord").toString
+    val path = s"$tmp/corder.parquet"
+    import org.apache.spark.sql.types._
+    // nested schema: leaves = id + tags.element + attrs.{key,value} + score
+    val schema = StructType(Seq(
+      StructField("id", LongType),
+      StructField("tags", ArrayType(StringType)),
+      StructField("attrs", MapType(StringType, LongType)),
+      StructField("score", DoubleType)))
+    val rows = (0 until 50).map { i =>
+      org.apache.spark.sql.Row(i.toLong, Seq(s"t$i"), Map(s"k$i" -> i.toLong),
+        i match {
+          case 0 => Double.NaN // must never surface in min/max
+          case 1 => 0.0
+          case 2 => -0.0
+          case _ => i.toDouble
+        })
+    }
+    ParquetFileWriter.writeFile(path, schema, rows.iterator)
+    val bytes = java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(path))
+    val meta = ParquetFileReader.readFooter(bytes)
+    // the spec's precondition for trusting min_value/max_value: one
+    // TypeDefinedOrder entry per LEAF column (groups don't count)
+    assert(meta.columnOrders == 5, s"columnOrders=${meta.columnOrders}")
+    assert(ParquetFileReader.leafColumns(meta, 0).size == 5)
+    // double stats: NaN skipped, min is NEGATIVE zero (sign bit set), max 49
+    val st = meta.rowGroups(0).columns
+      .find(_.pathInSchema.headOption.contains("score")).get.stats.get
+    assert(java.lang.Double.longBitsToDouble(
+      graft.core.MinMax.leToLong(st.min)) == 0.0 &&
+      (graft.core.MinMax.leToLong(st.min) >>> 63) == 1L,
+      "min must be -0.0 (canonical signed zero)")
+    assert(java.lang.Double.longBitsToDouble(
+      graft.core.MinMax.leToLong(st.max)) == 49.0)
+    // all-NaN chunk → stat omitted entirely
+    val (mnN, mxN) = graft.core.MinMax.compute(
+      graft.core.DoubleVec(Array(Double.NaN, Double.NaN)))
+    assert(mnN.isEmpty && mxN.isEmpty)
+    val (mnF, mxF) = graft.core.MinMax.compute(
+      graft.core.FloatVec(Array(Float.NaN, 3.5f, -1.0f)))
+    assert(java.lang.Float.intBitsToFloat(
+      graft.core.MinMax.leToLong(mnF).toInt) == -1.0f)
+    assert(java.lang.Float.intBitsToFloat(
+      graft.core.MinMax.leToLong(mxF).toInt) == 3.5f)
+    // third-party writers (driver testdata = parquet-mr) carry the field
+    // too — our parser surfaces it rather than skipping
+    val ext = ParquetFileReader.readFooter(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get("/root/testdata/sf0.001/orders.parquet")))
+    assert(ext.columnOrders > 0)
+  }
+
   test("footer statistics: externally-written files carry parseable stats") {
     // Spark/parquet-mr testdata files — independent writers whose stats our
     // thrift parser must understand
