@@ -89,6 +89,27 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(!plan.contains("Exchange"), plan)
   }
 
+  test("LSH dedup ops compute their banding once (ReusedExchange)") {
+    // minhash/simhash/embedding candidate joins feed both sides from one
+    // capped frame; the expensive signature/banding work sits BELOW the
+    // window's (bucket-keyed) exchange, so the planner must collapse the
+    // second side to a ReusedExchange — recomputing the banding per side
+    // doubles the dominant scan+hash term at scale.
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet").limit(200)
+    val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val mh = planOf(Dedup.minhashLsh(docs, "doc_id", "text",
+        numHashes = 16, bands = 4))
+      assert(mh.contains("ReusedExchange"), mh)
+      val sh = planOf(Dedup.simhashNearDups(docs, "doc_id", "text",
+        maxDist = 3))
+      assert(sh.contains("ReusedExchange"), sh)
+      val en = planOf(Dedup.embeddingNearDups(emb, "vec_id", "embedding"))
+      assert(en.contains("ReusedExchange"), en)
+    } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
+  }
+
   test("lshTopK computes the banded projection once (ReusedExchange)") {
     // both candidate-join sides must come off ONE (tbl, bucket) exchange —
     // the 8-table hyperplane projection is the expensive child, and a
