@@ -1172,6 +1172,4 @@ object Brotli {
       i += 1
     }
   }
-
-  /** Minimal growable int vector (no boxing). */
 }

@@ -55,11 +55,20 @@ object Multimodal {
     * training images. */
   val MaxImagePixels: Long = 1L << 24
 
-  /** Header-only dimension probe — no pixel decode, no big allocation.
-    * None if no installed reader recognizes the container. */
-  private def imageDims(bytes: Array[Byte]): Option[(Int, Int)] = {
+  /** Guarded single-pass image read: the header is probed FIRST
+    * (`getWidth(0)`/`getHeight(0)` parse the container, no pixel
+    * allocation) and only declared-sane images proceed to `r.read(0)` on
+    * the SAME reader — one SPI lookup, one container parse per payload.
+    * None if no installed reader recognizes the container, the declared
+    * dimensions exceed [[MaxImagePixels]] (hostile-header guard), or the
+    * pixel decode fails. `createImageInputStream` is documented to return
+    * null when no stream SPI accepts the input — that must fall back to
+    * the stub, not NPE the task. */
+  private def readImageGuarded(
+      bytes: Array[Byte]): Option[java.awt.image.BufferedImage] = {
     val iis = javax.imageio.ImageIO.createImageInputStream(
       new java.io.ByteArrayInputStream(bytes))
+    if (iis == null) return None
     try {
       val readers = javax.imageio.ImageIO.getImageReaders(iis)
       if (!readers.hasNext) None
@@ -67,7 +76,10 @@ object Multimodal {
         val r = readers.next()
         try {
           r.setInput(iis)
-          Some((r.getWidth(0), r.getHeight(0)))
+          val w = r.getWidth(0)
+          val h = r.getHeight(0)
+          if (w <= 0 || h <= 0 || w.toLong * h > MaxImagePixels) None
+          else Option(r.read(0))
         } finally r.dispose()
       }
     } catch { case _: Exception => None }
@@ -82,14 +94,7 @@ object Multimodal {
     * dimensions exceed [[MaxImagePixels]] (hostile-header guard). */
   private[operators] def decodeImage(key: Long,
       bytes: Array[Byte]): Option[MediaMeta] = {
-    val okDims = imageDims(bytes) match {
-      case Some((w, h)) => w > 0 && h > 0 && w.toLong * h <= MaxImagePixels
-      case None => false
-    }
-    val img =
-      if (!okDims) null
-      else try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
-      catch { case _: Exception => null }
+    val img = readImageGuarded(bytes).orNull
     if (img == null || img.getWidth <= 0 || img.getHeight <= 0) None
     else {
       val w = img.getWidth

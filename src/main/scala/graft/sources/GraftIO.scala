@@ -125,27 +125,38 @@ object HadoopIO extends GraftIO {
   import org.apache.hadoop.fs.{FileSystem, Path}
 
   /** Hadoop conf resolution mirrors Spark's own sources on BOTH sides of
-    * the cluster: the driver has an active session (session-state Hadoop
-    * conf, including runtime `spark.conf.set` overrides); executors don't,
-    * so `spark.hadoop.*` entries are lifted from the executor's SparkConf
-    * (`SparkEnv`) — that is where s3a credentials/endpoints set on the
-    * SparkConf live, and a bare `new Configuration()` would drop them.
-    * Cached per JVM: `FileSystem.get` caches by (scheme, authority, user)
-    * only, so a fresh Configuration per call would just re-parse XML. */
-  private lazy val cachedConf: Configuration =
-    org.apache.spark.sql.SparkSession.getActiveSession
-      .map(_.sessionState.newHadoopConf())
-      .getOrElse {
-        val c = new Configuration()
-        val env = org.apache.spark.SparkEnv.get
-        if (env != null) env.conf.getAll.foreach { case (k, v) =>
-          if (k.startsWith("spark.hadoop."))
-            c.set(k.stripPrefix("spark.hadoop."), v)
-        }
-        c
-      }
+    * the cluster: the driver has a session (session-state Hadoop conf,
+    * including runtime `spark.conf.set("spark.hadoop.*")` overrides);
+    * executors don't, so `spark.hadoop.*` entries are lifted from the
+    * executor's SparkConf (`SparkEnv`) — that is where s3a credentials/
+    * endpoints set on the SparkConf live, and a bare `new Configuration()`
+    * would drop them.
+    *
+    * The SESSION path is resolved per call, never cached:
+    * `getActiveSession` is thread-local, so a first call on a
+    * non-session thread would otherwise freeze a bare conf for the JVM
+    * lifetime, and runtime conf updates (rotated s3a credentials, a new
+    * endpoint) would be ignored forever. `newHadoopConf` is a cheap
+    * in-memory copy of an already-built conf. Only the SESSION-LESS
+    * executor fallback is cached: an executor's SparkConf is immutable
+    * for the JVM's lifetime, and building a fresh `Configuration` there
+    * re-parses the default XML resources per call for an identical
+    * result. */
+  private lazy val envConf: Configuration = {
+    val c = new Configuration()
+    val env = org.apache.spark.SparkEnv.get
+    if (env != null) env.conf.getAll.foreach { case (k, v) =>
+      if (k.startsWith("spark.hadoop."))
+        c.set(k.stripPrefix("spark.hadoop."), v)
+    }
+    c
+  }
 
-  private def conf(): Configuration = cachedConf
+  private def conf(): Configuration =
+    org.apache.spark.sql.SparkSession.getActiveSession
+      .orElse(org.apache.spark.sql.SparkSession.getDefaultSession)
+      .map(_.sessionState.newHadoopConf())
+      .getOrElse(envConf)
 
   private def fs(path: String): FileSystem =
     FileSystem.get(new java.net.URI(path), conf())

@@ -675,11 +675,18 @@ final class GraftScan(dir: String, schema: StructType,
     val files = GraftParquetFormat.listFilesPartitionedSized(dir)
     if (files.length > GraftScan.FooterPlanLimit) {
       val onDisk = files.map(_._3).sum
+      // a directory this large is plausibly being written concurrently:
+      // an in-flight/zero-byte/corrupt sample file must degrade the
+      // ESTIMATE (skip it), not fail query planning — stats here are
+      // advisory, and the pre-sampling fallback never did file I/O at all
       val sample = files.take(64)
       val (sUnc, sDisk) = sample.foldLeft((0L, 0L)) {
         case ((u, d), (f, _, sz)) =>
-          val m = ParquetFileReader.readFooterOnly(f)
-          (u + m.rowGroups.map(_.totalByteSize).sum, d + sz)
+          scala.util.Try(ParquetFileReader.readFooterOnly(f)) match {
+            case scala.util.Success(m) =>
+              (u + m.rowGroups.map(_.totalByteSize).sum, d + sz)
+            case scala.util.Failure(_) => (u, d)
+          }
       }
       val ratio = if (sDisk > 0) sUnc.toDouble / sDisk else 1.0
       val b = math.max(onDisk, (onDisk * ratio).toLong)
