@@ -719,6 +719,16 @@ class ParquetInteropSpec extends AnyFunSuite {
     val ext = ParquetFileReader.readFooter(java.nio.file.Files.readAllBytes(
       java.nio.file.Paths.get("/root/testdata/sf0.001/orders.parquet")))
     assert(ext.columnOrders > 0)
+    // >14 leaves: the ColumnOrder list needs the thrift compact LONG-form
+    // list header (short form caps at 14 elements)
+    val wideP = s"$tmp/wide.parquet"
+    val wide = StructType((0 until 20).map(i =>
+      StructField(s"c$i", LongType)))
+    ParquetFileWriter.writeFile(wideP, wide,
+      Iterator(org.apache.spark.sql.Row((0 until 20).map(_.toLong): _*)))
+    val wm = ParquetFileReader.readFooter(
+      java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(wideP)))
+    assert(wm.columnOrders == 20)
   }
 
   test("footer statistics: externally-written files carry parseable stats") {
