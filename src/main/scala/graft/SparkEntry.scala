@@ -510,16 +510,20 @@ object SparkEntry {
     "q_enc_ratio" -> ((s, dir) => {
       // selector byte accounting, restated in oracle-checkable form: exact
       // per-column input bytes (DuckDB recomputes them from the data), the
-      // deterministic codec choices (pinned in the oracle), the never-
-      // exceeds-reference-ceiling invariant, and compression booleans at
-      // per-column pinned levels (robust to small selector shifts, unlike
-      // raw output bytes)
+      // never-exceeds-reference-ceiling invariant, and compression booleans
+      // at per-column pinned levels (robust to small selector shifts,
+      // unlike raw output bytes). The chosen codec STRINGS are deliberately
+      // NOT emitted here: per-chunk choices are a function of chunk
+      // contents, so the set of codecs seen per column shifts with scale
+      // (sf0.01 split `source` across DELTA_BYTE_ARRAY+DICT chunks; sf0.1's
+      // bigger chunks all chose DICT) — pinning them made the oracle
+      // sf-specific. Codec lineage stays value-checked per chunk in
+      // q_enc_lineage_bytes, which holds at every sf.
       val chunks = EncodeJob.encode(docs(s, dir), numPartitions = 8,
         partitionKeys = Seq("lang"), sortKeys = Seq("doc_id"))
       EncodeJob.lineage(chunks).toDF()
         .groupBy(col("column").as("col_name"))
         .agg(
-          concat_ws("+", array_sort(collect_set(col("codecs")))).as("codecs"),
           sum(col("inputBytes")).as("input_bytes"),
           max((col("outputBytes") > col("refPolicyBytes")).cast("int"))
             .as("exceeds_ceiling"),
@@ -626,12 +630,19 @@ object SparkEntry {
     "q_simhash" -> ((s, dir) => {
       // blocked pairs at maxDist=8 (nine-segment blocking — full recall by
       // pigeonhole) compared against brute-force all-pairs hamming: the
-      // driver-checked mismatch count is pinned at zero
+      // driver-checked mismatch count is pinned at zero. The blocking runs
+      // UNCAPPED (maxBucket = 0) so the pigeonhole exactness is
+      // unconditional at ANY sf: a capped run is only exact while no
+      // segment bucket truncates, and at sf0.1 four hot buckets already
+      // crossed DefaultMaxBucket, silently dropping pairs (round-3
+      // measurement). This is the right scale for a verification query —
+      // its brute-force twin is quadratic anyway; the production operator
+      // (simhashNearDups) keeps the cap and reports cappedBucketCount.
       import s.implicits._
       val d = docs(s, dir)
       val withSim = Dedup.simhash(d, "text")
         .select(col("doc_id").as("__key"), col("simhash")).cache()
-      val blocked = Dedup.simhashPairs(withSim, maxDist = 8)
+      val blocked = Dedup.simhashPairs(withSim, maxDist = 8, maxBucket = 0)
         .select("keyA", "keyB").cache() // referenced by both anti-joins
       val a = withSim.select(col("__key").as("keyA"), col("simhash").as("sa"))
       val b = withSim.select(col("__key").as("keyB"), col("simhash").as("sb"))
@@ -641,14 +652,8 @@ object SparkEntry {
       val missed = brute.join(blocked, Seq("keyA", "keyB"), "left_anti").count()
       val extra = blocked.join(brute, Seq("keyA", "keyB"), "left_anti").count()
       val nDocs = withSim.count()
-      // the pigeonhole full-recall guarantee is conditional on NO segment
-      // bucket being truncated by the scale cap — pin that precondition too
-      val capped = Dedup.cappedBucketCount(
-        Dedup.simhashBands(withSim, maxDist = 8), Seq("tbl", "seg"),
-        Dedup.DefaultMaxBucket)
       withSim.unpersist(); brute.unpersist(); blocked.unpersist()
-      Seq((nDocs, missed + extra, capped))
-        .toDF("n_docs", "mismatches", "capped_buckets")
+      Seq((nDocs, missed + extra)).toDF("n_docs", "mismatches")
     }),
     "q_ngram_jaccard" -> ((s, dir) => {
       // exact jaccard join within lang via prefix filtering (PPJoin-style
@@ -967,11 +972,10 @@ object SparkEntry {
     "q_ann_lsh" ->
       "SELECT count(*) AS n_queries, count(*) AS queries_covered, CAST(0 AS BIGINT) AS bad_rank, CAST(0 AS BIGINT) AS bad_cosine FROM embeddings",
     "q_simhash" ->
-      // Spark computes blocked-vs-brute-force mismatches; pigeonhole blocking
-      // (maxDist+1 segments) makes the zero pin exact, not probabilistic —
-      // and capped_buckets=0 pins the no-truncation precondition it rests on
-      ("SELECT count(*) AS n_docs, CAST(0 AS BIGINT) AS mismatches, " +
-        "CAST(0 AS BIGINT) AS capped_buckets FROM documents"),
+      // Spark computes blocked-vs-brute-force mismatches; uncapped pigeonhole
+      // blocking (maxDist+1 segments) makes the zero pin exact and
+      // unconditional at any scale, not probabilistic
+      "SELECT count(*) AS n_docs, CAST(0 AS BIGINT) AS mismatches FROM documents",
     "q_embed_neardup" ->
       // DuckDB recomputes the TRUE cosine>=0.9 pair count brute-force;
       // false_pos is structurally zero (the operator verifies candidates
@@ -1013,15 +1017,14 @@ object SparkEntry {
         "CAST(0 AS BIGINT) AS false_pos, CAST(0 AS BIGINT) AS capped_buckets " +
         "FROM j WHERE jac >= 0.9"),
     "q_enc_ratio" ->
-      // input bytes recomputed exactly by DuckDB; codec choices and the
-      // compression-level booleans are deterministic functions of the data
-      // (pinned); exceeds_ceiling = 0 is the never-worse-than-reference
-      // invariant
-      ("SELECT 'doc_id' AS col_name, 'DELTA_BINARY_PACKED' AS codecs, CAST(8*count(*) AS BIGINT) AS input_bytes, 0 AS exceeds_ceiling, 1 AS compresses, 1 AS halves FROM documents " +
-        "UNION ALL SELECT 'lang', 'DICT', CAST(sum(4 + strlen(lang)) AS BIGINT), 0, 1, 1 FROM documents " +
-        "UNION ALL SELECT 'n_chars', 'DELTA_BINARY_PACKED', CAST(8*count(*) AS BIGINT), 0, 1, 1 FROM documents " +
-        "UNION ALL SELECT 'source', 'DELTA_BYTE_ARRAY+DICT', CAST(sum(4 + strlen(source)) AS BIGINT), 0, 1, 1 FROM documents " +
-        "UNION ALL SELECT 'text', 'FSST', CAST(sum(4 + strlen(text)) AS BIGINT), 0, 1, 1 FROM documents " +
+      // input bytes recomputed exactly by DuckDB; the compression-level
+      // booleans are scale-robust invariants of these columns;
+      // exceeds_ceiling = 0 is the never-worse-than-reference invariant
+      ("SELECT 'doc_id' AS col_name, CAST(8*count(*) AS BIGINT) AS input_bytes, 0 AS exceeds_ceiling, 1 AS compresses, 1 AS halves FROM documents " +
+        "UNION ALL SELECT 'lang', CAST(sum(4 + strlen(lang)) AS BIGINT), 0, 1, 1 FROM documents " +
+        "UNION ALL SELECT 'n_chars', CAST(8*count(*) AS BIGINT), 0, 1, 1 FROM documents " +
+        "UNION ALL SELECT 'source', CAST(sum(4 + strlen(source)) AS BIGINT), 0, 1, 1 FROM documents " +
+        "UNION ALL SELECT 'text', CAST(sum(4 + strlen(text)) AS BIGINT), 0, 1, 1 FROM documents " +
         "ORDER BY col_name"),
     "q_ann_topk" ->
       ("WITH pairs AS (SELECT a.vec_id AS query, b.vec_id AS neighbor, " +
