@@ -259,7 +259,15 @@ object ChunkCodec {
   private def assemble(vec: ColVec, primaryCodec: Int,
       dict: DictCodec.Encoder, pages: ArrayBuffer[Page],
       defLevels: Array[Byte]): Array[Byte] = {
-    val w = new BitWriter(4096)
+    // pre-size to the known payload: growing from a small buffer doubles
+    // through the multi-MB page bytes, re-copying every byte O(1) extra
+    // times — measurable on 8 MB content chunks
+    var presize = 4096L
+    pages.foreach(p => presize += p.bytes.length + 16)
+    if (defLevels != null) presize += defLevels.length / 4 + 64
+    if (dict != null) presize += dict.dictEncodedSize + 64
+    val w = new BitWriter(math.toIntExact(
+      math.min(presize, Int.MaxValue.toLong - 16)))
     w.putAligned('G'.toLong, 1); w.putAligned('C'.toLong, 1)
     w.putAligned(if (defLevels == null) 1L else 2L, 1)
     w.putAligned(vec.physicalType.toLong, 1)

@@ -126,6 +126,10 @@ object FsstCodec {
   private val scratchBody: ThreadLocal[Array[Byte]] =
     ThreadLocal.withInitial(() => new Array[Byte](1 << 16))
 
+  // reusable training gain counter (see train); null until first use so
+  // threads that never train (pure decode) allocate nothing
+  private val gainTL: ThreadLocal[GainCounter] = new ThreadLocal[GainCounter]()
+
   private val LongView = java.lang.invoke.MethodHandles.byteArrayViewVarHandle(
     classOf[Array[Long]], java.nio.ByteOrder.LITTLE_ENDIAN)
 
@@ -164,7 +168,21 @@ object FsstCodec {
     // over primitive arrays, allocated once and cleared per iteration — the
     // boxed HashMap it replaces was the majority of training cost on small
     // chunks.
-    val gain = new GainCounter(sample.length)
+    // reuse one counter per thread: its backing arrays are ~8.5 MB for a
+    // 64 KiB sample, and a fresh zeroed allocation per chunk cost more in
+    // JVM page-zeroing than the hash work itself. The touched-slot clear
+    // makes reuse O(occupied); the cap for any sample >= 64 KiB is the same,
+    // so one max-size instance serves every chunk-sized call.
+    val gain = {
+      val cached = gainTL.get()
+      if (cached != null && cached.cap >= GainCounter.capFor(sample.length))
+        cached
+      else {
+        val fresh = new GainCounter(math.max(sample.length, 1 << 16))
+        gainTL.set(fresh)
+        fresh
+      }
+    }
     var it = 0
     while (it < iterations) {
       gain.clear()
@@ -196,18 +214,38 @@ object FsstCodec {
   /** Open-addressing (symbol word, symbol length) -> gain counter. */
   // private[core] so the test suite can pin the bounded top-k selection
   // against a brute-force full sort on random counters
-  private[core] final class GainCounter(sampleLen: Int) {
-    // <= 2 bumps per sample position; size to load factor <= 0.5
-    private val cap = java.lang.Integer.highestOneBit(
+  private[core] object GainCounter {
+    /** <= 2 bumps per sample position; size to load factor <= 0.5.
+      * Saturates at the 64 KiB training-sample cap, so one max-size
+      * instance serves every chunk-sized call. */
+    def capFor(sampleLen: Int): Int = java.lang.Integer.highestOneBit(
       math.max(1024, 4 * math.min(sampleLen, 1 << 16))) << 1
+  }
+
+  private[core] final class GainCounter(sampleLen: Int) {
+    private[core] val cap = GainCounter.capFor(sampleLen)
     private val mask = cap - 1
     private val words = new Array[Long](cap)
     private val lens = new Array[Byte](cap) // 0 = empty slot
     private val gains = new Array[Long](cap)
+    // dense list of occupied slot indices, appended on first insert: clear()
+    // and top() then cost O(occupied), not O(cap) — the full-table scan per
+    // training iteration (cap = 512K slots for a 64 KiB sample, typically
+    // <20% occupied) was the largest non-match term of training cost. The
+    // iteration order never affects results: `better` is a total order over
+    // distinct (word, len) keys, so top-k is iteration-order-independent.
+    private var touched = new Array[Int](math.max(256, cap >> 2))
+    private var nTouched = 0
 
     /** Empty slots are lens == 0; words/gains may hold stale values from a
       * previous iteration, so a fresh insert assigns rather than adds. */
-    def clear(): Unit = java.util.Arrays.fill(lens, 0.toByte)
+    def clear(): Unit = {
+      if (nTouched < (cap >> 3)) {
+        var i = 0
+        while (i < nTouched) { lens(touched(i)) = 0; i += 1 }
+      } else java.util.Arrays.fill(lens, 0.toByte)
+      nTouched = 0
+    }
 
     def bump(word: Long, len: Int, v: Long): Unit = {
       var h = (java.lang.Long.rotateLeft(word * -7046029254386353131L, 17).toInt ^ len) & mask
@@ -216,6 +254,10 @@ object FsstCodec {
         words(h) = word
         lens(h) = len.toByte
         gains(h) = v
+        if (nTouched == touched.length)
+          touched = java.util.Arrays.copyOf(touched, touched.length << 1)
+        touched(nTouched) = h
+        nTouched += 1
       } else gains(h) += v
     }
 
@@ -277,20 +319,21 @@ object FsstCodec {
           }
         }
       }
-      var i = 0
-      while (i < cap) {
-        if (lens(i) != 0) {
-          val g = gains(i); val w = words(i); val l = lens(i).toInt
-          if (size < k) {
-            hg(size) = g; hw(size) = w; hl(size) = l
-            size += 1
-            siftUp(size - 1)
-          } else if (better(g, w, l, hg(0), hw(0), hl(0))) {
-            hg(0) = g; hw(0) = w; hl(0) = l
-            siftDown()
-          }
+      var t = 0
+      while (t < nTouched) {
+        val i = touched(t)
+        // occupied by construction: every touched index was inserted since
+        // the last clear(), and clear() resets the list
+        val g = gains(i); val w = words(i); val l = lens(i).toInt
+        if (size < k) {
+          hg(size) = g; hw(size) = w; hl(size) = l
+          size += 1
+          siftUp(size - 1)
+        } else if (better(g, w, l, hg(0), hw(0), hl(0))) {
+          hg(0) = g; hw(0) = w; hl(0) = l
+          siftDown()
         }
-        i += 1
+        t += 1
       }
       // final order: best first (insertion sort — k <= 255 survivors)
       val idx = Array.range(0, size)

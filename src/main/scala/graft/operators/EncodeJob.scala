@@ -240,12 +240,24 @@ object EncodeJob {
         pendingPos = 0
       }
 
+      private var released = false
+      /** Safe only once every emitted ChunkRow is self-contained (blobs are
+        * fresh arrays; the zero-copy vecs are fully consumed inside
+        * fillChunk), i.e. at terminal exhaustion. */
+      private def releaseBuilders(): Unit = if (!released) {
+        released = true
+        builders.foreach(_.release())
+      }
+
       def hasNext: Boolean = {
         if (pending != null && pendingPos < pending.length) true
         else {
           pending = null
-          if (!rows.hasNext) false
-          else { fillChunk(); pending != null }
+          if (!rows.hasNext) { releaseBuilders(); false }
+          else {
+            fillChunk()
+            if (pending == null) { releaseBuilders(); false } else true
+          }
         }
       }
 
@@ -353,12 +365,40 @@ sealed abstract class ColBuilder {
 
   def clear(): Unit = { nRows = 0; nNulls = 0; clearValues() }
 
+  /** Return any pooled backing arrays to the per-thread pool; the builder
+    * must not be used afterwards. Called once per builder when its
+    * partition's rows are exhausted. Default: nothing pooled. */
+  def release(): Unit = ()
+
   protected def addValue(row: SpecializedGetters, i: Int): Long
   protected def clearValues(): Unit
   def build(): ColVec
 }
 
 object ColBuilder {
+  /** Per-thread FIFO pool of byte arenas. Builders are created (schema
+    * order) and released (same order) once per PARTITION, while chunk-sized
+    * arenas take growth-doubling copies totaling ~2x their final size to
+    * warm up — unamortized when a partition holds only a few chunks. Tasks
+    * run sequentially per thread, so FIFO pairing hands column c the arena
+    * column c released in the previous partition: the second partition
+    * onward starts full-sized with zero growth copies. Bounded: at most
+    * [[MaxPooled]] arenas of at most [[ArenaRetainLimit]] bytes per thread. */
+  private val ArenaRetainLimit = 48 << 20
+  private val MaxPooled = 8
+  private val arenaPool: ThreadLocal[java.util.ArrayDeque[Array[Byte]]] =
+    ThreadLocal.withInitial(() => new java.util.ArrayDeque[Array[Byte]]())
+
+  private[operators] def borrowArena(min: Int): Array[Byte] = {
+    val a = arenaPool.get().pollFirst()
+    if (a != null && a.length >= min) a else new Array[Byte](min)
+  }
+
+  private[operators] def giveArena(a: Array[Byte]): Unit = {
+    val dq = arenaPool.get()
+    if (a != null && a.length <= ArenaRetainLimit && dq.size < MaxPooled)
+      dq.addLast(a)
+  }
   /** Minimal FIXED_LEN_BYTE_ARRAY width for a DECIMAL(p): smallest n with
     * 10^p - 1 representable in signed 8n-bit two's complement (public
     * parquet logical-types rule). */
@@ -701,8 +741,10 @@ object ColBuilder {
     * intermediate per-string byte array at all). */
   private final class BytesBuilder(conv: (SpecializedGetters, Int) => Array[Byte])
       extends ColBuilder {
-    // arena: the row-boundary copy lands directly in one contiguous buffer
-    private var data = new Array[Byte](1 << 16)
+    // arena: the row-boundary copy lands directly in one contiguous buffer;
+    // borrowed from the per-thread pool so repeat partitions skip the
+    // growth-doubling warmup (see ColBuilder.borrowArena)
+    private var data = ColBuilder.borrowArena(1 << 16)
     private var offsets = new Array[Int](1024)
     private var n = 0
     offsets(0) = 0
@@ -737,6 +779,7 @@ object ColBuilder {
     // per content chunk for nothing.
     def build(): ColVec = BytesVec(data, java.util.Arrays.copyOf(offsets, n + 1))
     protected def clearValues(): Unit = { n = 0; offsets(0) = 0 }
+    override def release(): Unit = { ColBuilder.giveArena(data); data = null }
   }
 
   private class IntBuilder(get: (SpecializedGetters, Int) => Int) extends ColBuilder {
