@@ -385,19 +385,28 @@ object ColBuilder {
     * onward starts full-sized with zero growth copies. Bounded: at most
     * [[MaxPooled]] arenas of at most [[ArenaRetainLimit]] bytes per thread. */
   private val ArenaRetainLimit = 48 << 20
-  private val MaxPooled = 8
-  private val arenaPool: ThreadLocal[java.util.ArrayDeque[Array[Byte]]] =
-    ThreadLocal.withInitial(() => new java.util.ArrayDeque[Array[Byte]]())
+  private val MaxPooledBytes = 96L << 20 // per-thread cap on TOTAL pooled bytes
+  private final class ArenaQueue {
+    val dq = new java.util.ArrayDeque[Array[Byte]]()
+    var bytes = 0L
+  }
+  private val arenaPool: ThreadLocal[ArenaQueue] =
+    ThreadLocal.withInitial(() => new ArenaQueue)
 
   private[operators] def borrowArena(min: Int): Array[Byte] = {
-    val a = arenaPool.get().pollFirst()
+    val q = arenaPool.get()
+    val a = q.dq.pollFirst()
+    if (a != null) q.bytes -= a.length
     if (a != null && a.length >= min) a else new Array[Byte](min)
   }
 
   private[operators] def giveArena(a: Array[Byte]): Unit = {
-    val dq = arenaPool.get()
-    if (a != null && a.length <= ArenaRetainLimit && dq.size < MaxPooled)
-      dq.addLast(a)
+    val q = arenaPool.get()
+    if (a != null && a.length <= ArenaRetainLimit &&
+        q.bytes + a.length <= MaxPooledBytes) {
+      q.dq.addLast(a)
+      q.bytes += a.length
+    }
   }
   /** Minimal FIXED_LEN_BYTE_ARRAY width for a DECIMAL(p): smallest n with
     * 10^p - 1 representable in signed 8n-bit two's complement (public
