@@ -234,7 +234,21 @@ object Dedup {
     // The candidate join and pair-dedup carry keys and set SIZES only; the
     // two shingle arrays are joined back once per surviving pair for the
     // exact-jaccard verification.
+    // One explicit exchange on (block, key) that every consumer shares:
+    // the shingle frame is referenced FOUR times (both exploded candidate
+    // sides + both payload join-backs), and without a common shuffle
+    // boundary Spark recomputes the full shingle projection (read +
+    // shingle + hash + sort) once per reference. Renames happen ABOVE the
+    // exchange, so all four subtrees canonicalize to the same Exchange and
+    // reuse it (same pattern as lshTopK's banded frame). As a bonus the
+    // payload joins' withSh side arrives already partitioned on its join
+    // keys (blockCols, key), so only the slim pairs side re-shuffles.
+    // __n/__plen are derived ABOVE the exchange so every consumer prunes to
+    // the identical (blockCols, __key, __sh) set below it — a consumer that
+    // pruned differently would make the subtrees non-identical and kill the
+    // reuse (pinned in PlanSpec)
     val withSh = withSets
+      .repartition((blockCols.map(col) :+ col("__key")): _*)
       .withColumn("__n", size(col("__sh")))
       .withColumn("__plen",
         (col("__n") - ceil(col("__n") * threshold) + 1).cast("int"))
