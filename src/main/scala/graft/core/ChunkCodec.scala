@@ -78,7 +78,9 @@ object ChunkCodec {
     out
   }
 
-  def concat(parts: Seq[ColVec]): ColVec = parts.head match {
+  def concat(parts: Seq[ColVec]): ColVec = if (parts.lengthCompare(1) == 0)
+    parts.head // single page (every non-content-sized column): no recopy
+  else parts.head match {
     case _: BoolVec =>
       val as = parts.map(_.asInstanceOf[BoolVec].values)
       BoolVec(concatPrim(as, new Array[Boolean](as.map(_.length).sum)))

@@ -120,8 +120,14 @@ final class DeltaBinaryPackedEncoder(int32: Boolean) {
 
 object DeltaBinaryPackedDecoder {
   /** Decode a full stream produced by [[DeltaBinaryPackedEncoder]]. */
-  def decode(buf: Array[Byte], int32: Boolean): Array[Long] = {
-    val r = new BitReader(buf)
+  def decode(buf: Array[Byte], int32: Boolean): Array[Long] =
+    decode(buf, 0, int32)
+
+  /** In-place variant reading from `off` — callers with an embedded stream
+    * (e.g. the FSST length stream) must not copy the whole tail just to
+    * hand this decoder a zero-based array. */
+  def decode(buf: Array[Byte], off: Int, int32: Boolean): Array[Long] = {
+    val r = new BitReader(buf, off, buf.length)
     val blockSize = r.getVlq().toInt
     val numMiniBlocks = r.getVlq().toInt
     val total = r.getVlq().toInt

@@ -571,9 +571,7 @@ object FsstCodec {
     }
     val nValues = r.getVlq().toInt
     // decode the length stream, then slice the compressed bytes
-    val lensStart = r.position
-    val lens = DeltaBinaryPackedDecoder
-      .decode(java.util.Arrays.copyOfRange(buf, lensStart, buf.length), int32 = true)
+    val lens = DeltaBinaryPackedDecoder.decode(buf, r.position, int32 = true)
     // advance the reader past the length stream
     skipDeltaStream(r)
     val symLens = new Array[Int](nSyms)
