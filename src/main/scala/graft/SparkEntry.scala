@@ -716,8 +716,12 @@ object SparkEntry {
       // DuckDB oracle replays the same union, so true_pairs is a real,
       // independently recomputed value
       val base = embeddings(s, dir)
+      // planted ids offset past max(vec_id), NOT a fixed constant: a fixed
+      // +100000 collides with real ids once the table outgrows 100k rows,
+      // breaking the keyA<keyB pair identity in both truth and oracle
+      val off = base.agg(max(col("vec_id"))).head().getLong(0) + 1L
       val emb = base.unionByName(base.orderBy("vec_id").limit(5)
-        .withColumn("vec_id", col("vec_id") + 100000L))
+        .withColumn("vec_id", col("vec_id") + lit(off)))
       val found = Dedup.embeddingNearDups(emb, "vec_id", "embedding",
         threshold = 0.9, planes = 8).select("keyA", "keyB").cache()
       // ground truth: broadcast brute-force kernel (bit-identical
@@ -982,7 +986,8 @@ object SparkEntry {
       // with exact cosine); lsh_missed pinned from the deterministic
       // hash-seeded bucketing
       ("WITH all_v AS (SELECT vec_id, embedding FROM embeddings " +
-        "UNION ALL SELECT vec_id + 100000, embedding FROM " +
+        "UNION ALL SELECT vec_id + (SELECT max(vec_id) + 1 FROM embeddings), " +
+        "embedding FROM " +
         "(SELECT vec_id, embedding FROM embeddings ORDER BY vec_id LIMIT 5)), " +
         "p AS (SELECT a.vec_id AS ka, b.vec_id AS kb, " +
         "list_cosine_similarity(a.embedding, b.embedding) AS c " +

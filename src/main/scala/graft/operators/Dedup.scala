@@ -16,8 +16,10 @@ import graft.functions.TextOps
   * candidate-dedup exchange moves O(pairs * 16 bytes), not
   * O(pairs * payload). Every bucket join is bounded by [[DefaultMaxBucket]]:
   * a degenerate bucket (millions of empty/boilerplate docs sharing a
-  * signature) is truncated to its `maxBucket` smallest keys instead of going
-  * quadratic; [[cappedBucketCount]] surfaces how many buckets were cut.
+  * signature) self-joins only among its `maxBucket` smallest keys, and all
+  * further members pair against the bucket's anchor (linear, not quadratic —
+  * see [[candidatePairs]]); [[cappedBucketCount]] surfaces how many buckets
+  * exceeded the bound.
   */
 object Dedup {
 
@@ -47,6 +49,50 @@ object Dedup {
       maxBucket: Int): Long =
     banded.groupBy(bucketCols.map(col): _*).agg(count(lit(1)).as("__n"))
       .where(col("__n") > maxBucket).count()
+
+  /** Deduplicated candidate key pairs (keyA < keyB) from a bucket self-join,
+    * bounded per bucket: the `maxBucket` smallest keys self-join in full
+    * (≤ maxBucket² pairs — one task's worth), and every member PAST the cap
+    * still pairs with the bucket's smallest key (the anchor) at linear cost.
+    * Without the anchor leg, a degenerate bucket (thousands of identical
+    * boilerplate docs — exactly where duplicates concentrate) would have its
+    * overflow members silently dropped from ALL candidates; with it, every
+    * overflow member reaches the downstream exact verify against a doc that
+    * shares its bucket, so keep-first dedup still collapses identical
+    * floods. Pairs between two overflow members are still skipped (that is
+    * the quadratic part) — [[cappedBucketCount]] on the same banded frame
+    * reports how many buckets took that recall haircut.
+    *
+    * Plan shape: all four references (head a/b, anchor, overflow) filter on
+    * the rank column of one identical Window-over-Exchange subtree, so the
+    * bucket shuffle is planned once and reused (pinned in PlanSpec); the
+    * joins' equi-keys equal the window partition keys, adding no exchange.
+    * Only the slim (keyA, keyB) union re-shuffles for the dedup. */
+  private[operators] def candidatePairs(banded: DataFrame,
+      bucketCols: Seq[String], keyCol: String, maxBucket: Int): DataFrame = {
+    val bc = bucketCols.map(col)
+    val pairs =
+      if (maxBucket <= 0) {
+        val a = banded.select((bc :+ col(keyCol).as("keyA")): _*)
+        val b = banded.select((bc :+ col(keyCol).as("keyB")): _*)
+        a.join(b, bucketCols).where(col("keyA") < col("keyB"))
+      } else {
+        val w = Window.partitionBy(bc: _*).orderBy(col(keyCol))
+        val ranked = banded.withColumn("__bn", row_number().over(w))
+        val a = ranked.select((bc :+ col("__bn").as("__bnA") :+
+          col(keyCol).as("keyA")): _*)
+        val b = ranked.select((bc :+ col("__bn").as("__bnB") :+
+          col(keyCol).as("keyB")): _*)
+        val head = a.where(col("__bnA") <= maxBucket)
+          .join(b.where(col("__bnB") <= maxBucket), bucketCols)
+          .where(col("keyA") < col("keyB"))
+        // anchor key is the bucket minimum, so keyA < keyB holds by rank
+        val anchored = a.where(col("__bnA") === 1)
+          .join(b.where(col("__bnB") > maxBucket), bucketCols)
+        head.select("keyA", "keyB").unionByName(anchored.select("keyA", "keyB"))
+      }
+    pairs.select("keyA", "keyB").dropDuplicates("keyA", "keyB")
+  }
 
   /** Exact dedup on a content fingerprint: keeps the first row (smallest
     * key) per fingerprint. One shuffle on the 64-bit fingerprint. */
@@ -100,14 +146,8 @@ object Dedup {
   def minhashLshFromSig(withSig: DataFrame,
       numHashes: Int, bands: Int, threshold: Double,
       maxBucket: Int = DefaultMaxBucket): DataFrame = {
-    val pairs = capBuckets(minhashBands(withSig, bands, numHashes / bands),
+    val pairs = candidatePairs(minhashBands(withSig, bands, numHashes / bands),
       Seq("band", "bucket"), "__key", maxBucket)
-      .transform { banded =>
-        val a = banded.select(col("band"), col("bucket"), col("__key").as("keyA"))
-        val b = banded.select(col("band"), col("bucket"), col("__key").as("keyB"))
-        a.join(b, Seq("band", "bucket")).where(col("keyA") < col("keyB"))
-          .select("keyA", "keyB").dropDuplicates("keyA", "keyB")
-      }
     pairs
       .join(withSig.select(col("__key").as("keyA"), col("minhash").as("sigA")), "keyA")
       .join(withSig.select(col("__key").as("keyB"), col("minhash").as("sigB")), "keyB")
@@ -158,10 +198,10 @@ object Dedup {
     * maxDist > 3). Still never quadratic: the self-join stays within
     * (segment-table, segment-value) buckets. */
   def simhashNearDups(df: DataFrame, keyCol: String, textCol: String,
-      maxDist: Int = 3): DataFrame =
+      maxDist: Int = 3, maxBucket: Int = DefaultMaxBucket): DataFrame =
     simhashPairs(
       simhash(df, textCol).select(col(keyCol).as("__key"), col("simhash")),
-      maxDist)
+      maxDist, maxBucket)
 
   /** Segment-blocking frame for [[simhashPairs]]: one (__key, tbl, seg) row
     * per maxDist+1 disjoint bit segment. Exposed so callers can measure
@@ -187,18 +227,15 @@ object Dedup {
   /** Blocked pair join over a precomputed (__key, simhash) frame — split
     * out so tests can plant hash values (e.g. top-bit flips) directly.
     * Segments = maxDist + 1, so by pigeonhole recall is FULL at the
-    * requested distance AS LONG AS no segment bucket is truncated: the cap
-    * is a scale guard, and a capped bucket means possible misses — check
+    * requested distance AS LONG AS no segment bucket exceeds the cap: past
+    * it, overflow members still pair with the bucket anchor (so identical
+    * floods dedup) but overflow↔overflow pairs can be missed — check
     * [[cappedBucketCount]] on [[simhashBands]] (the q_simhash oracle pins
     * it at zero) or pass maxBucket <= 0 for unconditional exactness. */
   private[graft] def simhashPairs(withSim: DataFrame, maxDist: Int,
       maxBucket: Int = DefaultMaxBucket): DataFrame = {
-    val banded = capBuckets(simhashBands(withSim, maxDist),
+    val pairs = candidatePairs(simhashBands(withSim, maxDist),
       Seq("tbl", "seg"), "__key", maxBucket)
-    val a = banded.select(col("tbl"), col("seg"), col("__key").as("keyA"))
-    val b = banded.select(col("tbl"), col("seg"), col("__key").as("keyB"))
-    val pairs = a.join(b, Seq("tbl", "seg")).where(col("keyA") < col("keyB"))
-      .select("keyA", "keyB").dropDuplicates("keyA", "keyB")
     pairs
       .join(withSim.select(col("__key").as("keyA"), col("simhash").as("simA")), "keyA")
       .join(withSim.select(col("__key").as("keyB"), col("simhash").as("simB")), "keyB")
@@ -289,14 +326,10 @@ object Dedup {
   def embeddingNearDups(df: DataFrame, keyCol: String, vecCol: String,
       threshold: Double = 0.95, planes: Int = 12,
       maxBucket: Int = DefaultMaxBucket): DataFrame = {
-    val bucketed = capBuckets(
+    val pairs = candidatePairs(
       Similarity.cosineLshBuckets(df, vecCol, planes)
         .select(col(keyCol).as("__key"), col("lshBucket")),
       Seq("lshBucket"), "__key", maxBucket)
-    val a = bucketed.select(col("lshBucket"), col("__key").as("keyA"))
-    val b = bucketed.select(col("lshBucket"), col("__key").as("keyB"))
-    val pairs = a.join(b, Seq("lshBucket")).where(col("keyA") < col("keyB"))
-      .select("keyA", "keyB").dropDuplicates("keyA", "keyB")
     val unit = df.withColumn("__norm", Similarity.norm(col(vecCol)))
       .select(col(keyCol).as("__key"),
         transform(col(vecCol), x =>

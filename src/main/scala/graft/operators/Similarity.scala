@@ -231,10 +231,16 @@ object Similarity {
       nPartitions: Int = 32): DataFrame = {
     val spark = df.sparkSession
     val keyField = df.schema(keyCol)
+    // persisted for the iterative phase: the seed sample, EVERY Lloyd pass,
+    // and the final assignment are separate jobs over this frame — uncached,
+    // each would re-run the scan + hash shuffle + per-partition sort
+    // (iters + 2 full recomputes of the dominant exchange). Unpersisted
+    // below once the assignment is materialized.
     val src = df.select(col(keyCol).as("__key"),
         col(vecCol).cast("array<double>").as("__vec"))
       .repartition(nPartitions, col("__key"))
       .sortWithinPartitions("__key")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
     // deterministic seed sample: smallest nLists keys by hash
     var centroids: Array[Array[Double]] = src
@@ -294,6 +300,12 @@ object Similarity {
       StructField("__unit", ArrayType(DoubleType, containsNull = false), nullable = false),
       StructField("__cell", IntegerType, nullable = false),
       StructField("__probes", ArrayType(IntegerType, containsNull = false), nullable = false)))
+    // materialized ONCE, eagerly: the result plan references `assigned`
+    // twice (corpus side + probe-exploded query side), and a lazy frame
+    // would run the whole scan→shuffle→sort→assign chain once per
+    // reference. localCheckpoint (not persist) so the blocks are cleaned
+    // by the ContextCleaner when the frame is GC'd instead of lingering
+    // in the cache manager after the caller is done.
     val assigned = src.mapPartitions { it =>
       val cs = bcF.value
       it.map { r =>
@@ -308,7 +320,8 @@ object Similarity {
         val unit = if (nrm > 0) v.map(_ / nrm) else new Array[Double](v.length)
         Row(key, unit.toSeq, cell, probes.toSeq)
       }
-    }(Encoders.row(assignedSchema))
+    }(Encoders.row(assignedSchema)).localCheckpoint(true)
+    src.unpersist(false)
     val corpus = assigned.select(col("__cell"), col("__key").as("neighbor"),
       col("__unit").as("unitB"))
     val queries = assigned.select(col("__key").as("query"),

@@ -679,7 +679,14 @@ final class GraftScan(dir: String, schema: StructType,
       // an in-flight/zero-byte/corrupt sample file must degrade the
       // ESTIMATE (skip it), not fail query planning — stats here are
       // advisory, and the pre-sampling fallback never did file I/O at all
-      val sample = files.take(64)
+      // EVENLY-SPACED sample, not a prefix: listings are name-sorted, so
+      // the first 64 files are typically one Hive partition — if that
+      // partition happens to hold incompressible data its ratio ~1 would
+      // under-estimate the whole table and flip Catalyst into broadcasting
+      // something that explodes in memory. Striding the listing samples
+      // every partition range.
+      val n = files.length
+      val sample = Array.tabulate(64)(i => files((i.toLong * n / 64).toInt))
       val (sUnc, sDisk) = sample.foldLeft((0L, 0L)) {
         case ((u, d), (f, _, sz)) =>
           scala.util.Try(ParquetFileReader.readFooterOnly(f)) match {
@@ -688,11 +695,15 @@ final class GraftScan(dir: String, schema: StructType,
             case scala.util.Failure(_) => (u, d)
           }
       }
-      val ratio = if (sDisk > 0) sUnc.toDouble / sDisk else 1.0
-      val b = math.max(onDisk, (onDisk * ratio).toLong)
       new Statistics {
         override def sizeInBytes(): java.util.OptionalLong =
-          java.util.OptionalLong.of(b)
+          // no readable sample (e.g. the table is mid-write): report NO
+          // estimate rather than a ratio-1.0 guess — Spark then falls back
+          // to defaultSizeInBytes, which never triggers a broadcast
+          if (sDisk > 0)
+            java.util.OptionalLong.of(
+              math.max(onDisk, (onDisk * (sUnc.toDouble / sDisk)).toLong))
+          else java.util.OptionalLong.empty()
         override def numRows(): java.util.OptionalLong =
           java.util.OptionalLong.empty()
       }

@@ -430,10 +430,11 @@ object ParquetFileReader {
     val cm = col.meta
     // same density guard as readTriplets: byte-derived bound for PLAIN-ish
     // pages, absolute 16M-value ceiling for legitimately-denser RLE/delta.
-    // totalUncompressedSize is a FOOTER field — hostile values must fail
-    // here, before they size any allocation or reach a .toInt
-    require(cm.totalUncompressedSize >= 0 &&
-      cm.totalUncompressedSize <= Int.MaxValue.toLong,
+    // totalUncompressedSize is a FOOTER field — it only ever feeds clamped
+    // capacity hints and the density guard below (both in Long arithmetic),
+    // so a large-but-honest value (>2 GB chunk from a big-row-group writer)
+    // must still read; only a negative claim is rejected outright.
+    require(cm.totalUncompressedSize >= 0,
       s"chunk claims ${cm.totalUncompressedSize} uncompressed bytes")
     require(cm.numValues >= 0 && cm.numValues <= Int.MaxValue.toLong &&
       (cm.numValues <=

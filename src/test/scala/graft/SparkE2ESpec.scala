@@ -1384,9 +1384,16 @@ class SparkE2ESpec extends AnyFunSuite with BeforeAndAfterAll {
       .toDF("doc_id", "text")
     val pairs = Dedup.minhashLsh(degenerate, "doc_id", "text",
       numHashes = 16, bands = 4, threshold = 0.5, maxBucket = 64)
-    // capped: at most 64*63/2 distinct pairs (the 64 smallest keys pair up)
+    // capped: the 64 smallest keys pair in full (64*63/2) and every one of
+    // the 2936 overflow members still pairs with the anchor (doc 0) — so
+    // keep-first dedup removes ALL 2999 duplicates despite the cap, at
+    // linear (not quadratic) candidate cost
     val got = pairs.count()
-    assert(got == 64L * 63 / 2, s"expected capped pair count, got $got")
+    assert(got == 64L * 63 / 2 + (n - 64),
+      s"expected capped+anchored pair count, got $got")
+    val coveredDocs = pairs.select(col("keyB")).distinct().count()
+    assert(coveredDocs == n - 1,
+      s"every non-anchor doc must appear as a keyB, got $coveredDocs")
     // the cap is observable: every band bucket exceeded the bound
     val sig = Dedup.minhashSignature(degenerate, "text", 16)
       .select(col("doc_id").as("__key"), col("minhash"))
