@@ -1401,10 +1401,26 @@ class SparkE2ESpec extends AnyFunSuite with BeforeAndAfterAll {
       Dedup.minhashBands(sig, bands = 4, rowsPerBand = 4),
       Seq("band", "bucket"), 64)
     assert(capped == 4, s"expected 4 capped buckets, got $capped")
-    // simhash path: same degenerate corpus, same bound
+    // simhash path: same degenerate corpus, tight cap — identical docs all
+    // land in one (tbl, seg) bucket per segment, and the anchor leg must
+    // still link every overflow doc so keep-first dedup removes all of them
     val sPairs = Dedup.simhashNearDups(degenerate.limit(500), "doc_id",
-      "text", maxDist = 2)
+      "text", maxDist = 2, maxBucket = 32).cache()
     assert(sPairs.count() > 0)
+    val sCovered = sPairs.select(col("keyB")).distinct().count()
+    assert(sCovered == 499,
+      s"every non-anchor doc must appear as a keyB, got $sCovered")
+    sPairs.unpersist()
+    // embedding path: 400 identical vectors, one bucket, cap 16 — anchor
+    // coverage must again reach every overflow key
+    val sameVec = (0 until 400).map(i => (i.toLong, Seq.fill(8)(0.5)))
+      .toDF("vec_id", "embedding")
+    val ePairs = Dedup.embeddingNearDups(sameVec, "vec_id", "embedding",
+      threshold = 0.9, planes = 6, maxBucket = 16).cache()
+    val eCovered = ePairs.select(col("keyB")).distinct().count()
+    assert(eCovered == 399,
+      s"every non-anchor vec must appear as a keyB, got $eCovered")
+    ePairs.unpersist()
   }
 
   test("lshTopK cap bounds candidates but never drops a query") {
