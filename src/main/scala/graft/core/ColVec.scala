@@ -73,14 +73,16 @@ final case class BytesVec(data: Array[Byte], offsets: Array[Int]) extends ColVec
   * the multi-page chunk decode path writes each page's values straight in
   * here instead of building a per-page vector and paying a full-arena
   * `concat` copy at the end (on a 256-page string chunk that copy is a
-  * second pass over every value byte). `dataCap` is a hint (the chunk's
-  * uncompressed size bounds pure-PLAIN output exactly; dictionary-expanded
-  * output can exceed it and grows by doubling). The finished vector may
-  * alias an oversized `data` array — BytesVec length/offsets semantics
-  * never look past `offsets(length)`. */
-final class BytesAccum(dataCap: Int, maxValues: Int) {
+  * second pass over every value byte). BOTH sizes are hints only (the
+  * chunk's uncompressed size bounds pure-PLAIN output exactly;
+  * dictionary-expanded output can exceed it; both arrays grow by
+  * doubling) — so a hostile footer's claimed counts never translate into
+  * an upfront allocation bigger than the values that actually decode.
+  * The finished vector may alias an oversized `data` array — BytesVec
+  * length/offsets semantics never look past `offsets(length)`. */
+final class BytesAccum(dataCap: Int, valuesHint: Int) {
   private var data = new Array[Byte](math.max(dataCap, 64))
-  private val offsets = new Array[Int](maxValues + 1)
+  private var offsets = new Array[Int](math.max(valuesHint, 15) + 1)
   private var count = 0
   private var pos = 0
 
@@ -92,8 +94,17 @@ final class BytesAccum(dataCap: Int, maxValues: Int) {
     }
     data
   }
+  /** Grow `offsets` so `extra` more commits plus the toVec sentinel fit. */
+  @inline private def ensureVals(extra: Int): Unit = {
+    if (count + extra >= offsets.length) {
+      var cap = offsets.length
+      while (cap <= count + extra) cap = cap * 2
+      offsets = java.util.Arrays.copyOf(offsets, cap)
+    }
+  }
   /** Record one value already written at [pos, pos+len). */
   @inline def commit(len: Int): Unit = {
+    ensureVals(1)
     offsets(count) = pos
     count += 1
     pos += len
@@ -102,6 +113,7 @@ final class BytesAccum(dataCap: Int, maxValues: Int) {
   def append(v: BytesVec): Unit = {
     val total = v.totalBytes
     ensure(total)
+    ensureVals(v.length)
     System.arraycopy(v.data, v.start(0), data, pos, total)
     val base = pos - v.offsets(0)
     var i = 0

@@ -61,13 +61,17 @@ object Similarity {
     val spark = df.sparkSession
     val src = df.select(col(keyCol).cast("long").as("id"),
       col(vecCol).cast("array<double>").as("v"))
-    val nRows = src.count()
-    require(nRows <= maxCorpusRows,
-      s"bruteForceTopK collects the corpus to the driver: $nRows rows > " +
-        s"maxCorpusRows=$maxCorpusRows. Use Similarity.lshTopK or " +
+    // one pass: collect at most maxCorpusRows+1 rows — an overflow row
+    // proves the corpus is too big without ever scanning the plan twice
+    // (a count() guard would re-evaluate the full upstream per call)
+    val lim = math.min(maxCorpusRows, (Int.MaxValue - 1).toLong).toInt
+    val rows = src.limit(lim + 1).collect()
+    require(rows.length <= maxCorpusRows,
+      s"bruteForceTopK collects the corpus to the driver: more than " +
+        s"maxCorpusRows=$maxCorpusRows rows. Use Similarity.lshTopK or " +
         "Similarity.ivfTopK for corpora that don't fit one machine.")
     // corpus side: raw doubles + precomputed L2 norms
-    val corpus: Array[(Long, Array[Double], Double)] = src.collect().map { r =>
+    val corpus: Array[(Long, Array[Double], Double)] = rows.map { r =>
       val id = r.getLong(0)
       val v = r.getSeq[Double](1).toArray
       var s = 0.0
@@ -145,12 +149,14 @@ object Similarity {
     val spark = df.sparkSession
     val src = df.select(col(keyCol).cast("long").as("id"),
       col(vecCol).cast("array<double>").as("v"))
-    val nRows = src.count()
-    require(nRows <= maxCorpusRows,
-      s"bruteForceNearDups collects the corpus to the driver: $nRows rows > " +
-        s"maxCorpusRows=$maxCorpusRows. Use Dedup.embeddingNearDups for " +
+    // same single-pass overflow guard as bruteForceTopK
+    val lim = math.min(maxCorpusRows, (Int.MaxValue - 1).toLong).toInt
+    val rows = src.limit(lim + 1).collect()
+    require(rows.length <= maxCorpusRows,
+      s"bruteForceNearDups collects the corpus to the driver: more than " +
+        s"maxCorpusRows=$maxCorpusRows rows. Use Dedup.embeddingNearDups for " +
         "corpora that don't fit one machine.")
-    val corpus: Array[(Long, Array[Double])] = src.collect().map { r =>
+    val corpus: Array[(Long, Array[Double])] = rows.map { r =>
       val v = r.getSeq[Double](1).toArray
       var s = 0.0
       var i = 0

@@ -159,8 +159,13 @@ object ParquetFileReader {
     // allocation a hostile claim can force at ~128 MB, and real chunks that
     // dense at bigger counts are outside what this materializing reader
     // targets (row groups are 64Ki rows from our writer, <~1M elsewhere).
+    // totalUncompressedSize is itself a FOOTER claim, so it enters the
+    // bound only clamped to a plausible block-codec ratio (256x) of the
+    // bytes actually present — otherwise one forged field re-opens the
+    // huge-claim hole this guard exists to close.
     require(cm.numValues >= 0 && (cm.numValues <=
-      8L * math.max(bytes.length.toLong, cm.totalUncompressedSize) ||
+      8L * math.max(bytes.length.toLong,
+        math.min(cm.totalUncompressedSize, 256L * bytes.length)) ||
       cm.numValues <= (1L << 24)),
       s"chunk claims ${cm.numValues} values in ${bytes.length} bytes " +
         s"(uncompressed ${cm.totalUncompressedSize})")
@@ -429,16 +434,19 @@ object ParquetFileReader {
     val leaf = LeafColumn(Seq(col.name), col.typ, -1, -1, col.maxDef, 0, col.meta)
     val cm = col.meta
     // same density guard as readTriplets: byte-derived bound for PLAIN-ish
-    // pages, absolute 16M-value ceiling for legitimately-denser RLE/delta.
-    // totalUncompressedSize is a FOOTER field — it only ever feeds clamped
-    // capacity hints and the density guard below (both in Long arithmetic),
-    // so a large-but-honest value (>2 GB chunk from a big-row-group writer)
-    // must still read; only a negative claim is rejected outright.
+    // pages, absolute 16M-value ceiling for legitimately-denser RLE/delta,
+    // and the claimed uncompressed size clamped to a plausible codec ratio
+    // of the bytes actually present before it widens the bound (see
+    // readTriplets). numValues stays strictly under Int.MaxValue so the
+    // +1 sentinel in offset arrays can never overflow; a large-but-honest
+    // totalUncompressedSize (>2 GB chunk from a big-row-group writer) must
+    // still read — only a negative claim is rejected outright.
     require(cm.totalUncompressedSize >= 0,
       s"chunk claims ${cm.totalUncompressedSize} uncompressed bytes")
-    require(cm.numValues >= 0 && cm.numValues <= Int.MaxValue.toLong &&
+    require(cm.numValues >= 0 && cm.numValues <= (Int.MaxValue - 16).toLong &&
       (cm.numValues <=
-        8L * math.max(bytes.length.toLong, cm.totalUncompressedSize) ||
+        8L * math.max(bytes.length.toLong,
+          math.min(cm.totalUncompressedSize, 256L * bytes.length)) ||
         cm.numValues <= (1L << 24)),
       s"chunk claims ${cm.numValues} values in ${bytes.length} bytes")
     var off =
@@ -451,15 +459,16 @@ object ParquetFileReader {
     // byte-array chunks decode into ONE shared arena across pages (single
     // copy per value) instead of per-page vectors + a whole-arena concat —
     // on a multi-page string chunk the concat alone re-copies every byte.
-    // The footer size is only a capacity HINT (the arena doubles on
-    // demand), so clamp it to a sane multiple of the bytes actually read:
-    // a crafted footer must not force a ~2 GB upfront allocation
+    // The footer sizes are only capacity HINTS (both accumulator arrays
+    // double on demand), so clamp them to sane multiples of the bytes
+    // actually read: a crafted footer must not force a ~2 GB upfront
+    // allocation of either the data arena or the offsets array
     val acc: BytesAccum =
       if (col.typ == PqType.ByteArray)
         new BytesAccum(
           math.min(math.min(cm.totalUncompressedSize,
             64L * bytes.length + 64), (Int.MaxValue - 16).toLong).toInt,
-          cm.numValues.toInt)
+          math.min(cm.numValues, 1L << 20).toInt)
       else null
     val defParts = if (col.maxDef > 0) ArrayBuffer.empty[Array[Int]] else null
     var remaining = cm.numValues

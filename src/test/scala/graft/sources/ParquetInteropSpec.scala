@@ -997,6 +997,50 @@ class ParquetInteropSpec extends AnyFunSuite {
 
   private def readFooterOf(bytes: Array[Byte]) = ParquetFileReader.readFooter(bytes)
 
+  /** Targeted hostile-footer claims the random fuzz sweep is unlikely to
+    * construct: a KB-sized file whose footer asserts hundreds of millions
+    * of values backed by a forged multi-TB totalUncompressedSize. Both
+    * typed and boxed chunk readers must reject the CLAIM with a clean
+    * require (before any claim-sized allocation), and a claim at the Int
+    * boundary must not surface as NegativeArraySizeException. */
+  test("forged footer counts fail cleanly in both chunk readers") {
+    val tmp = java.nio.file.Files.createTempDirectory("pqforge").toString
+    val path = s"$tmp/seed.parquet"
+    import org.apache.spark.sql.types._
+    val schema = StructType(Seq(
+      StructField("id", LongType, nullable = false),
+      StructField("name", StringType)))
+    val rows = (0 until 200).map(i =>
+      org.apache.spark.sql.Row(i.toLong, s"name-${i % 7}"))
+    ParquetFileWriter.writeFile(path, schema, rows.iterator,
+      rowGroupRows = 200, codec = PqCodec.Uncompressed)
+    val bytes = java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(path))
+    val meta = readFooterOf(bytes)
+    val forgedCounts = Seq(
+      // forged uncompressed size widens the density bound only up to a
+      // plausible codec ratio of the bytes present — 500M values from a
+      // KB file must fail the guard, not allocate a 2 GB offsets array
+      (500L * 1000 * 1000, 1L << 40),
+      // Int-boundary claim: must be a clean require, never an overflowed
+      // `new Array[Int](numValues + 1)` NegativeArraySizeException
+      (Int.MaxValue.toLong, Int.MaxValue.toLong * 8))
+    for ((nVals, unc) <- forgedCounts) {
+      ParquetFileReader.flatColumns(meta, 0).foreach { c =>
+        val forged = c.copy(meta =
+          c.meta.copy(numValues = nVals, totalUncompressedSize = unc))
+        val e1 = intercept[IllegalArgumentException](
+          ParquetFileReader.readColumnVec(bytes, forged))
+        assert(e1.getMessage.contains("claims"))
+        val e2 = intercept[IllegalArgumentException](
+          ParquetFileReader.readColumn(bytes, forged))
+        assert(e2.getMessage.contains("claims"))
+      }
+    }
+    // honest footers still read after the guard change
+    val (names, cols) = ParquetFileReader.readFile(path)
+    assert(names == Seq("id", "name") && cols(0).length == 200)
+  }
+
   /** Fuzz sweep in the spirit of the reference's AFL target
     * (fuzz/src/main.rs:14-37: arbitrary bytes → SerializedFileReader → full
     * row iteration). Every mutated/truncated input must either decode or
