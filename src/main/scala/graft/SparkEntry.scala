@@ -391,6 +391,86 @@ object SparkEntry {
           sum(col("doc_id")).as("sum_id"))
         .orderBy("lang")
     }),
+    "q_streaming_encode" -> ((s, dir) => {
+      // Structured Streaming encode sink, driver-proven: a documents slice
+      // becomes a file-stream source, runs through readStream ->
+      // foreachBatch -> EncodeJob (Trigger.AvailableNow), is then STARTED
+      // AGAIN from the same checkpoint (exactly-once: the second run must
+      // add no batches), and the decoded chunks aggregate to numbers the
+      // oracle recomputes from the raw table. Equality proves the
+      // streaming path loses/duplicates nothing across a restart.
+      import s.implicits._
+      val slice = docs(s, dir).where(col("doc_id") % 7 === 0)
+        .select("doc_id", "lang", "source", "text")
+      val srcDir = java.nio.file.Files.createTempDirectory("graft-stsrc").toString
+      slice.repartition(2).write.mode("overwrite").parquet(srcDir)
+      val out = java.nio.file.Files.createTempDirectory("graft-stenc").toString
+      def run(): Unit = {
+        val q = graft.streaming.StreamingEncode.start(
+          s.readStream.schema(slice.schema).parquet(srcDir), out,
+          numPartitions = 4, partitionKeys = Seq("lang"),
+          sortKeys = Seq("doc_id"))
+        q.awaitTermination()
+      }
+      run(); run() // second start replays the checkpoint: no new batches
+      val chunks = s.read.parquet(s"$out/chunks").as[graft.operators.ChunkRow]
+      DecodeJob.decode(chunks, slice.schema)
+        .agg(count(lit(1)).as("n_rows"),
+          countDistinct(col("doc_id")).as("n_docs"),
+          sum(length(col("text"))).as("chars"),
+          sum(col("doc_id")).as("sum_id"))
+    }),
+    "q_streaming_pqsink" -> ((s, dir) => {
+      // Streaming parquet-FILE sink, driver-proven: the same file-stream
+      // source lands as standard .parquet files (our writer) under
+      // batch=<id>/ dirs; SPARK'S OWN reader consumes the whole output
+      // (batch= parsed as a partition column) and the aggregate must match
+      // the oracle's recomputation from the raw table.
+      val slice = docs(s, dir).where(col("doc_id") % 7 === 0)
+        .select("doc_id", "lang", "text")
+      val srcDir = java.nio.file.Files.createTempDirectory("graft-spsrc").toString
+      slice.repartition(2).write.mode("overwrite").parquet(srcDir)
+      val out = java.nio.file.Files.createTempDirectory("graft-stpq").toString
+      val q = graft.streaming.StreamingEncode.startParquetSink(
+        s.readStream.schema(slice.schema).parquet(srcDir), out)
+      q.awaitTermination()
+      s.read.parquet(out)
+        .groupBy("lang").agg(count(lit(1)).as("cnt"),
+          sum(length(col("text"))).as("chars"),
+          sum(col("doc_id")).as("sum_id"))
+        .orderBy("lang")
+    }),
+    "q_cli_read" -> ((s, dir) => {
+      // the parquet-read CLI end to end (reference parquet-read.rs:48-90):
+      // a documents slice written as ONE real .parquet file by our writer,
+      // dumped by ChunkTool's text interface, re-parsed from the captured
+      // stdout, and aggregated — the oracle recomputes the same numbers
+      // from the raw table, so the CLI's row assembly and rendering are
+      // value-checked, not smoke-tested. Columns are atomic (no free text)
+      // so the tab-separated format parses unambiguously.
+      import s.implicits._
+      val slice = docs(s, dir).where(col("doc_id") % 11 === 0)
+        .select("doc_id", "lang", "n_chars")
+      val rows = slice.collect()
+      val tmp = java.nio.file.Files.createTempDirectory("graft-cli").toString
+      val path = s"$tmp/docs.parquet"
+      graft.sources.ParquetFileWriter.writeFile(path, slice.schema,
+        rows.iterator)
+      val baos = new java.io.ByteArrayOutputStream()
+      Console.withOut(new java.io.PrintStream(baos, true, "UTF-8")) {
+        ChunkTool.main(Array("parquet-read", path, (rows.length + 10).toString))
+      }
+      val lines = baos.toString("UTF-8").split("\n").filter(_.nonEmpty)
+      val hdr = lines.head.split("\t")
+      val (idI, lgI, ncI) = (hdr.indexOf("doc_id"), hdr.indexOf("lang"),
+        hdr.indexOf("n_chars"))
+      val parsed = lines.tail.map(_.split("\t", -1))
+      Seq((parsed.length.toLong,
+          parsed.map(_(idI).toLong).sum,
+          parsed.map(_(ncI).toLong).sum,
+          parsed.map(_(lgI)).distinct.length.toLong))
+        .toDF("n_rows", "sum_id", "sum_nc", "nd_lang")
+    }),
     "q_parquet_page_prune" -> ((s, dir) => {
       // Page-granular pruning surface: a single-file, single-row-group
       // table whose chunks span many ~1 MiB pages with per-page header
@@ -824,6 +904,12 @@ object SparkEntry {
       "SELECT lang, count(*) AS cnt, CAST(sum(doc_id) AS BIGINT) AS sum_id FROM documents WHERE doc_id % 97 = 0 GROUP BY lang ORDER BY lang",
     "q_parquet_resumable" ->
       "SELECT lang, count(*) AS cnt, CAST(sum(length(text)) AS BIGINT) AS chars, CAST(sum(doc_id) AS BIGINT) AS sum_id FROM documents GROUP BY lang ORDER BY lang",
+    "q_streaming_encode" ->
+      "SELECT count(*) AS n_rows, count(DISTINCT doc_id) AS n_docs, CAST(sum(length(text)) AS BIGINT) AS chars, CAST(sum(doc_id) AS BIGINT) AS sum_id FROM documents WHERE doc_id % 7 = 0",
+    "q_streaming_pqsink" ->
+      "SELECT lang, count(*) AS cnt, CAST(sum(length(text)) AS BIGINT) AS chars, CAST(sum(doc_id) AS BIGINT) AS sum_id FROM documents WHERE doc_id % 7 = 0 GROUP BY lang ORDER BY lang",
+    "q_cli_read" ->
+      "SELECT count(*) AS n_rows, CAST(sum(doc_id) AS BIGINT) AS sum_id, CAST(sum(n_chars) AS BIGINT) AS sum_nc, count(DISTINCT lang) AS nd_lang FROM documents WHERE doc_id % 11 = 0",
     "q_parquet_page_prune" ->
       "SELECT count(*) AS n_docs, CAST(sum(length(text)) AS BIGINT) AS text_chars, CAST(sum(doc_id) AS BIGINT) AS sum_id FROM documents WHERE doc_id BETWEEN 500 AND 1499",
     "q_parquet_sql_read" ->
