@@ -563,6 +563,24 @@ object SparkEntry {
         max(col("ts")).cast("timestamp_ntz").as("mx_ts"),
         countDistinct(col("event_type")).as("ntypes"))
     }),
+    "q_parquet_flba" -> ((s, dir) => {
+      // FIXED_LEN_BYTE_ARRAY writes (the writer's seventh physical type):
+      // p>18 decimals become FLBA leaves (two's-complement BE, fixed
+      // width) in OUR file, decoded by SPARK'S OWN reader for the
+      // aggregate. Decimal aggregation is exact; the final double cast is
+      // one deterministic conversion on both engines (q_rt_decimal idiom).
+      val in = lineitem(s, dir).select(col("l_orderkey"),
+        col("l_extendedprice").cast("decimal(25,4)").as("price"))
+      val out = java.nio.file.Files.createTempDirectory("graft-flbaq").toString
+      graft.sources.ParquetSink.write(in.repartition(4), out).count()
+      val back = s.read.parquet(out)
+      require(back.schema("price").dataType ==
+        org.apache.spark.sql.types.DecimalType(25, 4), "price must stay decimal(25,4)")
+      back.agg(count(lit(1)).as("n"),
+        sum(col("price")).cast("double").as("sum_price"),
+        max(col("price")).cast("double").as("max_price"),
+        sum(col("l_orderkey")).as("sum_k"))
+    }),
     "q_parquet_bloom_prune" -> ((s, dir) => {
       // Split-block bloom filters: the writer stamps an SBBF per row group
       // on doc_id; rows arrive UNSORTED so min/max stats can't prune, and
@@ -920,6 +938,11 @@ object SparkEntry {
       "SELECT count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS sum_chars, CAST(sum(doc_id) AS BIGINT) AS sum_id FROM documents WHERE doc_id IN (3, 777, 1500)",
     "q_parquet_int96" ->
       "SELECT count(*) AS n, min(ts) AS mn_ts, max(ts) AS mx_ts, count(DISTINCT event_type) AS ntypes FROM events",
+    "q_parquet_flba" ->
+      ("SELECT count(*) AS n, " +
+        "CAST(sum(CAST(l_extendedprice AS DECIMAL(25,4))) AS DOUBLE) AS sum_price, " +
+        "CAST(max(CAST(l_extendedprice AS DECIMAL(25,4))) AS DOUBLE) AS max_price, " +
+        "CAST(sum(l_orderkey) AS BIGINT) AS sum_k FROM lineitem"),
     "q_parquet_enc_auto" ->
       "SELECT lang, count(*) AS cnt, CAST(sum(length(text)) AS BIGINT) AS chars, CAST(sum(doc_id) AS BIGINT) AS sum_id FROM documents GROUP BY lang ORDER BY lang",
     "q_rt_nulls" ->
