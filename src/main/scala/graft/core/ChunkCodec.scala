@@ -547,21 +547,10 @@ object ChunkCodec {
     require(r.getAligned(1) == 4L, "not a map chunk")
     r.getAligned(1) // key physical type (the nested blobs self-describe)
     r.getAligned(1) // value physical type
-    val numRows = checkedCount(r.getVlq(), "row count")
-    val numSlots = checkedCount(r.getVlq(), "slot count")
-    def levels(width: Int, what: String): Array[Byte] = {
-      val len = checkedLen(r.getVlq(), r, what)
-      val bytes = r.getBytes(len)
-      val dec = new RleHybridDecoder(width, bytes, 0, bytes.length)
-      val tmp = new Array[Long](numSlots)
-      dec.get(tmp, 0, numSlots)
-      val out = new Array[Byte](numSlots)
-      var i = 0
-      while (i < numSlots) { out(i) = tmp(i).toByte; i += 1 }
-      out
-    }
-    val rep = levels(1, "rep bytes")
-    val defs = levels(2, "def bytes")
+    val numRows = checkedDense(r.getVlq(), blob.length, "row count")
+    val numSlots = checkedDense(r.getVlq(), blob.length, "slot count")
+    val rep = readLevels(r, numSlots, 1, "rep bytes")
+    val defs = readLevels(r, numSlots, 2, "def bytes")
     val kLen = checkedLen(r.getVlq(), r, "key blob")
     val kInner = decodeWithLevels(r.getBytes(kLen))
     require(kInner.defLevels == null, "map key chunk must be version 1")
@@ -578,21 +567,10 @@ object ChunkCodec {
     require(r.getAligned(1) == 3L, "not an array chunk")
     r.getAligned(1) // element physical type (the nested blob self-describes)
     r.getAligned(1) // element primary codec (informational)
-    val numRows = checkedCount(r.getVlq(), "row count")
-    val numSlots = checkedCount(r.getVlq(), "slot count")
-    def levels(width: Int, what: String): Array[Byte] = {
-      val len = checkedLen(r.getVlq(), r, what)
-      val bytes = r.getBytes(len)
-      val dec = new RleHybridDecoder(width, bytes, 0, bytes.length)
-      val tmp = new Array[Long](numSlots)
-      dec.get(tmp, 0, numSlots)
-      val out = new Array[Byte](numSlots)
-      var i = 0
-      while (i < numSlots) { out(i) = tmp(i).toByte; i += 1 }
-      out
-    }
-    val rep = levels(1, "rep bytes")
-    val defs = levels(2, "def bytes")
+    val numRows = checkedDense(r.getVlq(), blob.length, "row count")
+    val numSlots = checkedDense(r.getVlq(), blob.length, "slot count")
+    val rep = readLevels(r, numSlots, 1, "rep bytes")
+    val defs = readLevels(r, numSlots, 2, "def bytes")
     val innerLen = checkedLen(r.getVlq(), r, "element blob")
     val inner = decodeWithLevels(r.getBytes(innerLen))
     require(inner.defLevels == null, "array element chunk must be version 1")
@@ -622,7 +600,7 @@ object ChunkCodec {
     require(version == 1L || version == 2L, s"bad chunk version $version")
     val physicalType = r.getAligned(1).toInt
     r.getAligned(1) // primary codec (informational)
-    val numRows = checkedCount(r.getVlq(), "row count")
+    val numRows = checkedDense(r.getVlq(), blob.length, "row count")
     var defLevels: Array[Byte] = null
     var numValues = numRows
     if (version == 2L) {
@@ -643,17 +621,17 @@ object ChunkCodec {
     val hasDict = r.getAligned(1) == 1L
     var dict: ColVec = null
     if (hasDict) {
-      val entries = checkedCount(r.getVlq(), "dict entries")
+      val entries = checkedDense(r.getVlq(), blob.length, "dict entries")
       val len = checkedLen(r.getVlq(), r, "dict bytes")
       val bytes = r.getBytes(len)
       dict = PlainCodec.decode(physicalType, bytes, entries)
     }
-    val numPages = checkedCount(r.getVlq(), "page count")
+    val numPages = checkedDense(r.getVlq(), blob.length, "page count")
     val parts = new ArrayBuffer[ColVec](numPages)
     var p = 0
     while (p < numPages) {
       val codec = r.getAligned(1).toInt
-      val nv = checkedCount(r.getVlq(), "page values")
+      val nv = checkedDense(r.getVlq(), blob.length, "page values")
       val len = checkedLen(r.getVlq(), r, "page bytes")
       val bytes = r.getBytes(len)
       parts += decodePage(physicalType, codec, bytes, nv, dict)
@@ -671,9 +649,38 @@ object ChunkCodec {
     v.toInt
   }
 
+  /** Count that will drive an upfront allocation: bound it by the bytes
+    * actually present (same density rule as the parquet-side readers —
+    * ParquetFileIO readTriplets/readColumnVec). RLE/delta streams are
+    * legitimately denser than 8 values/byte (one run header can cover
+    * millions of values), so small claims pass on a 16M absolute ceiling
+    * instead (~128 MB transient worst case); a forged multi-GB claim in a
+    * tiny blob raises cleanly instead of OOM-ing the executor. */
+  @inline private def checkedDense(v: Long, bytesPresent: Int,
+      what: String): Int = {
+    require(v >= 0 && (v <= 8L * bytesPresent || v <= (1L << 24)),
+      s"corrupt chunk: $what = $v in $bytesPresent bytes")
+    v.toInt
+  }
+
   @inline private def checkedLen(v: Long, r: BitReader, what: String): Int = {
     require(v >= 0 && v <= r.bytesLeft, s"corrupt chunk: $what = $v > ${r.bytesLeft} left")
     v.toInt
+  }
+
+  /** One length-prefixed RLE-hybrid level stream → `numSlots` byte levels
+    * (shared by the array- and map-chunk readers). */
+  private def readLevels(r: BitReader, numSlots: Int, width: Int,
+      what: String): Array[Byte] = {
+    val len = checkedLen(r.getVlq(), r, what)
+    val bytes = r.getBytes(len)
+    val dec = new RleHybridDecoder(width, bytes, 0, bytes.length)
+    val tmp = new Array[Long](numSlots)
+    dec.get(tmp, 0, numSlots)
+    val out = new Array[Byte](numSlots)
+    var i = 0
+    while (i < numSlots) { out(i) = tmp(i).toByte; i += 1 }
+    out
   }
 
   private def emptyVec(physicalType: Int): ColVec = physicalType match {

@@ -56,6 +56,7 @@ object ChunkStats {
     var mx = Long.MinValue
     var capped = false
     var i = 0
+    var prev = 0L // carried across iterations — at(i) may convert float bits
     while (i < n) {
       val v = at(i)
       if (v < mn) mn = v
@@ -65,9 +66,10 @@ object ChunkStats {
         if (seen.size >= DistinctCap) capped = true
       }
       if (i > 0) {
-        if (v != at(i - 1)) runs += 1
-        if (v >= at(i - 1)) nondec += 1
+        if (v != prev) runs += 1
+        if (v >= prev) nondec += 1
       }
+      prev = v
       i += 1
     }
     ColumnStats(n, vec.rawSize, seen.size, capped, seen.size.toLong * width, runs,

@@ -126,14 +126,23 @@ object DeltaBinaryPackedDecoder {
   /** In-place variant reading from `off` — callers with an embedded stream
     * (e.g. the FSST length stream) must not copy the whole tail just to
     * hand this decoder a zero-based array. */
-  def decode(buf: Array[Byte], off: Int, int32: Boolean): Array[Long] = {
+  def decode(buf: Array[Byte], off: Int, int32: Boolean): Array[Long] =
+    decodeWithEnd(buf, off, int32)._1
+
+  /** THE delta-stream walker: decode plus the byte position just past the
+    * stream (byte-aligned). Every consumer of an embedded delta stream
+    * (DELTA_LENGTH_BYTE_ARRAY lengths, DELTA_BYTE_ARRAY prefix lengths)
+    * shares this single implementation of the block/miniblock grammar
+    * instead of re-walking with its own copy of the loop. */
+  def decodeWithEnd(buf: Array[Byte], off: Int,
+      int32: Boolean): (Array[Long], Int) = {
     val r = new BitReader(buf, off, buf.length)
     val blockSize = r.getVlq().toInt
     val numMiniBlocks = r.getVlq().toInt
     val total = r.getVlq().toInt
     val miniBlockSize = blockSize / numMiniBlocks
     val out = new Array[Long](total)
-    if (total == 0) { r.getZigZagVlq(); return out }
+    if (total == 0) { r.getZigZagVlq(); return (out, r.position) }
     var current = r.getZigZagVlq()
     out(0) = if (int32) current.toInt.toLong else current
     var produced = 1
@@ -159,7 +168,8 @@ object DeltaBinaryPackedDecoder {
         mb += 1
       }
     }
-    out
+    r.alignToByte()
+    (out, r.position)
   }
 }
 
@@ -183,49 +193,17 @@ object DeltaLengthByteArrayCodec {
     out
   }
 
-  /** Returns (values, bytesConsumed). */
+  /** Returns (values, bytesConsumed). The length stream is self-delimiting
+    * only via its value count, so the shared walker reports where the data
+    * section starts. */
   def decodeWithLength(buf: Array[Byte], off: Int): (BytesVec, Int) = {
-    // The length stream is self-delimiting only via its value count, so we
-    // re-walk it with a reader to find where the data section starts.
-    val r = new BitReader(buf, off, buf.length)
-    val blockSize = r.getVlq().toInt
-    val numMiniBlocks = r.getVlq().toInt
-    val total = r.getVlq().toInt
-    val miniBlockSize = blockSize / numMiniBlocks
-    val lens = new Array[Int](total)
-    var dataStart = off
-    if (total == 0) { r.getZigZagVlq(); dataStart = r.position }
-    else {
-      var current = r.getZigZagVlq().toInt
-      lens(0) = current
-      var produced = 1
-      val mbVals = new Array[Long](miniBlockSize)
-      while (produced < total) {
-        val minDelta = r.getZigZagVlq().toInt
-        val widths = new Array[Int](numMiniBlocks)
-        var i = 0
-        while (i < numMiniBlocks) { widths(i) = (r.getAligned(1) & 0xFF).toInt; i += 1 }
-        var mb = 0
-        while (mb < numMiniBlocks && produced < total) {
-          r.getBatch(mbVals, 0, miniBlockSize, widths(mb))
-          val take = math.min(miniBlockSize, total - produced)
-          var j = 0
-          while (j < take) {
-            current = current + minDelta + mbVals(j).toInt
-            lens(produced) = current
-            produced += 1
-            j += 1
-          }
-          mb += 1
-        }
-      }
-      r.alignToByte()
-      dataStart = r.position
-    }
+    val (lens, dataStart) =
+      DeltaBinaryPackedDecoder.decodeWithEnd(buf, off, int32 = true)
+    val total = lens.length
     val offsets = new Array[Int](total + 1)
     var acc = 0
     var i = 0
-    while (i < total) { offsets(i) = acc; acc += lens(i); i += 1 }
+    while (i < total) { offsets(i) = acc; acc += lens(i).toInt; i += 1 }
     offsets(total) = acc
     val data = java.util.Arrays.copyOfRange(buf, dataStart, dataStart + acc)
     (BytesVec(data, offsets), dataStart + acc - off)
@@ -304,30 +282,13 @@ object DeltaByteArrayCodec {
   }
 
   def decode(buf: Array[Byte]): BytesVec = {
-    val prefixStream = DeltaBinaryPackedDecoder.decode(buf, int32 = true)
-    // find where the prefix-length stream ends: re-walk with a reader
-    val r = new BitReader(buf)
-    val blockSize = r.getVlq().toInt
-    val numMiniBlocks = r.getVlq().toInt
-    val total = r.getVlq().toInt
-    r.getZigZagVlq()
-    val miniBlockSize = blockSize / numMiniBlocks
-    var produced = if (total == 0) 0 else 1
-    while (produced < total) {
-      r.getZigZagVlq()
-      val widths = new Array[Int](numMiniBlocks)
-      var i = 0
-      while (i < numMiniBlocks) { widths(i) = (r.getAligned(1) & 0xFF).toInt; i += 1 }
-      var mb = 0
-      while (mb < numMiniBlocks && produced < total) {
-        var j = 0
-        while (j < miniBlockSize) { r.getValue(widths(mb)); j += 1 }
-        produced += math.min(miniBlockSize, total - produced)
-        mb += 1
-      }
-    }
-    r.alignToByte()
-    val (suffixes, _) = DeltaLengthByteArrayCodec.decodeWithLength(buf, r.position)
+    // ONE pass over the prefix-length stream: the shared walker decodes
+    // and reports where the suffix section starts (the old code decoded
+    // the stream once and re-walked it a second time just for position)
+    val (prefixStream, suffixStart) =
+      DeltaBinaryPackedDecoder.decodeWithEnd(buf, 0, int32 = true)
+    val total = prefixStream.length
+    val (suffixes, _) = DeltaLengthByteArrayCodec.decodeWithLength(buf, suffixStart)
     // exact output arena: len(i) = prefix(i) + suffixLen(i); prev is a view
     // into the output arena itself, so reconstruction never copies twice
     val offsets = new Array[Int](total + 1)

@@ -26,6 +26,8 @@ trait GraftIO {
   def create(path: String): OutputStream
   def mkdirs(dir: String): Unit
   def delete(path: String): Unit
+  /** Atomic same-directory rename (commit protocol primitive). */
+  def rename(src: String, dst: String): Unit
   def length(path: String): Long
   /** Identity key for the process-wide footer cache: must change whenever
     * the file's bytes may have changed (size + mtime + creation identity
@@ -99,6 +101,11 @@ object LocalIO extends GraftIO {
   override def delete(path: String): Unit = {
     new java.io.File(path).delete(); ()
   }
+
+  override def rename(src: String, dst: String): Unit =
+    Files.move(Paths.get(src), Paths.get(dst),
+      java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
 
   override def length(path: String): Long = new java.io.File(path).length
 
@@ -214,6 +221,13 @@ object HadoopIO extends GraftIO {
 
   override def delete(path: String): Unit = {
     fs(path).delete(new Path(path), false); ()
+  }
+
+  override def rename(src: String, dst: String): Unit = {
+    val f = fs(src)
+    val d = new Path(dst)
+    f.delete(d, false) // HDFS rename fails onto an existing target
+    require(f.rename(new Path(src), d), s"rename $src -> $dst failed")
   }
 
   override def length(path: String): Long =

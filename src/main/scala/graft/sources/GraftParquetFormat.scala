@@ -92,7 +92,7 @@ object GraftParquetFormat {
             val i = n.indexOf('=')
             val kv =
               if (c.isDir && i > 0)
-                Some((n.take(i), java.net.URLDecoder.decode(n.drop(i + 1), "UTF-8")))
+                Some((n.take(i), PartitionPath.unescape(n.drop(i + 1))))
               else None
             walk(c, kv.fold(kvs)(_ :: kvs))
           }
@@ -187,8 +187,26 @@ final class GraftBatchWrite(dir: String, schema: StructType,
     new GraftWriterFactory(dir, schema, codec, pageVersion, rowGroupRows,
       bloomCols, encPolicy)
   }
-  override def commit(messages: Array[WriterCommitMessage]): Unit = ()
-  override def abort(messages: Array[WriterCommitMessage]): Unit = ()
+  // Task output is staged under a dot-prefixed name (invisible to every
+  // scan listing, ours and Spark's) and renamed to its final name only at
+  // task commit — Spark's commit coordinator guarantees a single winning
+  // attempt, so a lost executor or mid-write crash can leave only ignored
+  // `.…inprogress` garbage, never a duplicate or truncated `.parquet`.
+  override def commit(messages: Array[WriterCommitMessage]): Unit = {
+    // job-level sweep of staging leftovers from failed/zombie attempts
+    val io = GraftIO.forPath(dir)
+    io.list(dir).filter(e => !e.isDir && e.name.endsWith(".inprogress"))
+      .foreach(e => io.delete(e.path))
+  }
+  override def abort(messages: Array[WriterCommitMessage]): Unit = {
+    val io = GraftIO.forPath(dir)
+    messages.foreach {
+      case GraftCommit(p, _) => io.delete(p)
+      case _ => ()
+    }
+    io.list(dir).filter(e => !e.isDir && e.name.endsWith(".inprogress"))
+      .foreach(e => io.delete(e.path))
+  }
 }
 
 final class GraftWriterFactory(dir: String, schema: StructType, codec: Int,
@@ -197,28 +215,36 @@ final class GraftWriterFactory(dir: String, schema: StructType, codec: Int,
     encPolicy: Int = EncPolicy.Plain) extends DataWriterFactory {
   override def createWriter(partitionId: Int,
       taskId: Long): DataWriter[InternalRow] =
-    new GraftDataWriter(
-      f"$dir/part-$partitionId%05d-$taskId.parquet",
+    new GraftDataWriter(dir,
+      f"part-$partitionId%05d-$taskId.parquet",
       schema, codec, pageVersion, rowGroupRows, bloomCols, encPolicy)
 }
 
 final case class GraftCommit(path: String, rows: Long)
   extends WriterCommitMessage
 
-final class GraftDataWriter(path: String, schema: StructType, codec: Int,
+final class GraftDataWriter(dir: String, fileName: String,
+    schema: StructType, codec: Int,
     pageVersion: Int, rowGroupRows: Int,
     bloomCols: Set[String] = Set.empty,
     encPolicy: Int = EncPolicy.Plain) extends DataWriter[InternalRow] {
-  private val w = new ParquetFileWriter.IncrementalFileWriter(path, schema,
-    rowGroupRows, codec, pageVersion, bloomCols, encPolicy = encPolicy)
+  private val stagePath = s"$dir/.$fileName.inprogress"
+  private val finalPath = s"$dir/$fileName"
+  private val w = new ParquetFileWriter.IncrementalFileWriter(stagePath,
+    schema, rowGroupRows, codec, pageVersion, bloomCols,
+    encPolicy = encPolicy)
   // catalyst rows feed the writer directly — the builders copy every value
   // out inside add(), so Spark's row reuse is safe (no per-row external
   // conversion, which round 2 paid here)
   override def write(r: InternalRow): Unit = w.add(r)
-  override def commit(): WriterCommitMessage = GraftCommit(path, w.close())
+  override def commit(): WriterCommitMessage = {
+    val rows = w.close()
+    GraftIO.forPath(dir).rename(stagePath, finalPath)
+    GraftCommit(finalPath, rows)
+  }
   override def abort(): Unit = {
     try w.close() catch { case _: Throwable => () }
-    GraftIO.forPath(path).delete(path)
+    GraftIO.forPath(stagePath).delete(stagePath)
   }
   override def close(): Unit = ()
 }
@@ -618,11 +644,19 @@ final class GraftScan(dir: String, schema: StructType,
     * Past [[GraftScan.FooterPlanLimit]] files the driver skips the footer
     * reads (planning stays O(listing) on huge directories) and falls back
     * to per-file tasks with the same pruning done task-side. */
+  // ONE recursive listing per scan, shared by planInputPartitions and
+  // estimateStatistics — at million-file scale every extra walk is one
+  // RPC per directory on a remote filesystem. (A Scan instance is
+  // per-query, so this can never serve a stale listing across queries.)
+  private lazy val listingSized
+      : Seq[(String, Seq[(String, String)], Long)] =
+    GraftParquetFormat.listFilesPartitionedSized(dir)
+
   override def planInputPartitions(): Array[InputPartition] = {
     // Hive-style partition pruning first — the coarsest tier: a pushed
     // range on a partition column drops whole directories before any
     // footer is touched
-    val files = GraftParquetFormat.listFilesPartitioned(dir).filter {
+    val files = listingSized.map { case (p, kvs, _) => (p, kvs) }.filter {
       case (_, kvs) => kvs.forall { case (k, v) =>
         val longOk = rtRanges.get(k).forall { case (lo, hi) =>
           scala.util.Try(v.toLong).toOption.forall(x => x >= lo && x <= hi)
@@ -672,7 +706,7 @@ final class GraftScan(dir: String, schema: StructType,
     * several-fold and could flip Catalyst into broadcasting a table that
     * explodes in memory). */
   override def estimateStatistics(): Statistics = {
-    val files = GraftParquetFormat.listFilesPartitionedSized(dir)
+    val files = listingSized
     if (files.length > GraftScan.FooterPlanLimit) {
       val onDisk = files.map(_._3).sum
       // a directory this large is plausibly being written concurrently:

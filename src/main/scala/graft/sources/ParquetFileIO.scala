@@ -798,12 +798,14 @@ object ParquetFileReader {
   /** Row groups whose [min,max] byte stats intersect [lo,hi] (unsigned
     * lexicographic). A null `lo`/`hi` side is unbounded. Conservative with
     * truncated stats: stored min ≤ real min and stored max ≥ real max, so
-    * a surviving group can be a false positive but never a false miss. */
+    * a surviving group can be a false positive but never a false miss.
+    * Legacy-only stats (deprecated thrift fields 1/2, signed-compared by
+    * old writers) are ignored unless min == max — see PqStats. */
   def rowGroupsInRangeBytes(meta: PqFileMeta, colName: String,
       lo: Array[Byte], hi: Array[Byte]): Seq[Int] =
     meta.rowGroups.indices.filter { rg =>
       chunkFor(meta, rg, colName).flatMap(_.stats) match {
-        case Some(st) if st.min.nonEmpty =>
+        case Some(st) if st.min.nonEmpty && st.byteOrderTrusted =>
           (hi == null || MinMax.compareBytes(st.min, hi) <= 0) &&
             (lo == null || st.max.isEmpty ||
               MinMax.compareBytes(st.max, lo) >= 0)
@@ -876,9 +878,10 @@ object ParquetFileReader {
 
   /** Byte-stats intersection with [lo, hi] (unsigned lexicographic; null
     * side unbounded). Conservative under stat truncation, like
-    * [[rowGroupsInRangeBytes]]. */
+    * [[rowGroupsInRangeBytes]]; legacy-only stats never prune unless
+    * min == max (old writers signed-compared binary stats). */
   def byteStatsOverlap(st: PqStats, lo: Array[Byte], hi: Array[Byte]): Boolean =
-    st.min.isEmpty ||
+    st.min.isEmpty || !st.byteOrderTrusted ||
       ((hi == null || MinMax.compareBytes(st.min, hi) <= 0) &&
         (lo == null || st.max.isEmpty || MinMax.compareBytes(st.max, lo) >= 0))
 

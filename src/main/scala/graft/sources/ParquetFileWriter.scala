@@ -1048,10 +1048,16 @@ object ParquetSink {
       if (doneB.value.contains(pid) || !it.hasNext) Iterator.empty
       else {
         val path = f"$dir/part-$pid%05d.parquet"
-        val w = new ParquetFileWriter.IncrementalFileWriter(path, schema,
+        // staged dot-file renamed on completion: a mid-write crash leaves
+        // only ignored staging garbage (resume rewrites it — no lineage
+        // row committed), never a truncated .parquet that would fail
+        // concurrent scans of the directory
+        val stage = f"$dir/.part-$pid%05d.parquet.inprogress"
+        val w = new ParquetFileWriter.IncrementalFileWriter(stage, schema,
           rowGroupRows, codec, pageVersion, encPolicy = encPolicy)
         it.foreach(w.add)
         val n = w.close()
+        GraftIO.forPath(dir).rename(stage, path)
         val fileBytes = GraftIO.forPath(path).length(path)
         val sha = sha256File(path)
         w.columnLineage.iterator.map { case (c, encs, unc, comp, vals) =>
@@ -1117,18 +1123,28 @@ object ParquetSink {
         }.toSeq
         val (_, w) = writers.getOrElseUpdate(key, {
           val sub = partitionCols.zip(key).map { case (k, v) =>
-            s"$k=${java.net.URLEncoder.encode(v, "UTF-8")}"
+            s"$k=${PartitionPath.escape(v)}"
           }.mkString("/")
           val d = s"$dir/$sub"
           GraftIO.forPath(d).mkdirs(d)
           val path = f"$d/part-$pid%05d.parquet"
-          (path, new ParquetFileWriter.IncrementalFileWriter(path, dataSchema,
+          // staged dot-file (invisible to scans), renamed once complete —
+          // a task killed mid-write leaves no truncated .parquet behind,
+          // and a speculative re-attempt renames onto the same final name
+          (path, new ParquetFileWriter.IncrementalFileWriter(
+            f"$d/.part-$pid%05d.parquet.inprogress", dataSchema,
             rowGroupRows, codec, pageVersion, encPolicy = encPolicy))
         })
         // the projection output is reused; the writer copies values out
         w.add(proj(row))
       }
-      writers.valuesIterator.map { case (path, w) => (path, w.close()) }
+      writers.valuesIterator.map { case (path, w) =>
+        val n = w.close()
+        val d = path.take(path.lastIndexOf('/'))
+        val name = path.drop(d.length + 1)
+        GraftIO.forPath(d).rename(s"$d/.$name.inprogress", path)
+        (path, n)
+      }
     }
     spark.createDataset(rdd).toDF("path", "rows")
   }

@@ -254,9 +254,19 @@ final case class PqSchemaElement(
   * `min`/`max` use the stat encoding (LE ints, raw bytes for BYTE_ARRAY,
   * possibly truncated); empty array = unbounded/absent. */
 /** `distinctCount` = -1 when unknown; written/parsed as thrift Statistics
-  * field 4 (the reference's statistics.rs:252-330 carries it too). */
+  * field 4 (the reference's statistics.rs:252-330 carries it too).
+  * `legacyOnly` = min/max came from the deprecated fields 1/2 with no
+  * modern 5/6 pair present. Old writers (parquet-mr < 1.8) computed
+  * BYTE_ARRAY/FLBA stats with SIGNED byte comparison, so byte-wise
+  * (unsigned lexicographic) pruning must not trust such stats unless
+  * min == max (all sort orders agree on a single value). Numeric LE
+  * stats are unaffected — signed order is the correct int order. */
 final case class PqStats(min: Array[Byte], max: Array[Byte], nullCount: Long,
-    distinctCount: Long = -1L)
+    distinctCount: Long = -1L, legacyOnly: Boolean = false) {
+  /** Are these stats safe for unsigned-lexicographic byte comparison? */
+  def byteOrderTrusted: Boolean =
+    !legacyOnly || java.util.Arrays.equals(min, max)
+}
 
 final case class PqColumnMeta(
     typ: Int,
@@ -515,6 +525,11 @@ object ParquetMeta {
   /** Statistics { 1: max (legacy), 2: min (legacy), 3: null_count,
     * 4: distinct_count, 5: max_value, 6: min_value }; the modern 5/6 pair
     * wins over the legacy 1/2 when both are present. */
+  /** Test seam: parse one thrift-compact Statistics struct. */
+  private[sources] def parseStatisticsForTest(
+      buf: Array[Byte]): Option[PqStats] =
+    parseStatistics(new ThriftCompact.Reader(buf, 0))
+
   private def parseStatistics(r: Reader): Option[PqStats] = {
     var minLegacy: Array[Byte] = null
     var maxLegacy: Array[Byte] = null
@@ -547,7 +562,9 @@ object ParquetMeta {
       if (mn == null) Array.emptyByteArray else mn,
       if (mx == null) Array.emptyByteArray else mx,
       math.max(nullCount, 0L),
-      distinctCount))
+      distinctCount,
+      legacyOnly = minV == null && maxV == null &&
+        (minLegacy != null || maxLegacy != null)))
   }
 
   def parsePageHeader(buf: Array[Byte], off: Int): PqPageHeader = {

@@ -1546,4 +1546,53 @@ class SparkE2ESpec extends AnyFunSuite with BeforeAndAfterAll {
       "fallback stats must not claim a row count")
     assert(ms < 5000, f"stats path took $ms%.0f ms — all footers were read?")
   }
+
+  test("partition values with spaces and '+' round-trip across engines") {
+    import graft.sources.{GraftParquetFormat, ParquetSink}
+    val sp = spark
+    import sp.implicits._
+    // URLEncoder form-encoding would corrupt BOTH of these: 'a b' -> 'a+b'
+    // on write, and a literal '+' -> ' ' on read of a Spark-written dir
+    val vals = Seq("a b", "a+b", "plain", "x=y", "p/q")
+    val df = vals.zipWithIndex.map { case (v, i) => (i.toLong, v, s"t$i") }
+      .toDF("id", "part", "text")
+    val dir = java.nio.file.Files.createTempDirectory("graft-escpart").toString
+    ParquetSink.writePartitioned(df, dir, Seq("part")).count()
+    // Spark's own reader (percent-unescaping) sees the exact values
+    val bySpark = spark.read.parquet(dir).select("id", "part").collect()
+      .map(r => (r.getLong(0), r.getString(1))).sortBy(_._1).toSeq
+    assert(bySpark == vals.zipWithIndex.map { case (v, i) => (i.toLong, v) })
+    // our reader agrees with itself
+    val byUs = spark.read.format(GraftParquetFormat.Name).load(dir)
+      .select("id", "part").collect()
+      .map(r => (r.getLong(0), r.getString(1))).sortBy(_._1).toSeq
+    assert(byUs == bySpark)
+    // and reads a SPARK-written partitioned dir (incl. literal '+') exactly
+    val dir2 = java.nio.file.Files.createTempDirectory("graft-sparkpart").toString
+    df.write.mode("overwrite").partitionBy("part").parquet(dir2)
+    val crossRead = spark.read.format(GraftParquetFormat.Name).load(dir2)
+      .select("id", "part").collect()
+      .map(r => (r.getLong(0), r.getString(1))).sortBy(_._1).toSeq
+    assert(crossRead == bySpark)
+  }
+
+  test("DSv2 writes stage under dot-files; stale staging is invisible/swept") {
+    import graft.sources.GraftParquetFormat
+    val sp = spark
+    import sp.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-stage").toString
+    // a truncated leftover from a crashed attempt: readers must skip it
+    // instead of failing the whole table on a missing PAR1 trailer
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(s"$dir/.part-zombie.parquet.inprogress"),
+      Array[Byte](1, 2, 3))
+    (1L to 100L).toDF("x").repartition(4)
+      .write.format(GraftParquetFormat.Name).mode("append").save(dir)
+    val files = new java.io.File(dir).listFiles().map(_.getName)
+    assert(!files.exists(_.endsWith(".inprogress")),
+      s"staging leftovers survived the commit sweep: ${files.mkString(",")}")
+    assert(files.count(_.endsWith(".parquet")) == 4)
+    assert(spark.read.format(GraftParquetFormat.Name).load(dir)
+      .agg(org.apache.spark.sql.functions.sum("x")).as[Long].head() == 5050L)
+  }
 }
