@@ -112,12 +112,35 @@ object DecodeJob {
       column: String, lower: Any, upper: Any): DataFrame = {
     val spark = chunks.sparkSession
     import spark.implicits._
+    // Decimal columns store UNSCALED values: p <= 18 as int64 (so a
+    // user-facing bound like 10.50 must scale to 1050 before it meets the
+    // stats — comparing raw longValue() would silently prune matching
+    // chunks), p > 18 as two's-complement FLBA bytes whose unsigned-lex
+    // stat order disagrees with signed numeric order, so those never
+    // prune (decode-everything is correct, just less pruning).
+    val (loB, hiB) = schema.fields.find(_.name == column)
+        .map(_.dataType) match {
+      case Some(dt: DecimalType) if dt.precision <= 18 =>
+        def unscaled(b: Any, up: Boolean): Any = b match {
+          case null => null
+          case n: Number =>
+            val mode = if (up) java.math.RoundingMode.CEILING
+                       else java.math.RoundingMode.FLOOR
+            try java.lang.Long.valueOf(new java.math.BigDecimal(n.toString)
+              .setScale(dt.scale, mode).unscaledValue().longValueExact())
+            catch { case _: ArithmeticException => null } // out of range: open
+          case other => other
+        }
+        (unscaled(lower, up = false), unscaled(upper, up = true))
+      case Some(_: DecimalType) => (null, null)
+      case _ => (lower, upper)
+    }
     // column-level stats predicate (NOT a typed lambda): the metadata scan
     // then prunes to the stats columns and never reads chunk blobs
     val overlap = udf((physicalType: Int, numValues: Long, numNulls: Long,
         minStat: Array[Byte], maxStat: Array[Byte]) =>
       statsOverlap(physicalType, numValues, numNulls, minStat, maxStat,
-        lower, upper))
+        loB, hiB))
     val keep = chunks.toDF()
       .where($"column" === column && overlap($"physicalType", $"numValues",
         $"numNulls", $"minStat", $"maxStat"))
@@ -198,6 +221,11 @@ object DecodeJob {
     case (BooleanType, BoolVec(vs)) => i => vs(i)
     case (dt: DecimalType, LongVec(vs)) =>
       i => java.math.BigDecimal.valueOf(vs(i), dt.scale)
+    // precision > 18: two's-complement big-endian unscaled bytes (the FLBA
+    // layout EncodeJob.ColBuilder writes for wide decimals)
+    case (dt: DecimalType, v: BytesVec) =>
+      i => new java.math.BigDecimal(
+        new java.math.BigInteger(v.valueBytes(i)), dt.scale)
     case other => throw new IllegalArgumentException(s"cannot materialize $other")
   }
 
@@ -293,15 +321,21 @@ object Verifier {
     * count(__h_src) == sourceRows and count(__h_dec) == decodedRows. */
   def verify(source: DataFrame, decoded: DataFrame, keyCols: Seq[String],
       contentCol: String): (Long, Long, Long) = {
+    // presence markers + null-safe hash compare: a NULL content value
+    // hashes to null on BOTH sides, so row counts come from the markers
+    // (count(__h_*) would skip the row) and equality uses <=> (otherwise a
+    // correctly roundtripped null counts as a mismatch)
     val s = source.select(
-      (keyCols.map(col) :+ sha2(col(contentCol).cast("string"), 256).as("__h_src")): _*)
+      (keyCols.map(col) :+ sha2(col(contentCol).cast("string"), 256)
+        .as("__h_src") :+ lit(1).as("__p_src")): _*)
     val d = decoded.select(
-      (keyCols.map(col) :+ sha2(col(contentCol).cast("string"), 256).as("__h_dec")): _*)
+      (keyCols.map(col) :+ sha2(col(contentCol).cast("string"), 256)
+        .as("__h_dec") :+ lit(1).as("__p_dec")): _*)
     val row = s.join(d, keyCols, "full_outer").agg(
-      count(col("__h_src")).as("ns"),
-      count(col("__h_dec")).as("nd"),
-      sum(when(col("__h_src").isNull || col("__h_dec").isNull ||
-        col("__h_src") =!= col("__h_dec"), 1L).otherwise(0L)).as("bad"))
+      count(col("__p_src")).as("ns"),
+      count(col("__p_dec")).as("nd"),
+      sum(when(col("__p_src").isNull || col("__p_dec").isNull ||
+        !(col("__h_src") <=> col("__h_dec")), 1L).otherwise(0L)).as("bad"))
       .collect()(0)
     (row.getLong(0), row.getLong(1), if (row.isNullAt(2)) 0L else row.getLong(2))
   }

@@ -146,6 +146,12 @@ object Dedup {
   def minhashLshFromSig(withSig: DataFrame,
       numHashes: Int, bands: Int, threshold: Double,
       maxBucket: Int = DefaultMaxBucket): DataFrame = {
+    // bands must tile the signature exactly: bands > numHashes degenerates
+    // every band to ONE corpus-wide bucket (empty slice), a non-dividing
+    // count silently drops trailing hashes from banding — both are recall
+    // bugs the caller can't see, so reject loudly
+    require(bands > 0 && numHashes % bands == 0,
+      s"bands ($bands) must divide numHashes ($numHashes)")
     val pairs = candidatePairs(minhashBands(withSig, bands, numHashes / bands),
       Seq("band", "bucket"), "__key", maxBucket)
     pairs

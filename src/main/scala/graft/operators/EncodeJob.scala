@@ -80,12 +80,28 @@ object EncodeJob {
     // unscaled INT64 for precision <= 18, the reference's INT64 DECIMAL
     // representation (`/root/reference/src/schema/types.rs:312-343`)
     case dt: DecimalType if dt.precision <= 18 => PhysicalType.Int64
-    case ArrayType(et, _) => physicalTypeOf(et)
+    // wider decimals: two's-complement big-endian unscaled FLBA bytes
+    case _: DecimalType => PhysicalType.Bytes
+    // container leaves carry ElemBuf's type contract (single-level
+    // nesting, primitive/string leaves) — validate it here so an
+    // unsupported element type fails on the driver, not mid-task inside
+    // ElemBuf on an executor
+    case ArrayType(et, _) => physicalTypeOf(elemLeaf(et, "LIST element"))
     // a MAP chunk self-describes both leaf types; the manifest column
     // carries the key's (the prunable side)
-    case MapType(kt, _, _) => physicalTypeOf(kt)
+    case MapType(kt, vt, _) =>
+      elemLeaf(vt, "MAP value")
+      physicalTypeOf(elemLeaf(kt, "MAP key"))
     case other => throw new IllegalArgumentException(
       s"unsupported column type $other (flat + LIST/MAP schemas only)")
+  }
+
+  /** The leaf types ElemBuf can buffer (LIST elements, MAP keys/values). */
+  private def elemLeaf(dt: DataType, what: String): DataType = dt match {
+    case IntegerType | LongType | FloatType | DoubleType | BooleanType |
+         StringType | BinaryType => dt
+    case other => throw new IllegalArgumentException(
+      s"unsupported $what type $other (primitive/string leaves only)")
   }
 
   /** Salted repartition + deterministic in-partition sort, then
@@ -105,6 +121,11 @@ object EncodeJob {
     val spark = df.sparkSession
     import spark.implicits._
     val schema = df.schema
+    // fail fast on the driver for schemas the CHUNK pipeline doesn't
+    // cover (e.g. STRUCT — supported by the parquet FILE writer only):
+    // otherwise ColBuilder.apply accepts the column and the task crashes
+    // mid-encode on an executor with an opaque builder error
+    schema.fields.foreach(f => physicalTypeOf(f.dataType))
     // Spark forbids hashing MAP columns (same map, different hashcode), so
     // the salt derives from every hashable column; a row's map values still
     // land with it.
@@ -308,7 +329,15 @@ object EncodeJob {
       } catch { case _: Throwable => Set.empty }
     val chunks = encode(df, numPartitions, partitionKeys, sortKeys,
       skipPartitions = done)
-    chunks.write.mode("append").parquet(s"$outDir/chunks")
+    // idempotent resume: chunk output is Hive-partitioned by partId and
+    // dynamically overwritten per re-encoded partition. A prior attempt
+    // that committed chunk files but died before the lineage rewrite is
+    // NOT in `done`, so its partition re-encodes — with a flat append
+    // those rows would duplicate next to the orphans and break decode;
+    // overwriting only the touched partId directories replaces them.
+    chunks.write.partitionBy("partId")
+      .option("partitionOverwriteMode", "dynamic")
+      .mode("overwrite").parquet(s"$outDir/chunks")
     val newChunks = spark.read.parquet(s"$outDir/chunks").as[ChunkRow]
       .filter(!$"partId".isin(done.toSeq: _*) || lit(done.isEmpty))
     lineage(newChunks).write.mode("overwrite").parquet(s"$outDir/lineage_new")

@@ -175,10 +175,15 @@ object Multimodal {
     * the explode pattern a real frame decoder plugs into. */
   def sampleFrames(df: DataFrame, keyCol: String, mediaCol: String,
       frames: Int = 4): DataFrame = {
+    require(frames > 0, s"frames must be positive, got $frames")
     val n = octet_length(col(mediaCol))
+    // INTEGER stride: Spark's `/` is true division (n/frames is a DOUBLE),
+    // so casting each product separately truncates unevenly — windows
+    // would overlap and skip bytes instead of tiling back-to-back
+    val stride = floor(n / lit(frames)).cast("int")
     val idx = sequence(lit(0), lit(frames - 1))
     df.select(col(keyCol), posexplode(transform(idx, i =>
-        substring(col(mediaCol), (i * (n / frames) + 1).cast("int"),
-          greatest(lit(1), (n / frames).cast("int"))))).as(Seq("frameIdx", "frameBytes")))
+        substring(col(mediaCol), i.cast("int") * stride + 1,
+          greatest(lit(1), stride)))).as(Seq("frameIdx", "frameBytes")))
   }
 }

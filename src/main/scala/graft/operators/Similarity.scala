@@ -58,6 +58,8 @@ object Similarity {
     * [[MaxBruteForceCorpus]]) instead of OOMing the driver at 100 TB. */
   def bruteForceTopK(df: DataFrame, keyCol: String, vecCol: String,
       k: Int = 5, maxCorpusRows: Long = MaxBruteForceCorpus): DataFrame = {
+    // k <= 0 would index topCos(-1) inside the executor loop — fail fast
+    require(k > 0, s"k must be positive, got $k")
     val spark = df.sparkSession
     val src = df.select(col(keyCol).cast("long").as("id"),
       col(vecCol).cast("array<double>").as("v"))

@@ -1547,6 +1547,128 @@ class SparkE2ESpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(ms < 5000, f"stats path took $ms%.0f ms — all footers were read?")
   }
 
+  test("wide decimals (p > 18) roundtrip through the chunk pipeline") {
+    val sp = spark
+    import sp.implicits._
+    // values exercise sign, > 8-byte unscaled magnitudes, and nulls
+    val df = Seq(
+      (1L, "123456789012345678901.2345"),
+      (2L, "-98765432109876543210.0001"),
+      (3L, "0.0000"),
+      (4L, null),
+      (5L, "-1.5000")
+    ).toDF("id", "s").select(col("id"),
+      col("s").cast("decimal(25,4)").as("d"))
+    val back = Roundtrip.through(df, sortKeys = Seq("id"))
+    val exp = df.collect().map(r => (r.getLong(0), Option(r.getDecimal(1))
+      .map(_.toPlainString).orNull)).sortBy(_._1).toSeq
+    val got = back.collect().map(r => (r.getLong(0), Option(r.getDecimal(1))
+      .map(_.toPlainString).orNull)).sortBy(_._1).toSeq
+    assert(got == exp)
+  }
+
+  test("decodeWhere scales decimal bounds to the stored unscaled int64") {
+    val sp = spark
+    import sp.implicits._
+    val df = (1 to 400).map(i => (i.toLong, BigDecimal(i) / 100))
+      .toDF("id", "price").select(col("id"),
+        col("price").cast("decimal(12,2)").as("price"))
+    val chunks = EncodeJob.encode(df, 1, Seq.empty, Seq("id"),
+      chunkRows = 100).cache()
+    // bounds in USER units (0.50..1.00 means unscaled 50..100): with raw
+    // longValue bounds (0..1) every matching chunk would be pruned
+    val got = DecodeJob.decodeWhere(chunks, df.schema, "price",
+      java.math.BigDecimal.valueOf(0.50), java.math.BigDecimal.valueOf(1.00))
+      .where(col("price") >= 0.50 && col("price") <= 1.00)
+    assert(got.count() == 51)
+    // and the pruning actually dropped chunks (4 chunks of 100 rows; the
+    // [0.50, 1.00] range lives entirely in the first)
+    val kept = DecodeJob.decodeWhere(chunks, df.schema, "price",
+      java.math.BigDecimal.valueOf(0.50), java.math.BigDecimal.valueOf(1.00))
+    assert(kept.count() == 100, s"expected 1 surviving chunk, got ${kept.count()}")
+    chunks.unpersist()
+  }
+
+  test("struct and nested-array schemas fail fast on the driver in EncodeJob") {
+    val sp = spark
+    import sp.implicits._
+    val withStruct = Seq((1L, ("a", 2))).toDF("id", "s")
+    val e1 = intercept[IllegalArgumentException](
+      EncodeJob.encode(withStruct, 2, Seq.empty, Seq.empty))
+    assert(e1.getMessage.contains("unsupported column type"))
+    val nested = Seq((1L, Seq(Seq(1, 2)))).toDF("id", "aa")
+    val e2 = intercept[IllegalArgumentException](
+      EncodeJob.encode(nested, 2, Seq.empty, Seq.empty))
+    assert(e2.getMessage.contains("LIST element"))
+  }
+
+  test("resume after a lost lineage write does not duplicate chunks") {
+    val out = java.nio.file.Files.createTempDirectory("graft-resume2").toString
+    val df = code(600L, 2)
+    EncodeJob.encodeResumable(df, out, 4, Seq("repo", "lang"),
+      Seq("repo", "path", "commit"))
+    val chunks1 = spark.read.parquet(s"$out/chunks").count()
+    val rows1 = DecodeJob.decode(
+      spark.read.parquet(s"$out/chunks").as[graft.operators.ChunkRow](
+        org.apache.spark.sql.Encoders.product[graft.operators.ChunkRow]),
+      df.schema).count()
+    // simulate a run that committed chunk files but died before lineage
+    def rmLineage(): Unit = {
+      def rm(f: java.io.File): Unit = {
+        if (f.isDirectory) f.listFiles().foreach(rm)
+        f.delete(); ()
+      }
+      rm(new java.io.File(s"$out/lineage"))
+    }
+    rmLineage()
+    EncodeJob.encodeResumable(df, out, 4, Seq("repo", "lang"),
+      Seq("repo", "path", "commit"))
+    val chunks2 = spark.read.parquet(s"$out/chunks").count()
+    assert(chunks2 == chunks1,
+      s"re-encode after lost lineage duplicated chunks: $chunks1 -> $chunks2")
+    val rows2 = DecodeJob.decode(
+      spark.read.parquet(s"$out/chunks").as[graft.operators.ChunkRow](
+        org.apache.spark.sql.Encoders.product[graft.operators.ChunkRow]),
+      df.schema).count()
+    assert(rows2 == rows1)
+  }
+
+  test("Verifier treats roundtripped nulls as matches, not mismatches") {
+    val df = code(300L, 2).withColumn("content",
+      when(col("content_len") % 3 === 0, lit(null)).otherwise(col("content")))
+    val back = Roundtrip.through(df, sortKeys = Seq("repo", "path", "commit"))
+    val (ns, nd, bad) = Verifier.verify(df, back,
+      keyCols = Seq("repo", "path", "commit"), contentCol = "content")
+    assert(ns == 300L && nd == 300L, s"counts must include null rows: $ns/$nd")
+    assert(bad == 0L, s"$bad roundtripped nulls flagged as mismatches")
+  }
+
+  test("sampleFrames tiles the payload with integer strides") {
+    val sp = spark
+    import sp.implicits._
+    val payload = Array.tabulate(10)(_.toByte) // 10 bytes, frames = 4
+    val df = Seq((1L, payload)).toDF("id", "media")
+    val got = Multimodal.sampleFrames(df, "id", "media", frames = 4)
+      .orderBy("frameIdx").collect()
+      .map(r => r.getAs[Array[Byte]]("frameBytes").toSeq)
+    // stride = floor(10/4) = 2: back-to-back windows 0-1, 2-3, 4-5, 6-7
+    assert(got.toSeq == Seq(Seq[Byte](0, 1), Seq[Byte](2, 3),
+      Seq[Byte](4, 5), Seq[Byte](6, 7)))
+  }
+
+  test("LSH/ANN parameter guards fail fast") {
+    val sp = spark
+    import sp.implicits._
+    val docs = Seq((1L, "a b c")).toDF("doc_id", "text")
+    val e1 = intercept[IllegalArgumentException](
+      Dedup.minhashLsh(docs, "doc_id", "text", numHashes = 8, bands = 16))
+    assert(e1.getMessage.contains("bands"))
+    val emb = Seq((1L, Array(1f, 0f))).toDF("vec_id", "embedding")
+    val e2 = intercept[IllegalArgumentException](
+      Similarity.bruteForceTopK(emb, "vec_id", "embedding", k = 0))
+    assert(e2.getMessage.contains("k must be positive"))
+  }
+
   test("partition values with spaces and '+' round-trip across engines") {
     import graft.sources.{GraftParquetFormat, ParquetSink}
     val sp = spark
