@@ -1003,11 +1003,18 @@ object ParquetSink {
       else {
         val pid = TaskContext.getPartitionId()
         val path = f"$dir/part-$pid%05d.parquet"
-        val w = new ParquetFileWriter.IncrementalFileWriter(path, schema,
+        // staged dot-file renamed on completion (same protocol as the
+        // DSv2/partitioned/resumable sinks): a task killed mid-write
+        // leaves no truncated .parquet; a retry renames onto the same
+        // deterministic final name, so retries are idempotent
+        val stage = f"$dir/.part-$pid%05d.parquet.inprogress"
+        val w = new ParquetFileWriter.IncrementalFileWriter(stage, schema,
           rowGroupRows, codec, pageVersion, blooms, encPolicy = encPolicy,
           int96Timestamps = int96Timestamps)
         it.foreach(w.add)
-        Iterator((path, w.close()))
+        val n = w.close()
+        GraftIO.forPath(dir).rename(stage, path)
+        Iterator((path, n))
       }
     }
     spark.createDataset(rdd).toDF("path", "rows")
