@@ -35,6 +35,17 @@ object Bench {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .config("spark.local.dir", localDir)
+      // Shuffle block compression buys nothing when shuffle files live on a
+      // RAM disk and costs real CPU (measured: the scan->repartition->sort
+      // stage dropped 14.0 -> 9.6 s at local[1] with LZ4 off). Applied at
+      // every parallelism level alike, so scaling samples stay comparable.
+      // A real cluster's network-bound shuffle keeps Spark's default (true).
+      .config("spark.shuffle.compress",
+        sys.env.getOrElse("SPARK_GRAFT_SHUFFLE_COMPRESS",
+          (!tmpfsShuffle).toString))
+      .config("spark.shuffle.spill.compress",
+        sys.env.getOrElse("SPARK_GRAFT_SHUFFLE_COMPRESS",
+          (!tmpfsShuffle).toString))
       .getOrCreate()
     s.sparkContext.setLogLevel("WARN")
     s
@@ -47,6 +58,7 @@ object Bench {
     if (shm.isDirectory || shm.mkdirs()) shm.getAbsolutePath
     else System.getProperty("java.io.tmpdir")
   }
+  private val tmpfsShuffle: Boolean = localDir.startsWith("/dev/shm")
 
   private val start = System.nanoTime()
   private def progress(msg: String): Unit =

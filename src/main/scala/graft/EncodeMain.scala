@@ -1,0 +1,155 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+import graft.core.BlockCodec
+import graft.operators.{ChunkRow, DecodeJob, EncodeJob, Verifier}
+
+/** spark-submit job driver for the encode pipeline — the north rule's
+  * "encoding runs … launched via spark-submit on multi-executor clusters,
+  * resumable from checkpoint" as a first-class binary. `Bench`/`Verify`
+  * embed the same `EncodeJob` calls for measurement; this is the
+  * user-facing run-my-table entry point.
+  *
+  * {{{
+  * spark-submit --master <cluster> --class graft.EncodeMain app.jar \
+  *   <inputDir> <outDir> \
+  *   [--partitions N]            encode partitions (default 256)
+  *   [--partition-keys a,b]      salted repartition keys (default: the
+  *                               input's (repo, lang) columns when present)
+  *   [--sort-keys a,b,c]         within-partition sort (default: present
+  *                               members of (repo, path, commit))
+  *   [--columns a,b,...]         project the input first
+  *   [--block-codec none|snappy|zstd|lz4|gzip|brotli]
+  *   [--no-resume]               full re-encode (default resumes from the
+  *                               outDir/lineage checkpoint)
+  *   [--verify k1,k2,...]        decode chunks back and compare per-row
+  *                               sha256 of every non-key column against the
+  *                               input, joined on the (unique) key columns;
+  *                               exit 1 on any mismatch
+  * }}}
+  *
+  * `inputDir` is any Spark-readable parquet directory; on a classpath with
+  * an Iceberg runtime the same pipeline runs off `spark.table(...)` —
+  * nothing below the DataFrame boundary changes (SURVEY.md §7.8). Output is
+  * `outDir/chunks` (Hive-partitioned by partId) + `outDir/lineage`
+  * (per-(partition, column) codec, byte, and sha256-manifest rows — the
+  * resume checkpoint). Reruns re-encode only partitions whose lineage rows
+  * are missing or incomplete.
+  */
+object EncodeMain {
+
+  private def fail(msg: String): Nothing = {
+    System.err.println(s"error: $msg")
+    System.err.println(
+      "usage: EncodeMain <inputDir> <outDir> [--partitions N]" +
+        " [--partition-keys a,b] [--sort-keys a,b,c] [--columns a,b,...]" +
+        " [--block-codec none|snappy|zstd|lz4|gzip|brotli] [--no-resume]" +
+        " [--verify k1,k2,...]")
+    sys.exit(2)
+  }
+
+  def main(args: Array[String]): Unit = {
+    if (args.length < 2) fail("inputDir and outDir are required")
+    val inputDir = args(0)
+    val outDir = args(1)
+    var partitions = 256
+    var partitionKeys: Seq[String] = null
+    var sortKeys: Seq[String] = null
+    var columns: Seq[String] = Seq.empty
+    var blockCodec = BlockCodec.None
+    var resume = true
+    var verifyKeys: Seq[String] = Seq.empty
+    var i = 2
+    while (i < args.length) {
+      args(i) match {
+        case "--partitions" => partitions = args(i + 1).toInt; i += 2
+        case "--partition-keys" =>
+          partitionKeys = args(i + 1).split(",").toSeq.filter(_.nonEmpty); i += 2
+        case "--sort-keys" =>
+          sortKeys = args(i + 1).split(",").toSeq.filter(_.nonEmpty); i += 2
+        case "--columns" =>
+          columns = args(i + 1).split(",").toSeq.filter(_.nonEmpty); i += 2
+        case "--block-codec" =>
+          blockCodec = args(i + 1).toLowerCase match {
+            case "none" => BlockCodec.None
+            case "snappy" => BlockCodec.Snappy
+            case "zstd" => BlockCodec.Zstd
+            case "lz4" => BlockCodec.Lz4
+            case "gzip" => BlockCodec.Gzip
+            case "brotli" => BlockCodec.Brotli
+            case other => fail(s"unknown block codec $other")
+          }
+          i += 2
+        case "--no-resume" => resume = false; i += 1
+        case "--verify" =>
+          verifyKeys = args(i + 1).split(",").toSeq.filter(_.nonEmpty); i += 2
+        case other => fail(s"unknown option $other")
+      }
+    }
+
+    // inherit the spark-submit master/conf; reuse (and never stop) a session
+    // someone else owns — the test suite drives main() in-process
+    val ownSession = SparkSession.getActiveSession
+      .orElse(SparkSession.getDefaultSession).isEmpty
+    val spark = SparkSession.builder()
+      .appName("graft-encode")
+      .config("spark.sql.adaptive.enabled", "true")
+      .getOrCreate()
+    if (ownSession) spark.sparkContext.setLogLevel("WARN")
+    import spark.implicits._
+
+    val raw = spark.read.parquet(inputDir)
+    val df = if (columns.isEmpty) raw else raw.select(columns.map(raw(_)): _*)
+    val present = df.schema.fieldNames.toSet
+    val pKeys = Option(partitionKeys)
+      .getOrElse(Seq("repo", "lang").filter(present))
+    val sKeys = Option(sortKeys)
+      .getOrElse(Seq("repo", "path", "commit").filter(present))
+    pKeys.foreach(k => if (!present(k)) fail(s"partition key $k not in input"))
+    sKeys.foreach(k => if (!present(k)) fail(s"sort key $k not in input"))
+
+    val t0 = System.nanoTime()
+    if (resume) {
+      EncodeJob.encodeResumable(df, outDir, partitions, pKeys, sKeys,
+        blockCodec = blockCodec)
+    } else {
+      EncodeJob.encode(df, partitions, pKeys, sKeys, blockCodec = blockCodec)
+        .write.mode("overwrite").parquet(s"$outDir/chunks")
+      EncodeJob.lineage(spark.read.parquet(s"$outDir/chunks").as[ChunkRow])
+        .write.mode("overwrite").parquet(s"$outDir/lineage")
+    }
+    val secs = (System.nanoTime() - t0) / 1e9
+
+    val lin = spark.read.parquet(s"$outDir/lineage")
+    val agg = lin.agg(
+      org.apache.spark.sql.functions.sum("inputBytes"),
+      org.apache.spark.sql.functions.sum("outputBytes")).collect()(0)
+    val rawBytes = agg.getLong(0)
+    val encBytes = agg.getLong(1)
+    println(f"encoded $rawBytes%d raw bytes -> $encBytes%d" +
+      f" (ratio ${encBytes.toDouble / math.max(1L, rawBytes)}%.4f)" +
+      f" in $secs%.1f s (${rawBytes / secs / 1e9}%.3f GB/s)")
+
+    if (verifyKeys.nonEmpty) {
+      verifyKeys.foreach(k => if (!present(k)) fail(s"verify key $k not in input"))
+      val chunks = spark.read.parquet(s"$outDir/chunks").as[ChunkRow]
+      val decoded = DecodeJob.decode(chunks, df.schema).cache()
+      // every non-key column participates in the sha256 equality check
+      var bad = 0L
+      df.schema.fieldNames.filterNot(verifyKeys.contains).foreach { c =>
+        val (ns, nd, mismatched) = Verifier.verify(df, decoded, verifyKeys, c)
+        println(s"verify $c: source=$ns decoded=$nd mismatched=$mismatched")
+        bad += mismatched
+      }
+      decoded.unpersist()
+      if (bad > 0) {
+        System.err.println(s"VERIFY FAILED: $bad mismatched rows")
+        if (ownSession) spark.stop()
+        sys.exit(1)
+      }
+      println("verify OK: all columns bit-identical")
+    }
+    if (ownSession) spark.stop()
+  }
+}

@@ -440,6 +440,30 @@ object SparkEntry {
           sum(col("doc_id")).as("sum_id"))
         .orderBy("lang")
     }),
+    "q_cli_encode" -> ((s, dir) => {
+      // the spark-submit encode job driver end to end: EncodeMain encodes
+      // the documents table (lineage checkpoint + --verify per-row sha256
+      // equality of every non-key column — a mismatch hard-fails the run),
+      // reruns to prove the checkpoint resume rewrites nothing, and the
+      // lineage's per-column input bytes are recomputed by DuckDB from the
+      // raw table.
+      val in = java.nio.file.Files.createTempDirectory("graft-cliein").toString
+      val out = java.nio.file.Files.createTempDirectory("graft-clieout").toString
+      docs(s, dir).select("doc_id", "lang", "source", "text")
+        .write.mode("overwrite").parquet(in)
+      EncodeMain.main(Array(in, out, "--partitions", "8",
+        "--partition-keys", "lang", "--sort-keys", "doc_id",
+        "--verify", "doc_id"))
+      val c1 = s.read.parquet(s"$out/chunks").count()
+      EncodeMain.main(Array(in, out, "--partitions", "8",
+        "--partition-keys", "lang", "--sort-keys", "doc_id"))
+      val c2 = s.read.parquet(s"$out/chunks").count()
+      s.read.parquet(s"$out/lineage")
+        .groupBy(col("column").as("col_name"))
+        .agg(sum(col("inputBytes")).as("input_bytes"))
+        .withColumn("resume_stable", lit(if (c1 == c2) 1 else 0))
+        .orderBy("col_name")
+    }),
     "q_cli_read" -> ((s, dir) => {
       // the parquet-read CLI end to end (reference parquet-read.rs:48-90):
       // a documents slice written as ONE real .parquet file by our writer,
@@ -928,6 +952,13 @@ object SparkEntry {
       "SELECT lang, count(*) AS cnt, CAST(sum(length(text)) AS BIGINT) AS chars, CAST(sum(doc_id) AS BIGINT) AS sum_id FROM documents WHERE doc_id % 7 = 0 GROUP BY lang ORDER BY lang",
     "q_cli_read" ->
       "SELECT count(*) AS n_rows, CAST(sum(doc_id) AS BIGINT) AS sum_id, CAST(sum(n_chars) AS BIGINT) AS sum_nc, count(DISTINCT lang) AS nd_lang FROM documents WHERE doc_id % 11 = 0",
+    "q_cli_encode" ->
+      ("SELECT * FROM (" +
+        "SELECT 'doc_id' AS col_name, CAST(8*count(*) AS BIGINT) AS input_bytes, 1 AS resume_stable FROM documents " +
+        "UNION ALL SELECT 'lang', CAST(sum(4 + strlen(lang)) AS BIGINT), 1 FROM documents " +
+        "UNION ALL SELECT 'source', CAST(sum(4 + strlen(source)) AS BIGINT), 1 FROM documents " +
+        "UNION ALL SELECT 'text', CAST(sum(4 + strlen(text)) AS BIGINT), 1 FROM documents" +
+        ") ORDER BY col_name"),
     "q_parquet_page_prune" ->
       "SELECT count(*) AS n_docs, CAST(sum(length(text)) AS BIGINT) AS text_chars, CAST(sum(doc_id) AS BIGINT) AS sum_id FROM documents WHERE doc_id BETWEEN 500 AND 1499",
     "q_parquet_sql_read" ->

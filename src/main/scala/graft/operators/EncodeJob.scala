@@ -316,7 +316,8 @@ object EncodeJob {
     * re-run after partial failure reads the lineage table and skips
     * partitions whose every column already has a manifest. */
   def encodeResumable(df: DataFrame, outDir: String, numPartitions: Int,
-      partitionKeys: Seq[String], sortKeys: Seq[String]): Unit = {
+      partitionKeys: Seq[String], sortKeys: Seq[String],
+      blockCodec: Int = BlockCodec.None): Unit = {
     val spark = df.sparkSession
     import spark.implicits._
     val nCols = df.schema.fields.length
@@ -328,7 +329,7 @@ object EncodeJob {
           .select($"partId").as[Int].collect().toSet
       } catch { case _: Throwable => Set.empty }
     val chunks = encode(df, numPartitions, partitionKeys, sortKeys,
-      skipPartitions = done)
+      skipPartitions = done, blockCodec = blockCodec)
     // idempotent resume: chunk output is Hive-partitioned by partId and
     // dynamically overwritten per re-encoded partition. A prior attempt
     // that committed chunk files but died before the lineage rewrite is

@@ -101,6 +101,32 @@ class SparkE2ESpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(parts1 == parts2)
   }
 
+  test("EncodeMain job driver: resumable encode + block codec + verify") {
+    val in = java.nio.file.Files.createTempDirectory("graft-emain-in").toString
+    code(600L, 3).write.mode("overwrite").parquet(in)
+    val out = java.nio.file.Files.createTempDirectory("graft-emain-out").toString
+    // defaults pick up (repo, lang) / (repo, path, commit) from the schema;
+    // --verify decodes back and sha256-compares every non-key column (a
+    // mismatch would sys.exit(1) and abort the suite)
+    EncodeMain.main(Array(in, out, "--partitions", "4",
+      "--block-codec", "zstd", "--verify", "repo,path,commit"))
+    val lin1 = spark.read.parquet(s"$out/lineage")
+    assert(lin1.select("partId").distinct().count() == 4)
+    assert(lin1.agg(sum("inputBytes")).collect()(0).getLong(0) > 0)
+    val chunkFiles1 = spark.read.parquet(s"$out/chunks").count()
+    // rerun resumes from the lineage checkpoint: nothing re-encoded
+    EncodeMain.main(Array(in, out, "--partitions", "4", "--block-codec", "zstd"))
+    assert(spark.read.parquet(s"$out/chunks").count() == chunkFiles1)
+    // --no-resume + projection writes a fresh two-column chunk table
+    val out2 = java.nio.file.Files.createTempDirectory("graft-emain2").toString
+    EncodeMain.main(Array(in, out2, "--partitions", "2", "--no-resume",
+      "--columns", "lang,content", "--partition-keys", "lang",
+      "--sort-keys", "content"))
+    val cols2 = spark.read.parquet(s"$out2/lineage")
+      .select("column").distinct().collect().map(_.getString(0)).toSet
+    assert(cols2 == Set("lang", "content"))
+  }
+
   test("timestamp and numeric columns roundtrip through the chunk pipeline") {
     val ev = spark.read.parquet(s"$sfDir/events.parquet")
       .select("event_id", "ts", "event_type", "user_id", "value")
