@@ -62,6 +62,9 @@ object EncodeMain {
     var verifyKeys: Seq[String] = Seq.empty
     var i = 2
     while (i < args.length) {
+      // every option except --no-resume takes a value
+      if (args(i) != "--no-resume" && i + 1 >= args.length)
+        fail(s"option ${args(i)} needs a value")
       args(i) match {
         case "--partitions" => partitions = args(i + 1).toInt; i += 2
         case "--partition-keys" =>
