@@ -889,6 +889,34 @@ object SparkEntry {
           sum(col("height").cast("long")).as("sum_h"),
           sum(col("__bad").cast("long")).as("bad"))
     }),
+    "q_multimodal_audio" -> ((s, dir) => {
+      // REAL audio decode (JDK javax.sound.sampled, zero new deps): one
+      // mono square-wave WAV per doc with frames/amplitude derived from
+      // doc_id; the decoder must recover the true sample rate and channel
+      // count from the container header and the amplitude from the actual
+      // PCM samples (|sample| == amp everywhere, so RMS == amp in every
+      // window). The oracle recomputes the header arithmetic; the RMS
+      // check is pinned at zero violations.
+      import s.implicits._
+      val wav = docs(s, dir).select(col("doc_id")).as[Long]
+        .mapPartitions(_.map { id =>
+          val frames = 320 + (id % 197).toInt
+          val amp = 1000 + (id % 20000).toInt
+          (id, Multimodal.squareWav(8000, frames, amp))
+        }).toDF("doc_id", "payload")
+      val feats = Multimodal.extractFeatures(wav, "doc_id", "payload",
+        mediaType = "audio").toDF()
+      val expRms = (lit(1000) + col("key") % 20000).cast("double") / lit(32768.0)
+      feats
+        .withColumn("__bad",
+          col("mediaType") =!= "audio" ||
+          col("width") =!= 8000 || col("height") =!= 1 ||
+          size(filter(col("features"), f => abs(f - expRms) > 1e-4)) > 0)
+        .agg(count(lit(1)).as("n"),
+          sum(col("width").cast("long")).as("sum_hz"),
+          sum(col("height").cast("long")).as("sum_ch"),
+          sum(col("__bad").cast("long")).as("bad"))
+    }),
     "q_multimodal_stub" -> ((s, dir) => {
       val bin = docs(s, dir).select(col("doc_id"),
         col("text").cast("binary").as("payload"))
@@ -1065,6 +1093,10 @@ object SparkEntry {
         "CAST(sum(16 + doc_id % 48) AS BIGINT) AS sum_w, " +
         "CAST(sum(16 + doc_id % 31) AS BIGINT) AS sum_h, " +
         "CAST(0 AS BIGINT) AS bad FROM documents"),
+    "q_multimodal_audio" ->
+      ("SELECT count(*) AS n, CAST(8000 * count(*) AS BIGINT) AS sum_hz, " +
+        "CAST(count(*) AS BIGINT) AS sum_ch, CAST(0 AS BIGINT) AS bad " +
+        "FROM documents"),
     "q_multimodal_stub" ->
       // replays Multimodal.stubDecode's closed-form hash (length + first/
       // mid/last byte; ASCII corpus so ascii(char) == utf-8 byte) — plain

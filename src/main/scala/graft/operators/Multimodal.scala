@@ -7,10 +7,13 @@ import org.apache.spark.sql.functions._
   *
   * Media travels as an opaque `binary` column plus typed metadata; decode /
   * feature-extract runs batched per partition so a real decoder (JNI image
-  * lib, ffmpeg pipe) drops in without touching the Spark plan. The decode
-  * step itself is STUBBED (deterministic fake — the container ships no
-  * media libraries); everything Spark-side (schema, batching, partitioning,
-  * output shape) is real and tested.
+  * lib, ffmpeg pipe) drops in without touching the Spark plan. Image and
+  * audio decode are REAL via JDK APIs (ImageIO for PNG/GIF/BMP/JPEG,
+  * `javax.sound.sampled` for WAV/AIFF/AU PCM — zero new dependencies);
+  * video decode is a declared STUB (deterministic fake — no JDK video
+  * codec exists and the container ships no media libraries). Everything
+  * Spark-side (schema, batching, partitioning, output shape) is real and
+  * tested either way.
   */
 object Multimodal {
 
@@ -129,6 +132,119 @@ object Multimodal {
     }
   }
 
+  /** Decoded-PCM cap (hostile-header guard, the audio analogue of
+    * [[MaxImagePixels]]): a tiny crafted WAV header can declare a huge
+    * frame count; the declared frames x frameSize is checked BEFORE any
+    * buffer allocation. 64 MiB of PCM ≈ 6 min of CD-quality stereo. */
+  val MaxAudioBytes: Long = 1L << 26
+
+  /** Normalized sample of frame `f`, channel `c` in [-1, 1). Supports the
+    * PCM layouts the JDK file readers emit: 8-bit (signed or unsigned) and
+    * 16-bit signed, either endianness. */
+  @inline private def sampleAt(data: Array[Byte],
+      fmt: javax.sound.sampled.AudioFormat, f: Int, c: Int): Double = {
+    val bits = fmt.getSampleSizeInBits
+    val ch = fmt.getChannels
+    if (bits == 8) {
+      val b = data(f * ch + c)
+      if (fmt.getEncoding == javax.sound.sampled.AudioFormat.Encoding.PCM_UNSIGNED)
+        ((b & 0xFF) - 128) / 128.0
+      else b / 128.0
+    } else { // 16-bit signed
+      val i = (f * ch + c) * 2
+      val v =
+        if (fmt.isBigEndian) ((data(i) << 8) | (data(i + 1) & 0xFF)).toShort
+        else ((data(i + 1) << 8) | (data(i) & 0xFF)).toShort
+      v / 32768.0
+    }
+  }
+
+  /** REAL audio decode via the JDK's `javax.sound.sampled` (WAV/AIFF/AU —
+    * zero new dependencies, the audio analogue of [[decodeImage]]): the
+    * container header yields the true sample rate (-> `width`, Hz) and
+    * channel count (-> `height`); the 16-dim feature vector is the RMS
+    * amplitude of the actual PCM samples over 16 equal time windows
+    * (channel-averaged, normalized full-scale). Returns None — falling
+    * back to the declared stub — for payloads no installed reader
+    * recognizes, for PCM layouts outside the JDK file readers' 8/16-bit
+    * set, and for headers whose declared PCM size exceeds
+    * [[MaxAudioBytes]]. */
+  private[operators] def decodeAudio(key: Long,
+      bytes: Array[Byte]): Option[MediaMeta] = {
+    import javax.sound.sampled._
+    try {
+      val ais = AudioSystem.getAudioInputStream(
+        new java.io.ByteArrayInputStream(bytes))
+      try {
+        val fmt = ais.getFormat
+        val enc = fmt.getEncoding
+        val bits = fmt.getSampleSizeInBits
+        val ch = fmt.getChannels
+        val frameSize = fmt.getFrameSize
+        val frames = ais.getFrameLength
+        val sr = fmt.getSampleRate
+        val pcm = (enc == AudioFormat.Encoding.PCM_SIGNED ||
+          enc == AudioFormat.Encoding.PCM_UNSIGNED)
+        if (!pcm || (bits != 8 && bits != 16) || ch <= 0 || frameSize <= 0 ||
+            frames <= 0 || !(sr > 0) || frameSize != ch * (bits / 8) ||
+            frames > MaxAudioBytes / frameSize) None
+        else {
+          val data = ais.readNBytes((frames * frameSize).toInt)
+          val nFrames = data.length / frameSize
+          if (nFrames == 0) None
+          else {
+            val feats = new Array[Float](16)
+            var wdx = 0
+            while (wdx < 16) {
+              val f0 = wdx * nFrames / 16
+              val f1 = math.max(f0 + 1, (wdx + 1) * nFrames / 16)
+              var sum = 0.0
+              var n = 0
+              var f = f0
+              while (f < f1 && f < nFrames) {
+                var acc = 0.0
+                var c = 0
+                while (c < ch) { acc += sampleAt(data, fmt, f, c); c += 1 }
+                val s = acc / ch
+                sum += s * s
+                n += 1
+                f += 1
+              }
+              feats(wdx) = if (n > 0) math.sqrt(sum / n).toFloat else 0f
+              wdx += 1
+            }
+            Some(MediaMeta(key, "audio", bytes.length.toLong,
+              math.round(sr), ch, feats))
+          }
+        }
+      } finally ais.close()
+    } catch { case _: Exception => None }
+  }
+
+  /** Mono 16-bit PCM WAV of a full-scale-alternating square wave — the
+    * deterministic test/data generator for the audio-decode path. Every
+    * sample's magnitude is exactly `amplitude`, so the RMS of ANY window
+    * is `amplitude / 32768` — closed-form for the DuckDB oracle. */
+  def squareWav(sampleRate: Int, frames: Int, amplitude: Int): Array[Byte] = {
+    require(amplitude >= 0 && amplitude <= 32767, s"bad amplitude $amplitude")
+    import javax.sound.sampled._
+    val fmt = new AudioFormat(sampleRate.toFloat, 16, 1,
+      true /* signed */, false /* little-endian */)
+    val data = new Array[Byte](frames * 2)
+    var i = 0
+    while (i < frames) {
+      val v = if ((i & 1) == 0) amplitude else -amplitude
+      data(2 * i) = (v & 0xFF).toByte
+      data(2 * i + 1) = ((v >> 8) & 0xFF).toByte
+      i += 1
+    }
+    val ais = new AudioInputStream(
+      new java.io.ByteArrayInputStream(data), fmt, frames.toLong)
+    val bos = new java.io.ByteArrayOutputStream()
+    AudioSystem.write(ais, AudioFileFormat.Type.WAVE, bos)
+    bos.toByteArray
+  }
+
   /** Solid-color PNG encoder (JDK ImageIO) — the deterministic test/data
     * generator for the image-decode path. */
   def solidPng(w: Int, h: Int, rgb: Int): Array[Byte] = {
@@ -149,22 +265,26 @@ object Multimodal {
     * feature vector out. The plan shape (project -> mapPartitions over
     * binary batches) is exactly what a real decoder needs; partitioning is
     * preserved (no shuffle). Payloads DECLARED "image" decode for REAL
-    * through the JDK (see [[decodeImage]]); other declared types
-    * (audio/video — no codecs in this container) take the deterministic
-    * stub unconditionally, so the declared-type contract of the output is
-    * never silently rewritten by a payload that happens to parse as an
-    * image. */
+    * through the JDK's ImageIO (see [[decodeImage]]); payloads DECLARED
+    * "audio" decode for REAL through `javax.sound.sampled` (see
+    * [[decodeAudio]]); other declared types (video — no JDK codec exists)
+    * take the deterministic stub unconditionally, so the declared-type
+    * contract of the output is never silently rewritten by a payload that
+    * happens to parse as some other medium. */
   def extractFeatures(df: DataFrame, keyCol: String, mediaCol: String,
       mediaType: String = "image"): Dataset[MediaMeta] = {
     val spark = df.sparkSession
     import spark.implicits._
     val tryImage = mediaType == "image"
+    val tryAudio = mediaType == "audio"
     df.select(col(keyCol).cast("long"), col(mediaCol))
       .as[(Long, Array[Byte])]
       .mapPartitions { it =>
         // batch boundary: a real decoder would reuse native buffers here
         it.map { case (key, bytes) =>
-          (if (tryImage) decodeImage(key, bytes) else None)
+          (if (tryImage) decodeImage(key, bytes)
+           else if (tryAudio) decodeAudio(key, bytes)
+           else None)
             .getOrElse(stubDecode(key, mediaType, bytes))
         }
       }

@@ -1517,6 +1517,43 @@ class SparkE2ESpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(audio.forall(_.mediaType == "audio"))
   }
 
+  test("audio decode: real WAV PCM features, hostile header, stub fallback") {
+    val sp = spark
+    import sp.implicits._
+    val wav = Multimodal.squareWav(8000, 1000, 12000)
+    // hostile header: same WAV with the data-chunk size rewritten to claim
+    // 1 GiB of PCM (512M frames) — the declared-size guard must refuse it
+    // BEFORE any buffer allocation and fall back to the stub
+    val evil = wav.clone()
+    val dataAt = (0 until evil.length - 8).find(i =>
+      evil(i) == 'd' && evil(i + 1) == 'a' && evil(i + 2) == 't' &&
+        evil(i + 3) == 'a').get
+    val huge = 1 << 30
+    evil(dataAt + 4) = (huge & 0xFF).toByte
+    evil(dataAt + 5) = ((huge >> 8) & 0xFF).toByte
+    evil(dataAt + 6) = ((huge >> 16) & 0xFF).toByte
+    evil(dataAt + 7) = ((huge >> 24) & 0xFF).toByte
+    val df = Seq((1L, wav), (2L, evil),
+      (3L, "not audio at all".getBytes("UTF-8"))).toDF("doc_id", "payload")
+    val feats = Multimodal.extractFeatures(df, "doc_id", "payload",
+      mediaType = "audio").collect().sortBy(_.key)
+    // real decode: true sample rate + channels, RMS of a full-scale-
+    // alternating square wave == amplitude in EVERY window
+    assert(feats(0).width == 8000 && feats(0).height == 1)
+    assert(feats(0).features.length == 16 &&
+      feats(0).features.forall(f => math.abs(f - 12000f / 32768f) < 1e-4),
+      feats(0).features.mkString(","))
+    // hostile header -> stub (stub widths are 64..1023, never a real rate)
+    assert(feats(1).width < 8000, "declared 1 GiB of PCM must not decode")
+    // unparseable payload -> stub; declared type always sticks
+    assert(feats(2).width < 8000)
+    assert(feats.forall(_.mediaType == "audio"))
+    // declared video still takes the deterministic stub even for a real WAV
+    val video = Multimodal.extractFeatures(df, "doc_id", "payload",
+      mediaType = "video").collect()
+    assert(video.forall(m => m.mediaType == "video" && m.width < 1024))
+  }
+
   test("IVF compiles a sane plan and answers at 768 dims (no per-dim aggs)") {
     val sp = spark
     import sp.implicits._
