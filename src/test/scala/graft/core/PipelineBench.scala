@@ -36,10 +36,8 @@ object PipelineBench {
       .config("spark.sql.shuffle.partitions", math.max(cores, 8))
       .config("spark.ui.enabled", "false")
       .config("spark.local.dir", "/dev/shm/spark-local")
-      // tmpfs shuffle: LZ4 block compression is pure CPU overhead on a RAM
-      // disk (same rationale and setting as Bench.session)
-      .config("spark.shuffle.compress", "false")
-      .config("spark.shuffle.spill.compress", "false")
+      // shuffle compression measured both ways (see Bench.session): off is
+      // faster single-thread, ~20% slower at local[32]; keep the default
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     val path = s"/dev/shm/spark-local/pipe-input-$rows"
