@@ -128,8 +128,9 @@ object EncodeMain {
     val agg = lin.agg(
       org.apache.spark.sql.functions.sum("inputBytes"),
       org.apache.spark.sql.functions.sum("outputBytes")).collect()(0)
-    val rawBytes = agg.getLong(0)
-    val encBytes = agg.getLong(1)
+    // sum() over zero lineage rows (empty input) yields null, not 0
+    val rawBytes = if (agg.isNullAt(0)) 0L else agg.getLong(0)
+    val encBytes = if (agg.isNullAt(1)) 0L else agg.getLong(1)
     println(f"encoded $rawBytes%d raw bytes -> $encBytes%d" +
       f" (ratio ${encBytes.toDouble / math.max(1L, rawBytes)}%.4f)" +
       f" in $secs%.1f s (${rawBytes / secs / 1e9}%.3f GB/s)")

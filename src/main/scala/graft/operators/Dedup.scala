@@ -112,11 +112,13 @@ object Dedup {
       numHashes: Int = 64, shingleSize: Int = 5): DataFrame = {
     val baseHashes = transform(TextOps.wordShingles(col(textCol), shingleSize),
       s => xxhash64(s))
-    val sig = array((0 until numHashes).map { i =>
-      array_min(transform(col("__mh_base"), x => xxhash64(x, lit(i))))
-    }: _*)
+    // one-pass custom Expression: bit-identical to
+    //   array((0 until n).map(i => array_min(transform(base, xxhash64(_, i)))))
+    // but without the n short-lived arrays per row that form allocates
+    // (~100 KB/row at n=64 on a 200-shingle doc) — see MinHashSig's scaladoc
     df.withColumn("__mh_base", baseHashes)
-      .withColumn("minhash", sig)
+      .withColumn("minhash",
+        graft.functions.MinHashSig(col("__mh_base"), numHashes))
       .drop("__mh_base")
   }
 

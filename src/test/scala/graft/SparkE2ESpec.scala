@@ -327,6 +327,30 @@ class SparkE2ESpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(sPairs.count() >= 5)
   }
 
+  test("MinHashSig expression is bit-identical to the composed built-in form") {
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet").limit(200)
+    val base = transform(TextOps.wordShingles(col("text"), 5), s => xxhash64(s))
+    val n = 32
+    // the exact composed plan minhashSignature used before the one-pass
+    // Expression replaced it — the signatures (and so every LSH bucket and
+    // estimate downstream) must not move by a single bit
+    val composed = array((0 until n).map { i =>
+      array_min(transform(col("__b"), x => xxhash64(x, lit(i))))
+    }: _*)
+    val both = docs.withColumn("__b", base)
+      .select(col("doc_id"), composed.as("old"),
+        graft.functions.MinHashSig(col("__b"), n).as("new"))
+      .withColumn("eq", col("old") === col("new"))
+    assert(both.where(!col("eq")).count() == 0)
+    // and through the public operator: signatures survive the full path
+    val viaOp = Dedup.minhashSignature(docs, "text", n)
+      .select(col("doc_id"), col("minhash"))
+    val joined = both.select(col("doc_id"), col("old"))
+      .join(viaOp, "doc_id")
+      .where(col("old") =!= col("minhash"))
+    assert(joined.count() == 0)
+  }
+
   test("simhash blocking has full recall at dist <= 3, incl. top-bit flips") {
     val sp = spark
     import sp.implicits._
