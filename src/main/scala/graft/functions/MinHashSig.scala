@@ -52,16 +52,16 @@ case class MinHashSig(child: Expression, numHashes: Int)
     val n = arr.numElements()
     var j = 0
     while (j < n) {
-      if (!arr.isNullAt(j)) {
-        // xxhash64(x, lit(i)) is Spark's seed-42 CHAINED multi-arg hash:
-        // hashInt(i, hashLong(x, 42)) — hash x once, derive per-i from it
-        val b = XXH64.hashLong(arr.getLong(j), 42L)
-        var i = 0
-        while (i < numHashes) {
-          val h = XXH64.hashInt(i, b)
-          if (h < mins(i)) mins(i) = h
-          i += 1
-        }
+      // xxhash64(x, lit(i)) is Spark's seed-42 CHAINED multi-arg hash:
+      // hashInt(i, hashLong(x, 42)) — hash x once, derive per-i from it.
+      // A null element leaves the chained seed untouched (Spark hash
+      // semantics), so its contribution is hashInt(i, 42).
+      val b = if (arr.isNullAt(j)) 42L else XXH64.hashLong(arr.getLong(j), 42L)
+      var i = 0
+      while (i < numHashes) {
+        val h = XXH64.hashInt(i, b)
+        if (h < mins(i)) mins(i) = h
+        i += 1
       }
       j += 1
     }
@@ -83,12 +83,11 @@ case class MinHashSig(child: Expression, numHashes: Int)
          |java.util.Arrays.fill($mins, Long.MAX_VALUE);
          |final int $n = $c.numElements();
          |for (int $j = 0; $j < $n; $j++) {
-         |  if (!$c.isNullAt($j)) {
-         |    final long $x = $xxh.hashLong($c.getLong($j), 42L);
-         |    for (int $i = 0; $i < $numHashes; $i++) {
-         |      final long $h = $xxh.hashInt($i, $x);
-         |      if ($h < $mins[$i]) $mins[$i] = $h;
-         |    }
+         |  final long $x = $c.isNullAt($j)
+         |    ? 42L : $xxh.hashLong($c.getLong($j), 42L);
+         |  for (int $i = 0; $i < $numHashes; $i++) {
+         |    final long $h = $xxh.hashInt($i, $x);
+         |    if ($h < $mins[$i]) $mins[$i] = $h;
          |  }
          |}
          |${ev.value} = new $gad($mins);

@@ -349,6 +349,20 @@ class SparkE2ESpec extends AnyFunSuite with BeforeAndAfterAll {
       .join(viaOp, "doc_id")
       .where(col("old") =!= col("minhash"))
     assert(joined.count() == 0)
+
+    // null elements: the composed form's chained xxhash64 skips a null
+    // child, contributing hashInt(i, seed=42) — the expression must match
+    val sp = spark
+    import sp.implicits._
+    val withNulls = Seq(Seq[java.lang.Long](3L, null, 9L),
+      Seq[java.lang.Long](null), Seq[java.lang.Long](7L))
+      .toDF("b")
+    val composedN = array((0 until 8).map { i =>
+      array_min(transform(col("b"), x => xxhash64(x, lit(i))))
+    }: _*)
+    val nBoth = withNulls.select(composedN.as("old"),
+      graft.functions.MinHashSig(col("b"), 8).as("new"))
+    assert(nBoth.where(col("old") =!= col("new")).count() == 0)
   }
 
   test("simhash blocking has full recall at dist <= 3, incl. top-bit flips") {
