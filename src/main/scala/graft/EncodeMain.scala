@@ -23,6 +23,9 @@ import graft.operators.{ChunkRow, DecodeJob, EncodeJob, Verifier}
   *   [--block-codec none|snappy|zstd|lz4|gzip|brotli]
   *   [--no-resume]               full re-encode (default resumes from the
   *                               outDir/lineage checkpoint)
+  *   [--checkpoint-every K]      commit the lineage checkpoint every K
+  *                               partitions (bounded crash loss; default 0
+  *                               = one commit at job end)
   *   [--verify k1,k2,...]        decode chunks back and compare per-row
   *                               sha256 of every non-key column against the
   *                               input, joined on the (unique) key columns;
@@ -45,7 +48,7 @@ object EncodeMain {
       "usage: EncodeMain <inputDir> <outDir> [--partitions N]" +
         " [--partition-keys a,b] [--sort-keys a,b,c] [--columns a,b,...]" +
         " [--block-codec none|snappy|zstd|lz4|gzip|brotli] [--no-resume]" +
-        " [--verify k1,k2,...]")
+        " [--checkpoint-every K] [--verify k1,k2,...]")
     sys.exit(2)
   }
 
@@ -59,6 +62,7 @@ object EncodeMain {
     var columns: Seq[String] = Seq.empty
     var blockCodec = BlockCodec.None
     var resume = true
+    var checkpointEvery = 0
     var verifyKeys: Seq[String] = Seq.empty
     var i = 2
     while (i < args.length) {
@@ -85,6 +89,8 @@ object EncodeMain {
           }
           i += 2
         case "--no-resume" => resume = false; i += 1
+        case "--checkpoint-every" =>
+          checkpointEvery = args(i + 1).toInt; i += 2
         case "--verify" =>
           verifyKeys = args(i + 1).split(",").toSeq.filter(_.nonEmpty); i += 2
         case other => fail(s"unknown option $other")
@@ -115,7 +121,7 @@ object EncodeMain {
     val t0 = System.nanoTime()
     if (resume) {
       EncodeJob.encodeResumable(df, outDir, partitions, pKeys, sKeys,
-        blockCodec = blockCodec)
+        blockCodec = blockCodec, checkpointEvery = checkpointEvery)
     } else {
       EncodeJob.encode(df, partitions, pKeys, sKeys, blockCodec = blockCodec)
         .write.mode("overwrite").parquet(s"$outDir/chunks")

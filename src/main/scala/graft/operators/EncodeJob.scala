@@ -131,15 +131,37 @@ object EncodeJob {
     // land with it.
     val saltCols = schema.fields.filter(f =>
       !f.dataType.isInstanceOf[MapType]).map(_.name).toSeq
-    val salt =
-      if (saltCols.isEmpty) pmod(spark_partition_id().cast("long"), lit(saltBuckets)).as("__salt")
-      else pmod(xxhash64(saltCols.map(col): _*), lit(saltBuckets)).as("__salt")
+    val saltExpr =
+      if (saltCols.isEmpty) pmod(spark_partition_id().cast("long"), lit(saltBuckets))
+      else pmod(xxhash64(saltCols.map(col): _*), lit(saltBuckets))
+    val salt = saltExpr.as("__salt")
+    // Resume pruning BEFORE the exchange: `repartition(n, exprs)` routes a
+    // row to pmod(murmur3(exprs, seed 42), n) — the same hash chain
+    // `functions.hash` computes — so a row's target partition is knowable
+    // at the scan. Filtering there means rows bound for already-completed
+    // partitions never enter the shuffle (nor the per-partition sort): a
+    // 95%-done resume shuffles ~5% of the input instead of 100%. (The
+    // mapPartitions-level skip below still guards the numPartitions <= 0
+    // and MAP-salt cases, where the target isn't expressible pre-shuffle.)
+    val preFiltered =
+      if (skipPartitions.isEmpty || numPartitions <= 0 || saltCols.isEmpty) df
+      else {
+        val exprs = if (partitionKeys.isEmpty) Seq(saltExpr)
+          else partitionKeys.map(col) :+ saltExpr
+        val tgt = pmod(hash(exprs: _*), lit(numPartitions))
+        // emit whichever literal set is smaller: `pending` on a mostly-done
+        // resume, `skip` on a mostly-fresh one
+        val pending = (0 until numPartitions).filterNot(skipPartitions)
+        if (pending.isEmpty) df.where(lit(false))
+        else if (pending.size <= skipPartitions.size) df.where(tgt.isin(pending: _*))
+        else df.where(!tgt.isin(skipPartitions.toSeq: _*))
+      }
     // numPartitions <= 0 keeps the caller's partitioning (e.g. a
     // repartitionByRange whose clustering makes min/max chunk stats tight)
     val keyed =
-      if (numPartitions <= 0) df
-      else if (partitionKeys.isEmpty) df.repartition(numPartitions, salt)
-      else df.repartition(numPartitions, (partitionKeys.map(col) :+ salt): _*)
+      if (numPartitions <= 0) preFiltered
+      else if (partitionKeys.isEmpty) preFiltered.repartition(numPartitions, salt)
+      else preFiltered.repartition(numPartitions, (partitionKeys.map(col) :+ salt): _*)
     val sorted =
       if (sortKeys.isEmpty) keyed
       else keyed.sortWithinPartitions(sortKeys.map(col): _*)
@@ -314,10 +336,21 @@ object EncodeJob {
 
   /** Checkpoint-resumable encode: chunks + lineage land under `outDir`; a
     * re-run after partial failure reads the lineage table and skips
-    * partitions whose every column already has a manifest. */
+    * partitions whose every column already has a manifest.
+    *
+    * `checkpointEvery` > 0 bounds how much work a crash can lose: pending
+    * partitions are processed in batches of that size, and the lineage
+    * checkpoint is committed after each batch. Spark's output committer
+    * publishes a job's files only at job end, so the single-job form
+    * (checkpointEvery = 0) loses the WHOLE run to a mid-run kill; with
+    * batches, a kill loses at most one batch and the next invocation
+    * resumes from the last committed one. Each batch re-scans the input
+    * but — via the pre-shuffle target-partition filter in [[encode]] —
+    * shuffles and sorts only its own rows, so total shuffle work across
+    * all batches equals one unbatched run. */
   def encodeResumable(df: DataFrame, outDir: String, numPartitions: Int,
       partitionKeys: Seq[String], sortKeys: Seq[String],
-      blockCodec: Int = BlockCodec.None): Unit = {
+      blockCodec: Int = BlockCodec.None, checkpointEvery: Int = 0): Unit = {
     val spark = df.sparkSession
     import spark.implicits._
     val nCols = df.schema.fields.length
@@ -328,32 +361,42 @@ object EncodeJob {
           .where($"n" === nCols)
           .select($"partId").as[Int].collect().toSet
       } catch { case _: Throwable => Set.empty }
-    val chunks = encode(df, numPartitions, partitionKeys, sortKeys,
-      skipPartitions = done, blockCodec = blockCodec)
-    // idempotent resume: chunk output is Hive-partitioned by partId and
-    // dynamically overwritten per re-encoded partition. A prior attempt
-    // that committed chunk files but died before the lineage rewrite is
-    // NOT in `done`, so its partition re-encodes — with a flat append
-    // those rows would duplicate next to the orphans and break decode;
-    // overwriting only the touched partId directories replaces them.
-    chunks.write.partitionBy("partId")
-      .option("partitionOverwriteMode", "dynamic")
-      .mode("overwrite").parquet(s"$outDir/chunks")
-    val newChunks = spark.read.parquet(s"$outDir/chunks").as[ChunkRow]
-      .filter(!$"partId".isin(done.toSeq: _*) || lit(done.isEmpty))
-    lineage(newChunks).write.mode("overwrite").parquet(s"$outDir/lineage_new")
-    // merge manifests: completed partitions keep their rows
-    val merged =
-      try {
-        val old = spark.read.parquet(s"$outDir/lineage").as[LineageRow]
-          .filter($"partId".isin(done.toSeq: _*))
-        spark.read.parquet(s"$outDir/lineage_new").as[LineageRow].unionByName(old)
-      } catch { case _: Throwable =>
-        spark.read.parquet(s"$outDir/lineage_new").as[LineageRow] }
-    merged.write.mode("overwrite").parquet(s"$outDir/lineage_merged")
-    // atomic-ish swap via rename is fs-dependent; rewrite instead
-    spark.read.parquet(s"$outDir/lineage_merged").write.mode("overwrite")
-      .parquet(s"$outDir/lineage")
+    val pending = (0 until numPartitions).filterNot(done)
+    val batches: Seq[Seq[Int]] =
+      if (checkpointEvery <= 0 || checkpointEvery >= pending.size) Seq(pending)
+      else pending.grouped(checkpointEvery).toSeq
+    var committed = done
+    batches.foreach { batch =>
+      val skip = (0 until numPartitions).toSet -- batch
+      val chunks = encode(df, numPartitions, partitionKeys, sortKeys,
+        skipPartitions = skip, blockCodec = blockCodec)
+      // idempotent resume: chunk output is Hive-partitioned by partId and
+      // dynamically overwritten per re-encoded partition. A prior attempt
+      // that committed chunk files but died before the lineage rewrite is
+      // NOT in `committed`, so its partition re-encodes — with a flat
+      // append those rows would duplicate next to the orphans and break
+      // decode; overwriting only the touched partId directories replaces
+      // them.
+      chunks.write.partitionBy("partId")
+        .option("partitionOverwriteMode", "dynamic")
+        .mode("overwrite").parquet(s"$outDir/chunks")
+      val newChunks = spark.read.parquet(s"$outDir/chunks").as[ChunkRow]
+        .filter(!$"partId".isin(committed.toSeq: _*) || lit(committed.isEmpty))
+      lineage(newChunks).write.mode("overwrite").parquet(s"$outDir/lineage_new")
+      // merge manifests: completed partitions keep their rows
+      val merged =
+        try {
+          val old = spark.read.parquet(s"$outDir/lineage").as[LineageRow]
+            .filter($"partId".isin(committed.toSeq: _*))
+          spark.read.parquet(s"$outDir/lineage_new").as[LineageRow].unionByName(old)
+        } catch { case _: Throwable =>
+          spark.read.parquet(s"$outDir/lineage_new").as[LineageRow] }
+      merged.write.mode("overwrite").parquet(s"$outDir/lineage_merged")
+      // atomic-ish swap via rename is fs-dependent; rewrite instead
+      spark.read.parquet(s"$outDir/lineage_merged").write.mode("overwrite")
+        .parquet(s"$outDir/lineage")
+      committed = committed ++ batch
+    }
   }
 }
 

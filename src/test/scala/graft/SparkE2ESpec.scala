@@ -85,6 +85,60 @@ class SparkE2ESpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(manifests(df8).toSeq == manifests(df32).toSeq)
   }
 
+  test("pre-shuffle resume pruning preserves chunk identity per partition") {
+    // encode() predicts each row's target partition with pmod(hash(keys :+
+    // salt), n) — the same murmur3 chain repartition() routes by — and
+    // filters skipped-partition rows BEFORE the exchange. If the prediction
+    // ever diverged from the partitioner, rows would leak out of (or into)
+    // surviving partitions and their chunk hashes would change; equality
+    // against the unskipped run is therefore a per-row routing proof.
+    val df = code(900L, 3)
+    def key(c: graft.operators.ChunkRow) =
+      (c.partId, c.chunkIdx, c.colIdx, c.sha256)
+    val full = EncodeJob.encode(df, 6, Seq("repo", "lang"),
+      Seq("repo", "path", "commit")).collect().map(key).sortBy(x => x)
+    val skip = Set(0, 2, 5)
+    assert(full.exists(c => skip.contains(c._1)), "skip set must be non-trivial")
+    val pruned = EncodeJob.encode(df, 6, Seq("repo", "lang"),
+      Seq("repo", "path", "commit"), skipPartitions = skip)
+      .collect().map(key).sortBy(x => x)
+    assert(pruned.toSeq == full.filterNot(c => skip.contains(c._1)).toSeq)
+    // complement-literal branch: skip most partitions, keep a couple
+    val skipMost = Set(0, 1, 2, 4)
+    val prunedMost = EncodeJob.encode(df, 6, Seq("repo", "lang"),
+      Seq("repo", "path", "commit"), skipPartitions = skipMost)
+      .collect().map(key).sortBy(x => x)
+    assert(prunedMost.toSeq == full.filterNot(c => skipMost.contains(c._1)).toSeq)
+  }
+
+  test("checkpointEvery batches match the single-shot output and bound crash loss") {
+    val df = code(800L, 2)
+    val oneShot = java.nio.file.Files.createTempDirectory("graft-ck1").toString
+    EncodeJob.encodeResumable(df, oneShot, 6, Seq("repo", "lang"),
+      Seq("repo", "path", "commit"))
+    val batched = java.nio.file.Files.createTempDirectory("graft-ck2").toString
+    EncodeJob.encodeResumable(df, batched, 6, Seq("repo", "lang"),
+      Seq("repo", "path", "commit"), checkpointEvery = 2)
+    def lin(out: String) = spark.read.parquet(s"$out/lineage")
+      .select("partId", "column", "sha256Manifest")
+      .collect().map(r => (r.getInt(0), r.getString(1), r.getString(2)))
+      .sortBy(x => (x._1, x._2)).toSeq
+    assert(lin(batched) == lin(oneShot))
+    assert(spark.read.parquet(s"$batched/chunks").count() ==
+      spark.read.parquet(s"$oneShot/chunks").count())
+    // simulate a kill after the second of three checkpoints: drop the last
+    // batch's lineage rows; the next invocation must re-encode exactly the
+    // missing partitions and converge to the same manifests
+    val keep = spark.read.parquet(s"$batched/lineage")
+      .where(col("partId") < 4)
+    keep.write.mode("overwrite").parquet(s"$batched/lineage_trunc")
+    spark.read.parquet(s"$batched/lineage_trunc").write.mode("overwrite")
+      .parquet(s"$batched/lineage")
+    EncodeJob.encodeResumable(df, batched, 6, Seq("repo", "lang"),
+      Seq("repo", "path", "commit"), checkpointEvery = 2)
+    assert(lin(batched) == lin(oneShot))
+  }
+
   test("resumable encode skips completed partitions") {
     val out = java.nio.file.Files.createTempDirectory("graft-resume").toString
     val df = code(800L, 2)
