@@ -22,10 +22,9 @@ import graft.operators.{ChunkRow, DecodeJob, EncodeJob, Verifier}
   *   [--columns a,b,...]         project the input first
   *   [--block-codec none|snappy|zstd|lz4|gzip|brotli]
   *   [--no-resume]               full re-encode (default resumes from the
-  *                               outDir/lineage checkpoint)
-  *   [--checkpoint-every K]      commit the lineage checkpoint every K
-  *                               partitions (bounded crash loss; default 0
-  *                               = one commit at job end)
+  *                               outDir/lineage checkpoint; every completed
+  *                               TASK is durable, so a crash loses only
+  *                               in-flight partitions)
   *   [--verify k1,k2,...]        decode chunks back and compare per-row
   *                               sha256 of every non-key column against the
   *                               input, joined on the (unique) key columns;
@@ -48,7 +47,7 @@ object EncodeMain {
       "usage: EncodeMain <inputDir> <outDir> [--partitions N]" +
         " [--partition-keys a,b] [--sort-keys a,b,c] [--columns a,b,...]" +
         " [--block-codec none|snappy|zstd|lz4|gzip|brotli] [--no-resume]" +
-        " [--checkpoint-every K] [--verify k1,k2,...]")
+        " [--verify k1,k2,...]")
     sys.exit(2)
   }
 
@@ -62,7 +61,6 @@ object EncodeMain {
     var columns: Seq[String] = Seq.empty
     var blockCodec = BlockCodec.None
     var resume = true
-    var checkpointEvery = 0
     var verifyKeys: Seq[String] = Seq.empty
     var i = 2
     while (i < args.length) {
@@ -89,8 +87,6 @@ object EncodeMain {
           }
           i += 2
         case "--no-resume" => resume = false; i += 1
-        case "--checkpoint-every" =>
-          checkpointEvery = args(i + 1).toInt; i += 2
         case "--verify" =>
           verifyKeys = args(i + 1).split(",").toSeq.filter(_.nonEmpty); i += 2
         case other => fail(s"unknown option $other")
@@ -121,7 +117,7 @@ object EncodeMain {
     val t0 = System.nanoTime()
     if (resume) {
       EncodeJob.encodeResumable(df, outDir, partitions, pKeys, sKeys,
-        blockCodec = blockCodec, checkpointEvery = checkpointEvery)
+        blockCodec = blockCodec)
     } else {
       EncodeJob.encode(df, partitions, pKeys, sKeys, blockCodec = blockCodec)
         .write.mode("overwrite").parquet(s"$outDir/chunks")

@@ -1058,8 +1058,13 @@ object ParquetSink {
         // staged dot-file renamed on completion: a mid-write crash leaves
         // only ignored staging garbage (resume rewrites it — no lineage
         // row committed), never a truncated .parquet that would fail
-        // concurrent scans of the directory
-        val stage = f"$dir/.part-$pid%05d.parquet.inprogress"
+        // concurrent scans of the directory. The attempt id keeps
+        // speculative/retried attempts from interleaving writes into one
+        // stage file; whichever attempt finishes renames to the same
+        // deterministic target (atomic REPLACE — identical content).
+        val attempt = Option(TaskContext.get())
+          .map(_.taskAttemptId()).getOrElse(0L)
+        val stage = f"$dir/.part-$pid%05d.parquet.$attempt%d.inprogress"
         val w = new ParquetFileWriter.IncrementalFileWriter(stage, schema,
           rowGroupRows, codec, pageVersion, encPolicy = encPolicy)
         it.foreach(w.add)

@@ -111,32 +111,46 @@ class SparkE2ESpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(prunedMost.toSeq == full.filterNot(c => skipMost.contains(c._1)).toSeq)
   }
 
-  test("checkpointEvery batches match the single-shot output and bound crash loss") {
+  test("task-durable resume: sidecar lineage matches lineage(), crash loses only in-flight work") {
     val df = code(800L, 2)
-    val oneShot = java.nio.file.Files.createTempDirectory("graft-ck1").toString
-    EncodeJob.encodeResumable(df, oneShot, 6, Seq("repo", "lang"),
+    val out = java.nio.file.Files.createTempDirectory("graft-task1").toString
+    EncodeJob.encodeResumable(df, out, 6, Seq("repo", "lang"),
       Seq("repo", "path", "commit"))
-    val batched = java.nio.file.Files.createTempDirectory("graft-ck2").toString
-    EncodeJob.encodeResumable(df, batched, 6, Seq("repo", "lang"),
-      Seq("repo", "path", "commit"), checkpointEvery = 2)
-    def lin(out: String) = spark.read.parquet(s"$out/lineage")
-      .select("partId", "column", "sha256Manifest")
-      .collect().map(r => (r.getInt(0), r.getString(1), r.getString(2)))
-      .sortBy(x => (x._1, x._2)).toSeq
-    assert(lin(batched) == lin(oneShot))
-    assert(spark.read.parquet(s"$batched/chunks").count() ==
-      spark.read.parquet(s"$oneShot/chunks").count())
-    // simulate a kill after the second of three checkpoints: drop the last
-    // batch's lineage rows; the next invocation must re-encode exactly the
-    // missing partitions and converge to the same manifests
-    val keep = spark.read.parquet(s"$batched/lineage")
-      .where(col("partId") < 4)
-    keep.write.mode("overwrite").parquet(s"$batched/lineage_trunc")
-    spark.read.parquet(s"$batched/lineage_trunc").write.mode("overwrite")
-      .parquet(s"$batched/lineage")
-    EncodeJob.encodeResumable(df, batched, 6, Seq("repo", "lang"),
-      Seq("repo", "path", "commit"), checkpointEvery = 2)
-    assert(lin(batched) == lin(oneShot))
+    def lin(dir: String) = spark.read.parquet(s"$dir/lineage")
+      .select("partId", "column", "codecs", "numChunks", "numValues",
+        "inputBytes", "outputBytes", "refPolicyBytes", "sha256Manifest")
+      .collect().map(_.toSeq).sortBy(_.mkString("|")).toSeq
+    // the in-task sidecar rows must be byte-equal to the distributed
+    // lineage() aggregation over the same chunk table (incl. the sha256
+    // manifest-of-manifests and the '+'-joined sorted codec set)
+    val viaAgg = EncodeJob.lineage(
+        spark.read.parquet(s"$out/chunks").as[graft.operators.ChunkRow](
+          org.apache.spark.sql.Encoders.product[graft.operators.ChunkRow]))
+      .toDF().select("partId", "column", "codecs", "numChunks", "numValues",
+        "inputBytes", "outputBytes", "refPolicyBytes", "sha256Manifest")
+      .collect().map(_.toSeq).sortBy(_.mkString("|")).toSeq
+    val sidecars = lin(out)
+    assert(sidecars.nonEmpty && sidecars == viaAgg)
+    // chunk files are task-committed with deterministic names: one file
+    // per non-empty partition, no staging leftovers visible
+    val files = new java.io.File(s"$out/chunks").listFiles().map(_.getName)
+    assert(files.forall(f => f.matches("part-\\d{5}\\.parquet")))
+    // decoded rows roundtrip bit-identically through the task-written files
+    val back = graft.operators.DecodeJob.decode(
+      spark.read.parquet(s"$out/chunks").as[graft.operators.ChunkRow](
+        org.apache.spark.sql.Encoders.product[graft.operators.ChunkRow]),
+      df.schema)
+    assert(back.count() == df.count())
+    // simulate a crash between the chunk-file rename and the sidecar
+    // rename (the only non-atomic window): drop one partition's sidecar;
+    // resume must re-encode exactly that partition in place and converge
+    val victim = sidecars.head.head.asInstanceOf[Int]
+    assert(new java.io.File(f"$out/lineage/part-$victim%05d.parquet").delete())
+    EncodeJob.encodeResumable(df, out, 6, Seq("repo", "lang"),
+      Seq("repo", "path", "commit"))
+    assert(lin(out) == viaAgg)
+    val files2 = new java.io.File(s"$out/chunks").listFiles().map(_.getName)
+    assert(files2.sorted.toSeq == files.sorted.toSeq, "no duplicate chunk files")
   }
 
   test("resumable encode skips completed partitions") {
