@@ -34,10 +34,13 @@ import graft.operators.{ChunkRow, DecodeJob, EncodeJob, Verifier}
   * `inputDir` is any Spark-readable parquet directory; on a classpath with
   * an Iceberg runtime the same pipeline runs off `spark.table(...)` —
   * nothing below the DataFrame boundary changes (SURVEY.md §7.8). Output is
-  * `outDir/chunks` (Hive-partitioned by partId) + `outDir/lineage`
-  * (per-(partition, column) codec, byte, and sha256-manifest rows — the
-  * resume checkpoint). Reruns re-encode only partitions whose lineage rows
-  * are missing or incomplete.
+  * `outDir/chunks/part-<partId>.parquet` (one task-committed file per
+  * partition, written by the engine's own parquet writer) +
+  * `outDir/lineage/part-<partId>.parquet` sidecars (per-(partition,
+  * column) codec, byte, and sha256-manifest rows — the resume
+  * checkpoint, committed per TASK so a crash loses only in-flight
+  * partitions). Reruns re-encode only partitions whose lineage rows are
+  * missing or incomplete.
   */
 object EncodeMain {
 

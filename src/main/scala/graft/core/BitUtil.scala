@@ -30,6 +30,15 @@ object BitUtil {
 
   private[core] val LongView = java.lang.invoke.MethodHandles.byteArrayViewVarHandle(
     classOf[Array[Long]], java.nio.ByteOrder.LITTLE_ENDIAN)
+
+  /** Lowercase hex of a digest — the ONE rendering every sha256 the engine
+    * records (chunk hashes, lineage manifests, file manifests) flows
+    * through, so the byte-equality contracts between them cannot drift. */
+  def hexLower(d: Array[Byte]): String = {
+    val sb = new java.lang.StringBuilder(d.length * 2)
+    d.foreach(b => sb.append(f"${b & 0xFF}%02x"))
+    sb.toString
+  }
 }
 
 /** Growable little-endian bit/byte writer. */

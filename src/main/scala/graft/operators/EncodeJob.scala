@@ -370,6 +370,13 @@ object EncodeJob {
           io.delete(s"$d/${e.name}")
       }
     }
+    // fail fast on a checkpoint dir from the pre-task-durable layout
+    // (Hive `partId=N/` subdirectories): mixing flat task-committed files
+    // into it would break partition discovery and double-count lineage
+    require(!io.list(s"$outDir/chunks").exists(e =>
+        e.isDir && e.name.startsWith("partId=")),
+      s"$outDir/chunks uses the legacy partId=N layout — re-encode into " +
+        "a fresh directory (task-durable resume writes flat part files)")
     val done: Set[Int] =
       try {
         spark.read.parquet(s"$outDir/lineage")
@@ -383,6 +390,29 @@ object EncodeJob {
     val lineageSchema = Encoders.product[LineageRow].schema
     chunks.foreachPartition { (it: Iterator[ChunkRow]) =>
       if (it.hasNext) writeTaskCheckpoint(outDir, chunkSchema, lineageSchema, it)
+    }
+    // the job completed, so any partition still without a sidecar received
+    // zero rows (hash gaps — e.g. few distinct (keys, salt) combinations).
+    // Mark them done with numChunks=0 rows, otherwise they stay pending
+    // forever and every no-op rerun re-scans the input instead of hitting
+    // the where(lit(false)) fast path.
+    if (numPartitions > 0) {
+      val have = io.list(s"$outDir/lineage").iterator.map(_.name).collect {
+        case n if n.startsWith("part-") && n.endsWith(".parquet") =>
+          n.stripPrefix("part-").stripSuffix(".parquet").toInt
+      }.toSet
+      val columns = df.schema.fieldNames
+      (0 until numPartitions).filterNot(have).foreach { pid =>
+        val lstage = f"$outDir/lineage/.part-$pid%05d.parquet.driver.inprogress"
+        val lpath = f"$outDir/lineage/part-$pid%05d.parquet"
+        val lw = new graft.sources.ParquetFileWriter.IncrementalFileWriter(
+          lstage, lineageSchema, codec = graft.sources.PqCodec.Zstd)
+        columns.foreach { c =>
+          lw.addRow(org.apache.spark.sql.Row(pid, c, "", 0L, 0L, 0L, 0L, 0L, ""))
+        }
+        lw.close()
+        io.rename(lstage, lpath)
+      }
     }
   }
 
@@ -441,8 +471,8 @@ object EncodeJob {
     accs.foreach { case (column, a) =>
       val manifest = {
         val joined = a.shas.sortBy(_._1).map(_._2).mkString(",")
-        java.security.MessageDigest.getInstance("SHA-256")
-          .digest(joined.getBytes("UTF-8")).map(b => f"$b%02x").mkString
+        BitUtil.hexLower(java.security.MessageDigest.getInstance("SHA-256")
+          .digest(joined.getBytes("UTF-8")))
       }
       lw.addRow(org.apache.spark.sql.Row(pid, column,
         a.codecs.toSeq.sorted.mkString("+"), a.shas.length.toLong,
@@ -1024,9 +1054,5 @@ object ColVecHash {
       case other => md.update(PlainCodec.encode(other))
     }
   }
-  private def other2hex(d: Array[Byte]): String = {
-    val sb = new StringBuilder(d.length * 2)
-    d.foreach(b => sb.append(f"${b & 0xFF}%02x"))
-    sb.toString
-  }
+  private def other2hex(d: Array[Byte]): String = BitUtil.hexLower(d)
 }

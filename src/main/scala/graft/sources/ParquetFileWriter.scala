@@ -166,7 +166,13 @@ object ParquetFileWriter {
         * eighth physical type) instead of INT64 TIMESTAMP_MICROS. For
         * consumers that still expect INT96; modern writers should leave
         * this off. */
-      int96Timestamps: Boolean = false) {
+      int96Timestamps: Boolean = false,
+      /** byte-based row-group cut (parquet.block.size analogue): a group
+        * also flushes once its buffered RAW bytes reach this, so wide
+        * rows (multi-MB blobs, giant strings) can't accumulate a whole
+        * partition in the builder arenas before the row-count cut —
+        * unbounded task memory and a 2 GiB arena overflow at scale. */
+      rowGroupBytes: Long = 128L << 20) {
     private val fields = schema.fields
     private val nCols = fields.length
     // create-or-truncate through the pluggable I/O seam: local paths hit
@@ -189,13 +195,17 @@ object ParquetFileWriter {
     private var totalRows = 0L
     private var buffered = 0
 
+    private var bufferedBytes = 0L
+
     /** Push one CATALYST row (the native DSv2 DataWriter shape — values are
       * copied out before return, so the caller may reuse the instance). */
     def add(row: InternalRow): Unit = {
       var c = 0
-      while (c < nCols) { builders(c).add(row, c); c += 1 }
+      while (c < nCols) { bufferedBytes += builders(c).add(row, c); c += 1 }
       buffered += 1
-      if (buffered >= rowGroupRows) { flushRowGroup(buffered); buffered = 0 }
+      if (buffered >= rowGroupRows || bufferedBytes >= rowGroupBytes) {
+        flushRowGroup(buffered); buffered = 0; bufferedBytes = 0L
+      }
     }
 
     // external-Row convenience for tests/tools; converts at the boundary
@@ -986,6 +996,25 @@ object ChunkCodecSupport {
   * local-path write becomes a DFS stream, the per-partition shape is
   * identical). Returns one (path, rows) row per written file. */
 object ParquetSink {
+
+  /** Task attempt id for stage-file uniqueness (0 outside a task, e.g.
+    * driver-side test calls). */
+  private def taskAttempt(): Long =
+    Option(TaskContext.get()).map(_.taskAttemptId()).getOrElse(0L)
+
+  /** Delete `.…inprogress` staging orphans left by killed attempts of a
+    * PREVIOUS run (this run's attempts stage under fresh attempt ids, so
+    * anything present at start is dead). Dot-prefixed names are invisible
+    * to scans either way — this reclaims the disk. Single-writer-per-dir,
+    * like every resume path here. */
+  private def sweepStaging(dir: String): Unit = {
+    val io = GraftIO.forPath(dir)
+    io.list(dir).foreach { e =>
+      if (!e.isDir && e.name.startsWith(".") && e.name.endsWith(".inprogress"))
+        io.delete(s"$dir/${e.name}")
+    }
+  }
+
   def write(df: DataFrame, dir: String, codec: Int = PqCodec.Snappy,
       rowGroupRows: Int = 1 << 16, pageVersion: Int = 1,
       bloomCols: Seq[String] = Nil,
@@ -996,6 +1025,7 @@ object ParquetSink {
     val schema = df.schema
     val blooms = bloomCols.toSet
     GraftIO.forPath(dir).mkdirs(dir)
+    sweepStaging(dir)
     // catalyst rows straight into the writer — no per-row external
     // conversion (same hot-loop shape as the DSv2 DataWriter)
     val rdd = df.queryExecution.toRdd.mapPartitions { it =>
@@ -1006,8 +1036,10 @@ object ParquetSink {
         // staged dot-file renamed on completion (same protocol as the
         // DSv2/partitioned/resumable sinks): a task killed mid-write
         // leaves no truncated .parquet; a retry renames onto the same
-        // deterministic final name, so retries are idempotent
-        val stage = f"$dir/.part-$pid%05d.parquet.inprogress"
+        // deterministic final name, so retries are idempotent. The
+        // attempt id keeps speculative/duplicate attempts from
+        // interleaving writes into one stage file.
+        val stage = f"$dir/.part-$pid%05d.parquet.${taskAttempt()}%d.inprogress"
         val w = new ParquetFileWriter.IncrementalFileWriter(stage, schema,
           rowGroupRows, codec, pageVersion, blooms, encPolicy = encPolicy,
           int96Timestamps = int96Timestamps)
@@ -1032,15 +1064,18 @@ object ParquetSink {
     * records every COMPLETED partition (per column: encodings, bytes,
     * values; per file: sha256 manifest); re-running over the same
     * deterministic input skips completed partitions entirely and writes
-    * only the missing ones. Files are written truncate-style, so a task
-    * retry after a mid-file crash is idempotent; lineage rows only commit
-    * when the Spark job commits, so a killed job simply rewrites its
-    * unrecorded partitions on resume. */
+    * only the missing ones. Files stage under attempt-unique dot names
+    * and rename atomically onto the deterministic final name, so task
+    * retries and speculative duplicates are idempotent; lineage rows only
+    * commit when the Spark job commits, so a killed job simply rewrites
+    * its unrecorded partitions on resume (staging orphans from killed
+    * attempts are swept at the next start). */
   def writeResumable(df: DataFrame, dir: String, codec: Int = PqCodec.Snappy,
       rowGroupRows: Int = 1 << 16, pageVersion: Int = 1,
       encPolicy: Int = EncPolicy.Plain): DataFrame = {
     val spark = df.sparkSession
     GraftIO.forPath(dir).mkdirs(dir)
+    sweepStaging(dir)
     val lineageDir = s"$dir/_lineage"
     val done: Set[Int] =
       try spark.read.parquet(lineageDir).select("partId").distinct()
@@ -1062,9 +1097,7 @@ object ParquetSink {
         // speculative/retried attempts from interleaving writes into one
         // stage file; whichever attempt finishes renames to the same
         // deterministic target (atomic REPLACE — identical content).
-        val attempt = Option(TaskContext.get())
-          .map(_.taskAttemptId()).getOrElse(0L)
-        val stage = f"$dir/.part-$pid%05d.parquet.$attempt%d.inprogress"
+        val stage = f"$dir/.part-$pid%05d.parquet.${taskAttempt()}%d.inprogress"
         val w = new ParquetFileWriter.IncrementalFileWriter(stage, schema,
           rowGroupRows, codec, pageVersion, encPolicy = encPolicy)
         it.foreach(w.add)
@@ -1091,7 +1124,7 @@ object ParquetSink {
       var n = in.read(buf)
       while (n >= 0) { if (n > 0) md.update(buf, 0, n); n = in.read(buf) }
     } finally in.close()
-    md.digest().map(b => f"$b%02x").mkString
+    graft.core.BitUtil.hexLower(md.digest())
   }
 
   /** Hive-style partitioned write: rows land under
@@ -1127,13 +1160,13 @@ object ParquetSink {
       val proj = UnsafeProjection.create(dIdx.map(i =>
         BoundReference(i, allFields(i).dataType, allFields(i).nullable)).toSeq)
       val writers = scala.collection.mutable.LinkedHashMap
-        .empty[Seq[String], (String, ParquetFileWriter.IncrementalFileWriter)]
+        .empty[Seq[String], (String, String, ParquetFileWriter.IncrementalFileWriter)]
       it.foreach { row =>
         val key: Seq[String] = pIdx.indices.map { k =>
           val i = pIdx(k)
           String.valueOf(keyConvs(k)(row.get(i, allFields(i).dataType)))
         }.toSeq
-        val (_, w) = writers.getOrElseUpdate(key, {
+        val (_, _, w) = writers.getOrElseUpdate(key, {
           val sub = partitionCols.zip(key).map { case (k, v) =>
             s"$k=${PartitionPath.escape(v)}"
           }.mkString("/")
@@ -1142,19 +1175,20 @@ object ParquetSink {
           val path = f"$d/part-$pid%05d.parquet"
           // staged dot-file (invisible to scans), renamed once complete —
           // a task killed mid-write leaves no truncated .parquet behind,
-          // and a speculative re-attempt renames onto the same final name
-          (path, new ParquetFileWriter.IncrementalFileWriter(
-            f"$d/.part-$pid%05d.parquet.inprogress", dataSchema,
-            rowGroupRows, codec, pageVersion, encPolicy = encPolicy))
+          // and speculative/duplicate attempts stage under their own
+          // attempt id, then rename onto the same final name
+          val stage = f"$d/.part-$pid%05d.parquet.${taskAttempt()}%d.inprogress"
+          (path, stage, new ParquetFileWriter.IncrementalFileWriter(
+            stage, dataSchema, rowGroupRows, codec, pageVersion,
+            encPolicy = encPolicy))
         })
         // the projection output is reused; the writer copies values out
         w.add(proj(row))
       }
-      writers.valuesIterator.map { case (path, w) =>
+      writers.valuesIterator.map { case (path, stage, w) =>
         val n = w.close()
         val d = path.take(path.lastIndexOf('/'))
-        val name = path.drop(d.length + 1)
-        GraftIO.forPath(d).rename(s"$d/.$name.inprogress", path)
+        GraftIO.forPath(d).rename(stage, path)
         (path, n)
       }
     }

@@ -965,6 +965,37 @@ class ParquetInteropSpec extends AnyFunSuite {
       })
   }
 
+  test("byte-based row-group cut bounds writer memory for wide rows") {
+    val tmp = java.nio.file.Files.createTempDirectory("pqrgbytes").toString
+    val path = s"$tmp/wide.parquet"
+    import org.apache.spark.sql.types._
+    val schema = StructType(Seq(
+      StructField("id", LongType),
+      StructField("blob", BinaryType)))
+    // 40 rows x 1 MiB: far below the 65536-row cut, but rowGroupBytes =
+    // 4 MiB must flush every ~4 rows instead of arena-buffering all 40 MiB
+    val w = new ParquetFileWriter.IncrementalFileWriter(path, schema,
+      codec = PqCodec.Uncompressed, rowGroupBytes = 4L << 20)
+    val rnd = new scala.util.Random(7)
+    val rows = (0 until 40).map { i =>
+      val b = new Array[Byte](1 << 20); rnd.nextBytes(b)
+      org.apache.spark.sql.Row(i.toLong, b)
+    }
+    rows.foreach(w.addRow)
+    assert(w.close() == 40L)
+    val meta = ParquetFileReader.readFooterOnly(path)
+    assert(meta.numRows == 40L)
+    assert(meta.rowGroups.length >= 8,
+      s"expected byte-cut row groups, got ${meta.rowGroups.length}")
+    assert(meta.rowGroups.forall(g => g.numRows <= 5))
+    // values survive the multi-group layout bit-exactly
+    val (_, cols) = ParquetFileReader.readFile(path)
+    assert(cols(0) == (0L until 40L))
+    assert(cols(1).zipWithIndex.forall { case (v, i) =>
+      java.util.Arrays.equals(v.asInstanceOf[Array[Byte]],
+        rows(i).get(1).asInstanceOf[Array[Byte]]) })
+  }
+
   test("column projection: unselected chunks are never decoded") {
     val tmp = java.nio.file.Files.createTempDirectory("pqproj").toString
     val path = s"$tmp/proj.parquet"
