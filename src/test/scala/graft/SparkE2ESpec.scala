@@ -160,6 +160,34 @@ class SparkE2ESpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(files2.sorted.toSeq == files.sorted.toSeq, "no duplicate chunk files")
   }
 
+  test("sparse keyspace: empty partitions are marked done, reruns are no-ops") {
+    // 60 rows into 32 partitions with a single (repo, lang) key and 16
+    // salt buckets -> at most 16 populated partitions; the rest must get
+    // driver marker sidecars or they would stay pending forever
+    val sp = spark
+    import sp.implicits._
+    val df = code(60L, 2)
+      .withColumn("repo", lit("only/repo")).withColumn("lang", lit("scala"))
+    val out = java.nio.file.Files.createTempDirectory("graft-sparse").toString
+    EncodeJob.encodeResumable(df, out, 32, Seq("repo", "lang"),
+      Seq("repo", "path", "commit"))
+    val lin = spark.read.parquet(s"$out/lineage")
+    assert(lin.select("partId").distinct().count() == 32)
+    val populated = lin.where(col("numChunks") > 0)
+      .select("partId").distinct().count()
+    assert(populated > 0 && populated <= 16, s"populated=$populated")
+    val files1 = new java.io.File(s"$out/chunks").listFiles().map(_.getName).sorted.toSeq
+    assert(files1.length == populated)
+    // rerun: every partition done -> nothing re-encoded, files untouched
+    val mtimes1 = new java.io.File(s"$out/chunks").listFiles()
+      .map(f => f.getName -> f.lastModified).toMap
+    EncodeJob.encodeResumable(df, out, 32, Seq("repo", "lang"),
+      Seq("repo", "path", "commit"))
+    val mtimes2 = new java.io.File(s"$out/chunks").listFiles()
+      .map(f => f.getName -> f.lastModified).toMap
+    assert(mtimes2 == mtimes1, "no-op rerun must not rewrite chunk files")
+  }
+
   test("resumable encode skips completed partitions") {
     val out = java.nio.file.Files.createTempDirectory("graft-resume").toString
     val df = code(800L, 2)
