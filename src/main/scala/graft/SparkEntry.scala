@@ -792,6 +792,17 @@ object SparkEntry {
         .select("query", "neighbor", "rank")
         .orderBy("query", "rank")
     }),
+    "q_ann_exact_probe" -> ((s, dir) => {
+      // the DISTRIBUTED exact search: probe set broadcast, corpus streamed
+      // in place (shuffle independent of corpus size) — the shape that
+      // replaces bruteForceTopK's corpus collect at 100 TB. DuckDB
+      // recomputes the same exact top-3 independently.
+      val emb = embeddings(s, dir)
+      Similarity.exactTopK(emb, emb.where(col("vec_id") % 50 === 0),
+          "vec_id", "embedding", k = 3)
+        .select("query", "neighbor", "rank")
+        .orderBy("query", "rank")
+    }),
     "q_ann_ivf" -> ((s, dir) => {
       // value-checked IVF invariants: full query coverage, ranks are a
       // dense 1..n with non-increasing cosine, and every reported cosine
@@ -1209,6 +1220,14 @@ object SparkEntry {
       ("WITH pairs AS (SELECT a.vec_id AS query, b.vec_id AS neighbor, " +
         "list_cosine_similarity(a.embedding, b.embedding) AS c " +
         "FROM embeddings a, embeddings b WHERE a.vec_id <> b.vec_id) " +
+        "SELECT query, neighbor, CAST(r AS INT) AS rank FROM " +
+        "(SELECT query, neighbor, row_number() OVER (PARTITION BY query ORDER BY c DESC, neighbor) AS r FROM pairs) " +
+        "WHERE r <= 3 ORDER BY query, rank"),
+    "q_ann_exact_probe" ->
+      ("WITH pairs AS (SELECT a.vec_id AS query, b.vec_id AS neighbor, " +
+        "list_cosine_similarity(a.embedding, b.embedding) AS c " +
+        "FROM embeddings a, embeddings b " +
+        "WHERE a.vec_id % 50 = 0 AND a.vec_id <> b.vec_id) " +
         "SELECT query, neighbor, CAST(r AS INT) AS rank FROM " +
         "(SELECT query, neighbor, row_number() OVER (PARTITION BY query ORDER BY c DESC, neighbor) AS r FROM pairs) " +
         "WHERE r <= 3 ORDER BY query, rank"),

@@ -206,6 +206,115 @@ object Similarity {
     }.toDF("keyA", "keyB", "cosine")
   }
 
+  /** Hard ceiling for [[exactTopK]]'s broadcast probe set — the guard is on
+    * the SMALL side (queries), unlike [[MaxBruteForceCorpus]]. Per-task
+    * state is probes x k x 16 bytes; the broadcast is probes x dims x 8
+    * bytes, so at wide embedding dims callers should pass a tighter
+    * bound. */
+  val MaxExactProbes: Long = 1L * 1000 * 1000
+
+  /** Exact cosine top-k of a PROBE set against a distributed corpus — the
+    * scale-path exact search. Where [[bruteForceTopK]] broadcasts the
+    * corpus (right for self-kNN on a corpus that fits one machine), this
+    * inverts the shape for the 100 TB case: the corpus never leaves its
+    * partitions and is streamed ONCE; only the probe set is collected
+    * (guarded) and broadcast. Each corpus partition keeps a bounded
+    * per-probe top-k (probes x k entries) and emits that many rows; one
+    * window over the probes x partitions x k partials merges the global
+    * top-k. Total shuffle is O(probes * partitions * k) rows — independent
+    * of corpus size.
+    *
+    * The dot/norm arithmetic is operation-for-operation identical to
+    * [[bruteForceTopK]] (raw-value dot, double accumulation in index
+    * order, ties broken by neighbor id), so results for a shared query
+    * match it row-for-row. Probe rows are excluded from their own
+    * neighbor lists by key. */
+  def exactTopK(corpus: DataFrame, queries: DataFrame, keyCol: String,
+      vecCol: String, k: Int = 5,
+      maxQueryRows: Long = MaxExactProbes): DataFrame = {
+    require(k > 0, s"k must be positive, got $k")
+    val spark = corpus.sparkSession
+    def slim(d: DataFrame): DataFrame = d.select(
+      col(keyCol).cast("long").as("id"),
+      col(vecCol).cast("array<double>").as("v"))
+    // single-pass overflow guard, like bruteForceTopK's
+    val lim = math.min(maxQueryRows, (Int.MaxValue - 1).toLong).toInt
+    val qRows = slim(queries).limit(lim + 1).collect()
+    require(qRows.length <= maxQueryRows,
+      s"exactTopK broadcasts the probe set: more than " +
+        s"maxQueryRows=$maxQueryRows probe rows. Pass a smaller probe " +
+        "frame, or use lshTopK/ivfTopK for all-pairs search.")
+    val probes: Array[(Long, Array[Double], Double)] = qRows.map { r =>
+      val v = r.getSeq[Double](1).toArray
+      var s = 0.0
+      var i = 0
+      while (i < v.length) { s += v(i) * v(i); i += 1 }
+      (r.getLong(0), v, math.sqrt(s))
+    }.sortBy(_._1)
+    val bc = spark.sparkContext.broadcast(probes)
+    val partialSchema = StructType(Seq(
+      StructField("query", LongType, nullable = false),
+      StructField("neighbor", LongType, nullable = false),
+      StructField("cosine", DoubleType, nullable = false)))
+    implicit val enc: org.apache.spark.sql.Encoder[Row] =
+      Encoders.row(partialSchema)
+    val partials = slim(corpus).mapPartitions { it =>
+      val qs = bc.value
+      val nq = qs.length
+      // per-probe bounded selection, same (cosine desc, neighbor asc)
+      // insertion rule as bruteForceTopK's
+      val topIds = Array.fill(nq)(new Array[Long](k))
+      val topCos = Array.fill(nq)(new Array[Double](k))
+      val filled = new Array[Int](nq)
+      it.foreach { r =>
+        val cid = r.getLong(0)
+        val cv = r.getSeq[Double](1).toArray
+        var s = 0.0
+        var i = 0
+        while (i < cv.length) { s += cv(i) * cv(i); i += 1 }
+        val cn = math.sqrt(s)
+        var qi = 0
+        while (qi < nq) {
+          val (qid, q, qn) = qs(qi)
+          if (cid != qid) {
+            var d = 0.0
+            var j = 0
+            while (j < q.length) { d += q(j) * cv(j); j += 1 }
+            val c = if (qn * cn > 0) d / (qn * cn) else 0.0
+            val ids = topIds(qi)
+            val cos = topCos(qi)
+            val f = filled(qi)
+            val better = f < k || c > cos(k - 1) ||
+              (c == cos(k - 1) && cid < ids(k - 1))
+            if (better) {
+              var pos = if (f < k) f else k - 1
+              ids(pos) = cid
+              cos(pos) = c
+              while (pos > 0 && (cos(pos) > cos(pos - 1) ||
+                  (cos(pos) == cos(pos - 1) && ids(pos) < ids(pos - 1)))) {
+                val ti = ids(pos); ids(pos) = ids(pos - 1); ids(pos - 1) = ti
+                val tc = cos(pos); cos(pos) = cos(pos - 1); cos(pos - 1) = tc
+                pos -= 1
+              }
+              if (f < k) filled(qi) = f + 1
+            }
+          }
+          qi += 1
+        }
+      }
+      (0 until nq).iterator.flatMap { qi =>
+        val qid = qs(qi)._1
+        (0 until filled(qi)).iterator.map(rk =>
+          Row(qid, topIds(qi)(rk), topCos(qi)(rk)))
+      }
+    }.toDF("query", "neighbor", "cosine")
+    val w = Window.partitionBy(col("query"))
+      .orderBy(col("cosine").desc, col("neighbor"))
+    partials.withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .select(col("query"), col("neighbor"), col("cosine"), col("rank"))
+  }
+
   /** Fraction of the exact top-k (query, neighbor) pairs an ANN result
     * recovered — the value-checkable quality gate for the scale-path ANN
     * operators (one semi-join + two counts, fully distributed). */

@@ -89,6 +89,17 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(!plan.contains("Exchange"), plan)
   }
 
+  test("exactTopK shuffles only the per-partition top-k partials") {
+    // corpus side: scan -> mapPartitions with NO exchange below it; the
+    // single exchange in the plan is the probes x partitions x k partial
+    // merge (window), whose volume is independent of corpus size
+    val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
+    val probes = emb.where(col("vec_id") % 50 === 0)
+    val plan = planOf(Similarity.exactTopK(emb, probes,
+      "vec_id", "embedding", k = 2))
+    assert(plan.sliding("Exchange".length).count(_ == "Exchange") == 1, plan)
+  }
+
   test("LSH dedup ops compute their banding once (ReusedExchange)") {
     // minhash/simhash/embedding candidate joins feed both sides from one
     // capped frame; the expensive signature/banding work sits BELOW the

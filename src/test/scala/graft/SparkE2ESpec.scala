@@ -1754,6 +1754,32 @@ class SparkE2ESpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(e.getMessage.contains("lshTopK"))
   }
 
+  test("exactTopK (distributed corpus) matches bruteForceTopK row-for-row") {
+    val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
+    val probes = emb.where(col("vec_id") % 7 === 0)
+    val dist = Similarity.exactTopK(emb.repartition(8), probes,
+      "vec_id", "embedding", k = 3)
+      .select("query", "neighbor", "cosine", "rank")
+    // the broadcast-corpus baseline restricted to the same probe ids: the
+    // two shapes must agree on every (query, neighbor, cosine, rank) row —
+    // identical arithmetic, identical tie rule
+    val base = Similarity.bruteForceTopK(emb, "vec_id", "embedding", k = 3)
+      .join(probes.select(col("vec_id").as("query")), "query")
+      .select("query", "neighbor", "cosine", "rank")
+    assert(dist.count() == base.count())
+    assert(dist.exceptAll(base).count() == 0 &&
+      base.exceptAll(dist).count() == 0)
+  }
+
+  test("exactTopK refuses a probe set above its broadcast guard rail") {
+    val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
+    val e = intercept[IllegalArgumentException] {
+      Similarity.exactTopK(emb, emb, "vec_id", "embedding", k = 1,
+        maxQueryRows = 3)
+    }
+    assert(e.getMessage.contains("probe"))
+  }
+
   test("estimateStatistics over >FooterPlanLimit files skips footer reads") {
     // a directory of (limit+1) tiny parquet files: the stats path must fall
     // back to a bounded footer sample + listing-size extrapolation
