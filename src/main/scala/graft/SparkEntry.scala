@@ -902,6 +902,42 @@ object SparkEntry {
           sum(col("height").cast("long")).as("sum_h"),
           sum(col("__bad").cast("long")).as("bad"))
     }),
+    "q_multimodal_video" -> ((s, dir) => {
+      // REAL video container-metadata decode (MP4 box walk / AVI RIFF walk,
+      // zero new deps; frame decode stays a declared stub — no JDK codec):
+      // alternating tiny MP4s and AVIs with dimensions/duration derived
+      // from doc_id; the decoder must recover the true presentation
+      // width/height from tkhd/avih and the duration from mvhd
+      // timescale/duration or avih frame timing. The oracle recomputes the
+      // header arithmetic; duration/fps checks pinned at zero violations.
+      import s.implicits._
+      val vids = docs(s, dir).select(col("doc_id")).as[Long]
+        .mapPartitions(_.map { id =>
+          val w = 160 + (id % 480).toInt
+          val h = 120 + (id % 360).toInt
+          val payload =
+            if (id % 2 == 0) Multimodal.tinyMp4(w, h, timescale = 600,
+              duration = 600 * (1 + (id % 9).toInt))
+            else Multimodal.tinyAvi(w, h, usPerFrame = 40000,
+              totalFrames = 25 * (1 + (id % 9).toInt))
+          (id, payload)
+        }).toDF("doc_id", "payload")
+      val feats = Multimodal.extractFeatures(vids, "doc_id", "payload",
+        mediaType = "video").toDF()
+      val expDur = (lit(1) + col("key") % 9).cast("float")
+      val expFps = when(col("key") % 2 === 0, lit(0.0f)).otherwise(lit(25.0f))
+      feats
+        .withColumn("__bad",
+          col("mediaType") =!= "video" ||
+          col("width") =!= (lit(160) + col("key") % 480).cast("int") ||
+          col("height") =!= (lit(120) + col("key") % 360).cast("int") ||
+          abs(element_at(col("features"), 1) - expDur) > 1e-6 ||
+          abs(element_at(col("features"), 2) - expFps) > 1e-6)
+        .agg(count(lit(1)).as("n"),
+          sum(col("width").cast("long")).as("sum_w"),
+          sum(col("height").cast("long")).as("sum_h"),
+          sum(col("__bad").cast("long")).as("bad"))
+    }),
     "q_multimodal_audio" -> ((s, dir) => {
       // REAL audio decode (JDK javax.sound.sampled, zero new deps): one
       // mono square-wave WAV per doc with frames/amplitude derived from
@@ -1110,6 +1146,11 @@ object SparkEntry {
       ("SELECT count(*) AS n, CAST(8000 * count(*) AS BIGINT) AS sum_hz, " +
         "CAST(count(*) AS BIGINT) AS sum_ch, CAST(0 AS BIGINT) AS bad " +
         "FROM documents"),
+    "q_multimodal_video" ->
+      ("SELECT count(*) AS n, " +
+        "CAST(sum(160 + doc_id % 480) AS BIGINT) AS sum_w, " +
+        "CAST(sum(120 + doc_id % 360) AS BIGINT) AS sum_h, " +
+        "CAST(0 AS BIGINT) AS bad FROM documents"),
     "q_multimodal_stub" ->
       // replays Multimodal.stubDecode's closed-form hash (length + first/
       // mid/last byte; ASCII corpus so ascii(char) == utf-8 byte) — plain

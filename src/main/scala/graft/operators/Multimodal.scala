@@ -10,8 +10,10 @@ import org.apache.spark.sql.functions._
   * lib, ffmpeg pipe) drops in without touching the Spark plan. Image and
   * audio decode are REAL via JDK APIs (ImageIO for PNG/GIF/BMP/JPEG,
   * `javax.sound.sampled` for WAV/AIFF/AU PCM — zero new dependencies);
-  * video decode is a declared STUB (deterministic fake — no JDK video
-  * codec exists and the container ships no media libraries). Everything
+  * video CONTAINER METADATA is REAL too (MP4 box walk + AVI RIFF walk for
+  * true width/height/duration/fps, see [[decodeVideo]]) while video FRAME
+  * decode is a declared STUB (deterministic fake — no JDK video codec
+  * exists and the container ships no media libraries). Everything
   * Spark-side (schema, batching, partitioning, output shape) is real and
   * tested either way.
   */
@@ -221,6 +223,204 @@ object Multimodal {
     } catch { case _: Exception => None }
   }
 
+  /** Upper bound on parsed video dimensions — matches the image guard's
+    * spirit: a hostile header must not smuggle absurd metadata downstream
+    * (nothing is allocated from these, they are metadata-only). */
+  private val MaxVideoDim = 65535
+
+  /** Box-walk recursion bound for ISO BMFF parsing: real files nest moov/
+    * trak/mdia/... a handful deep; a crafted file must not stack-overflow
+    * the task. */
+  private val MaxBoxDepth = 8
+
+  private def be32(a: Array[Byte], p: Int): Long =
+    ((a(p) & 0xFFL) << 24) | ((a(p + 1) & 0xFFL) << 16) |
+      ((a(p + 2) & 0xFFL) << 8) | (a(p + 3) & 0xFFL)
+
+  private def le32(a: Array[Byte], p: Int): Long =
+    (a(p) & 0xFFL) | ((a(p + 1) & 0xFFL) << 8) |
+      ((a(p + 2) & 0xFFL) << 16) | ((a(p + 3) & 0xFFL) << 24)
+
+  private def fourcc(a: Array[Byte], p: Int): String =
+    new String(a, p, 4, java.nio.charset.StandardCharsets.US_ASCII)
+
+  /** REAL video CONTAINER-METADATA decode — MP4 (ISO BMFF box walk:
+    * moov/mvhd for timescale+duration, moov/trak/tkhd for the 16.16-fixed
+    * presentation width/height) and AVI (RIFF chunk walk: hdrl/avih for
+    * dwMicroSecPerFrame/dwTotalFrames/dwWidth/dwHeight). Pure JDK byte
+    * parsing, bounds-checked everywhere, recursion depth capped — a
+    * truncated or crafted container falls back to the declared stub
+    * instead of throwing or smuggling absurd values.
+    *
+    * FRAME decode remains a declared stub: no JDK video codec exists and
+    * the container ships no media libraries. The feature vector therefore
+    * carries header-derived signals only: features(0) = duration in
+    * seconds, features(1) = frames/sec (0 when the container doesn't state
+    * it — MP4 frame rate lives in per-track sample tables this metadata
+    * pass doesn't walk), the rest zero. `width`/`height` are the true
+    * presentation dimensions. */
+  private[operators] def decodeVideo(key: Long,
+      bytes: Array[Byte]): Option[MediaMeta] = {
+    def meta(w: Long, h: Long, durationSec: Double, fps: Double) =
+      if (w <= 0 || h <= 0 || w > MaxVideoDim || h > MaxVideoDim ||
+          !(durationSec >= 0) || !(fps >= 0)) None
+      else {
+        val feats = new Array[Float](16)
+        feats(0) = durationSec.toFloat
+        feats(1) = fps.toFloat
+        Some(MediaMeta(key, "video", bytes.length.toLong, w.toInt, h.toInt,
+          feats))
+      }
+
+    // ---- ISO BMFF (MP4/MOV): [size:be32][type:4cc][payload] boxes ----
+    def mp4(): Option[MediaMeta] = {
+      var timescale = 0L
+      var duration = 0L
+      var width = 0L
+      var height = 0L
+      def walk(from: Int, to: Int, depth: Int): Unit = {
+        if (depth > MaxBoxDepth) return
+        var p = from
+        while (p + 8 <= to) {
+          val size0 = be32(bytes, p)
+          val typ = fourcc(bytes, p + 4)
+          var hdr = 8
+          var size = size0
+          if (size0 == 1 && p + 16 <= to) { // 64-bit largesize
+            val hi = be32(bytes, p + 8)
+            val lo = be32(bytes, p + 12)
+            size = (hi << 32) | lo
+            hdr = 16
+          } else if (size0 == 0) size = (to - p).toLong // box runs to end
+          if (size < hdr || p + size > to) return // corrupt: stop cleanly
+          val body = p + hdr
+          val bodyEnd = (p + size).toInt
+          typ match {
+            case "moov" | "trak" => walk(body, bodyEnd, depth + 1)
+            case "mvhd" if bodyEnd - body >= 4 =>
+              val ver = bytes(body) & 0xFF
+              if (ver == 1 && bodyEnd - body >= 32) {
+                timescale = be32(bytes, body + 20)
+                duration = (be32(bytes, body + 24) << 32) |
+                  be32(bytes, body + 28)
+              } else if (ver == 0 && bodyEnd - body >= 20) {
+                timescale = be32(bytes, body + 12)
+                duration = be32(bytes, body + 16)
+              }
+            case "tkhd" if bodyEnd - body >= 4 =>
+              val ver = bytes(body) & 0xFF
+              // width/height are the LAST two 16.16 fields of the box
+              val need = if (ver == 1) 96 else 84
+              if (bodyEnd - body >= need && width == 0) {
+                val w = be32(bytes, bodyEnd - 8) >> 16 // 16.16 -> integer
+                val h = be32(bytes, bodyEnd - 4) >> 16
+                // audio/hint tracks carry 0x0 — keep scanning for video
+                if (w > 0 && h > 0) { width = w; height = h }
+              }
+            case _ => ()
+          }
+          p = bodyEnd
+        }
+      }
+      if (bytes.length < 12 || fourcc(bytes, 4) != "ftyp") None
+      else {
+        walk(0, bytes.length, 0)
+        if (width == 0 || timescale <= 0 || duration < 0) None
+        else meta(width, height, duration.toDouble / timescale, 0.0)
+      }
+    }
+
+    // ---- AVI (RIFF): [4cc][size:le32][payload], LIST boxes nest ----
+    def avi(): Option[MediaMeta] = {
+      var found: Option[MediaMeta] = None
+      def walk(from: Int, to: Int, depth: Int): Unit = {
+        if (depth > MaxBoxDepth || found.isDefined) return
+        var p = from
+        while (p + 8 <= to && found.isEmpty) {
+          val id = fourcc(bytes, p)
+          val size = le32(bytes, p + 8 - 4)
+          if (size < 0 || p + 8 + size > to) return
+          val body = p + 8
+          if (id == "LIST" && size >= 4)
+            walk(body + 4, (body + size).toInt, depth + 1)
+          else if (id == "avih" && size >= 40) {
+            val usPerFrame = le32(bytes, body)
+            val totalFrames = le32(bytes, body + 16)
+            val w = le32(bytes, body + 32)
+            val h = le32(bytes, body + 36)
+            val fps = if (usPerFrame > 0) 1e6 / usPerFrame else 0.0
+            val dur =
+              if (usPerFrame > 0) totalFrames * usPerFrame / 1e6 else 0.0
+            found = meta(w, h, dur, fps)
+          }
+          // chunks are word-aligned: odd sizes carry a pad byte
+          p = body + size.toInt + (size.toInt & 1)
+        }
+      }
+      if (bytes.length < 12 || fourcc(bytes, 0) != "RIFF" ||
+          fourcc(bytes, 8) != "AVI ") None
+      else { walk(12, bytes.length, 0); found }
+    }
+
+    try {
+      if (bytes.length >= 12 && fourcc(bytes, 4) == "ftyp") mp4()
+      else if (bytes.length >= 12 && fourcc(bytes, 0) == "RIFF") avi()
+      else None
+    } catch { case _: Exception => None }
+  }
+
+  /** Minimal valid MP4 (ftyp + moov[mvhd, trak[tkhd]]) — the deterministic
+    * test/data generator for the video-metadata path. Closed-form for the
+    * DuckDB oracle: [[decodeVideo]] recovers exactly (w, h,
+    * duration/timescale). */
+  def tinyMp4(w: Int, h: Int, timescale: Int, duration: Int): Array[Byte] = {
+    require(w > 0 && h > 0 && timescale > 0 && duration >= 0, "bad mp4 args")
+    def box(typ: String, payload: Array[Byte]): Array[Byte] = {
+      val out = new Array[Byte](8 + payload.length)
+      val size = out.length
+      out(0) = (size >>> 24).toByte; out(1) = (size >>> 16).toByte
+      out(2) = (size >>> 8).toByte; out(3) = size.toByte
+      System.arraycopy(typ.getBytes("US-ASCII"), 0, out, 4, 4)
+      System.arraycopy(payload, 0, out, 8, payload.length)
+      out
+    }
+    def be(v: Long): Array[Byte] = Array(
+      (v >>> 24).toByte, (v >>> 16).toByte, (v >>> 8).toByte, v.toByte)
+    val ftyp = box("ftyp",
+      "isom".getBytes("US-ASCII") ++ be(0) ++ "isom".getBytes("US-ASCII"))
+    // mvhd v0: ver/flags, ctime, mtime, timescale, duration, rate, volume+
+    // reserved, reserved(8), matrix(36), predefined(24), nextTrackId
+    val mvhd = box("mvhd", be(0) ++ be(0) ++ be(0) ++ be(timescale) ++
+      be(duration) ++ be(0x00010000L) ++ be(0x01000000L) ++ be(0) ++ be(0) ++
+      (be(0x00010000L) ++ be(0) ++ be(0) ++ be(0) ++ be(0x00010000L) ++
+        be(0) ++ be(0) ++ be(0) ++ be(0x40000000L)) ++
+      Array.fill(24)(0.toByte) ++ be(2))
+    // tkhd v0 (84-byte body): ver/flags, ctime, mtime, trackId, reserved,
+    // duration, reserved(8), layer+altgroup, volume+reserved, matrix(36),
+    // width, height as 16.16
+    val tkhd = box("tkhd", be(7) ++ be(0) ++ be(0) ++ be(1) ++ be(0) ++
+      be(duration) ++ be(0) ++ be(0) ++ be(0) ++ be(0) ++
+      (be(0x00010000L) ++ be(0) ++ be(0) ++ be(0) ++ be(0x00010000L) ++
+        be(0) ++ be(0) ++ be(0) ++ be(0x40000000L)) ++
+      be(w.toLong << 16) ++ be(h.toLong << 16))
+    ftyp ++ box("moov", mvhd ++ box("trak", tkhd))
+  }
+
+  /** Minimal valid AVI (RIFF/AVI + LIST hdrl[avih]) — the deterministic
+    * test/data generator for the AVI-metadata path. */
+  def tinyAvi(w: Int, h: Int, usPerFrame: Int, totalFrames: Int): Array[Byte] = {
+    require(w > 0 && h > 0 && usPerFrame > 0 && totalFrames >= 0, "bad avi args")
+    def le(v: Long): Array[Byte] = Array(
+      v.toByte, (v >>> 8).toByte, (v >>> 16).toByte, (v >>> 24).toByte)
+    val avih = "avih".getBytes("US-ASCII") ++ le(56) ++
+      le(usPerFrame) ++ le(0) ++ le(0) ++ le(0x10) ++ le(totalFrames) ++
+      le(0) ++ le(1) ++ le(0) ++ le(w) ++ le(h) ++ Array.fill(16)(0.toByte)
+    val hdrl = "LIST".getBytes("US-ASCII") ++ le(4 + avih.length) ++
+      "hdrl".getBytes("US-ASCII") ++ avih
+    "RIFF".getBytes("US-ASCII") ++ le(4 + hdrl.length) ++
+      "AVI ".getBytes("US-ASCII") ++ hdrl
+  }
+
   /** Mono 16-bit PCM WAV of a full-scale-alternating square wave — the
     * deterministic test/data generator for the audio-decode path. Every
     * sample's magnitude is exactly `amplitude`, so the RMS of ANY window
@@ -267,16 +467,20 @@ object Multimodal {
     * preserved (no shuffle). Payloads DECLARED "image" decode for REAL
     * through the JDK's ImageIO (see [[decodeImage]]); payloads DECLARED
     * "audio" decode for REAL through `javax.sound.sampled` (see
-    * [[decodeAudio]]); other declared types (video — no JDK codec exists)
-    * take the deterministic stub unconditionally, so the declared-type
-    * contract of the output is never silently rewritten by a payload that
-    * happens to parse as some other medium. */
+    * [[decodeAudio]]); payloads DECLARED "video" get REAL container
+    * metadata (MP4/AVI header walk, see [[decodeVideo]]) with the
+    * deterministic stub as the fallback for unrecognized containers (frame
+    * decode has no JDK codec). Each declared type only ever tries its own
+    * decoder, so the declared-type contract of the output is never
+    * silently rewritten by a payload that happens to parse as some other
+    * medium. */
   def extractFeatures(df: DataFrame, keyCol: String, mediaCol: String,
       mediaType: String = "image"): Dataset[MediaMeta] = {
     val spark = df.sparkSession
     import spark.implicits._
     val tryImage = mediaType == "image"
     val tryAudio = mediaType == "audio"
+    val tryVideo = mediaType == "video"
     df.select(col(keyCol).cast("long"), col(mediaCol))
       .as[(Long, Array[Byte])]
       .mapPartitions { it =>
@@ -284,6 +488,7 @@ object Multimodal {
         it.map { case (key, bytes) =>
           (if (tryImage) decodeImage(key, bytes)
            else if (tryAudio) decodeAudio(key, bytes)
+           else if (tryVideo) decodeVideo(key, bytes)
            else None)
             .getOrElse(stubDecode(key, mediaType, bytes))
         }

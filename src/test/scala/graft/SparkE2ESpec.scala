@@ -1723,9 +1723,66 @@ class SparkE2ESpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(feats(2).width < 8000)
     assert(feats.forall(_.mediaType == "audio"))
     // declared video still takes the deterministic stub even for a real WAV
+    // (a WAV is RIFF but not RIFF/AVI — the container check must hold)
     val video = Multimodal.extractFeatures(df, "doc_id", "payload",
       mediaType = "video").collect()
     assert(video.forall(m => m.mediaType == "video" && m.width < 1024))
+  }
+
+  test("video metadata decode: MP4 + AVI headers, hostile containers, stub fallback") {
+    val sp = spark
+    import sp.implicits._
+    val mp4 = Multimodal.tinyMp4(640, 360, timescale = 600, duration = 1500)
+    val avi = Multimodal.tinyAvi(320, 240, usPerFrame = 40000, totalFrames = 100)
+    // mp4 with only a 0x0 (audio/hint-style) track: no video track found,
+    // stub fallback — and a hostile avi claiming a 2^30 width: the
+    // MaxVideoDim guard must reject it (an AVI dwWidth is a full 32-bit
+    // field, unlike mp4's 16.16 whose integer part caps at 65535)
+    val evilMp4 = Multimodal.tinyMp4(640, 360, 600, 1500)
+    locally {
+      // zero out the tkhd width+height (last 8 bytes of the 84-byte body)
+      val at = (0 until evilMp4.length - 4).find(i =>
+        evilMp4(i) == 't' && evilMp4(i + 1) == 'k' && evilMp4(i + 2) == 'h' &&
+          evilMp4(i + 3) == 'd').get
+      val wAt = at + 4 + 84 - 8
+      (0 until 8).foreach(i => evilMp4(wAt + i) = 0)
+    }
+    val evilAvi = Multimodal.tinyAvi(320, 240, 40000, 100)
+    locally {
+      // dwWidth lives 32 bytes into the avih payload (which starts 8 bytes
+      // after the 'avih' fourcc): claim width 2^30
+      val at = (0 until evilAvi.length - 4).find(i =>
+        evilAvi(i) == 'a' && evilAvi(i + 1) == 'v' && evilAvi(i + 2) == 'i' &&
+          evilAvi(i + 3) == 'h').get
+      val wAt = at + 8 + 32
+      evilAvi(wAt) = 0; evilAvi(wAt + 1) = 0; evilAvi(wAt + 2) = 0
+      evilAvi(wAt + 3) = 0x40.toByte
+    }
+    // truncated mp4: moov size claims bytes past the buffer end
+    val truncated = mp4.take(mp4.length - 20)
+    val df = Seq(
+      (1L, mp4), (2L, avi), (3L, evilMp4), (4L, truncated),
+      (5L, "not a container".getBytes("UTF-8")), (6L, evilAvi))
+      .toDF("doc_id", "payload")
+    val feats = Multimodal.extractFeatures(df, "doc_id", "payload",
+      mediaType = "video").collect().sortBy(_.key)
+    // real mp4 metadata: presentation dims from tkhd, duration from mvhd
+    assert(feats(0).width == 640 && feats(0).height == 360)
+    assert(math.abs(feats(0).features(0) - 2.5f) < 1e-6) // 1500/600 s
+    assert(feats(0).features(1) == 0f) // mp4 fps needs sample tables
+    // real avi metadata: avih dims, 25 fps, 4 s
+    assert(feats(1).width == 320 && feats(1).height == 240)
+    assert(math.abs(feats(1).features(0) - 4.0f) < 1e-6)
+    assert(math.abs(feats(1).features(1) - 25.0f) < 1e-6)
+    // video-track-less mp4 -> stub (stub dims are 64..1023)
+    assert(feats(2).width <= 1023, s"trackless width ${feats(2).width}")
+    // truncated container -> stub, no exception
+    assert(feats(3).width <= 1023)
+    // non-container -> stub; declared type sticks
+    assert(feats(4).width <= 1023)
+    // 2^30-wide hostile avi -> MaxVideoDim guard -> stub
+    assert(feats(5).width <= 1023, s"hostile avi width ${feats(5).width}")
+    assert(feats.forall(_.mediaType == "video"))
   }
 
   test("IVF compiles a sane plan and answers at 768 dims (no per-dim aggs)") {
