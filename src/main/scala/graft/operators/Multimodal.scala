@@ -259,7 +259,7 @@ object Multimodal {
     * it — MP4 frame rate lives in per-track sample tables this metadata
     * pass doesn't walk), the rest zero. `width`/`height` are the true
     * presentation dimensions. */
-  private[operators] def decodeVideo(key: Long,
+  private[graft] def decodeVideo(key: Long,
       bytes: Array[Byte]): Option[MediaMeta] = {
     def meta(w: Long, h: Long, durationSec: Double, fps: Double) =
       if (w <= 0 || h <= 0 || w > MaxVideoDim || h > MaxVideoDim ||

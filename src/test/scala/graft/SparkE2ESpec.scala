@@ -1785,6 +1785,29 @@ class SparkE2ESpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(feats.forall(_.mediaType == "video"))
   }
 
+  test("video parsers survive random mutations (decode-or-None, never throw)") {
+    // the AFL-target contract applied to the container parsers: any byte
+    // mutation of a valid file must either parse (sane values only) or
+    // return None — no exception escapes, no absurd dimensions pass
+    val mp4 = Multimodal.tinyMp4(640, 360, 600, 1500)
+    val avi = Multimodal.tinyAvi(320, 240, 40000, 100)
+    val rnd = new scala.util.Random(20260820)
+    (0 until 2000).foreach { i =>
+      val base = if (i % 2 == 0) mp4 else avi
+      val m = base.clone()
+      (0 until 1 + rnd.nextInt(4)).foreach { _ =>
+        m(rnd.nextInt(m.length)) = rnd.nextInt(256).toByte
+      }
+      val cut = if (rnd.nextInt(4) == 0) m.take(rnd.nextInt(m.length)) else m
+      Multimodal.decodeVideo(i.toLong, cut).foreach { meta =>
+        assert(meta.width > 0 && meta.width <= 65535 &&
+          meta.height > 0 && meta.height <= 65535 &&
+          meta.features(0) >= 0 && meta.features(1) >= 0,
+          s"mutation $i produced $meta")
+      }
+    }
+  }
+
   test("IVF compiles a sane plan and answers at 768 dims (no per-dim aggs)") {
     val sp = spark
     import sp.implicits._
