@@ -180,22 +180,19 @@ object Dedup {
       }: _*)).as("bb"))
       .select(col("__key"), col("bb.band"), col("bb.bucket"))
 
-  /** 64-bit SimHash over word tokens: per-bit weighted majority vote,
-    * expressed as 64 codegen'd aggregate-free array ops (no shuffle beyond
-    * what the caller adds). Returns input + `simhash` bigint column. */
+  /** 64-bit SimHash over word tokens: per-bit weighted majority vote in ONE
+    * pass over the token hashes via the codegen'd
+    * [[graft.functions.SimHashSig]] expression (the composed-builtin form —
+    * 64 separate `aggregate` bit votes — re-walked the hash array once per
+    * bit; bit-identical parity is pinned in the suite). The `coalesce`
+    * preserves the composed form's null-text semantics (simhash 0, not
+    * null). No shuffle beyond what the caller adds. Returns input +
+    * `simhash` bigint column. */
   def simhash(df: DataFrame, textCol: String): DataFrame = {
     val tokens = split(regexp_replace(lower(trim(col(textCol))), "\\s+", " "), " ")
-    // materialize token hashes once; the 64 per-bit votes then read the
-    // array column instead of re-deriving split+hash per bit
-    val bitCols = (0 until 64).map { bit =>
-      val votes = aggregate(col("__sh_hashes"), lit(0L),
-        (acc, h) => acc + when(shiftright(h, bit).bitwiseAND(lit(1L)) === 1L, 1L)
-          .otherwise(-1L))
-      when(votes > 0, shiftleft(lit(1L), bit)).otherwise(lit(0L))
-    }
-    df.withColumn("__sh_hashes", transform(tokens, t => xxhash64(t)))
-      .withColumn("simhash", bitCols.reduce(_.bitwiseOR(_)))
-      .drop("__sh_hashes")
+    df.withColumn("simhash",
+      coalesce(graft.functions.SimHashSig(transform(tokens, t => xxhash64(t))),
+        lit(0L)))
   }
 
   /** Near-dup pairs by SimHash hamming distance ≤ maxDist, blocked with

@@ -468,6 +468,44 @@ class SparkE2ESpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(nBoth.where(col("old") =!= col("new")).count() == 0)
   }
 
+  test("SimHashSig expression is bit-identical to the composed 64-vote form") {
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet").limit(300)
+    val tokens = split(regexp_replace(lower(trim(col("text"))), "\\s+", " "), " ")
+    // the exact composed plan Dedup.simhash used before the one-pass
+    // Expression replaced it: 64 per-bit aggregate votes OR-ed together —
+    // every blocked pair and hamming distance downstream must not move
+    val bitCols = (0 until 64).map { bit =>
+      val votes = aggregate(col("__h"), lit(0L),
+        (acc, h) => acc + when(shiftright(h, bit).bitwiseAND(lit(1L)) === 1L, 1L)
+          .otherwise(-1L))
+      when(votes > 0, shiftleft(lit(1L), bit)).otherwise(lit(0L))
+    }
+    val both = docs.withColumn("__h", transform(tokens, t => xxhash64(t)))
+      .select(col("doc_id"), bitCols.reduce(_.bitwiseOR(_)).as("old"),
+        coalesce(graft.functions.SimHashSig(col("__h")), lit(0L)).as("new"))
+    assert(both.where(col("old") =!= col("new")).count() == 0)
+    // through the public operator too
+    val viaOp = Dedup.simhash(docs, "text").select(col("doc_id"), col("simhash"))
+    assert(both.select(col("doc_id"), col("old")).join(viaOp, "doc_id")
+      .where(col("old") =!= col("simhash")).count() == 0)
+    // null elements vote like 0L (the composed form's when(null) takes the
+    // -1 branch on every bit); a null ARRAY collapses to 0 via coalesce
+    val sp = spark
+    import sp.implicits._
+    val withNulls = Seq(Seq[java.lang.Long](-1L, null, -1L),
+      Seq[java.lang.Long](null), Seq[java.lang.Long](5L))
+      .toDF("__h")
+    val bitColsN = (0 until 64).map { bit =>
+      val votes = aggregate(col("__h"), lit(0L),
+        (acc, h) => acc + when(shiftright(h, bit).bitwiseAND(lit(1L)) === 1L, 1L)
+          .otherwise(-1L))
+      when(votes > 0, shiftleft(lit(1L), bit)).otherwise(lit(0L))
+    }
+    val nBoth = withNulls.select(bitColsN.reduce(_.bitwiseOR(_)).as("old"),
+      coalesce(graft.functions.SimHashSig(col("__h")), lit(0L)).as("new"))
+    assert(nBoth.where(col("old") =!= col("new")).count() == 0)
+  }
+
   test("simhash blocking has full recall at dist <= 3, incl. top-bit flips") {
     val sp = spark
     import sp.implicits._
