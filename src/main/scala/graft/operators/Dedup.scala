@@ -224,9 +224,10 @@ object Dedup {
     * (8192 values), shrinking expected candidates by ~2^6 at the price of
     * 64+m banded rows per doc instead of d+1. Candidate verification is the
     * quadratic term at corpus scale, banded rows the linear one — the trade
-    * is the right direction at any n, and measured 4x end-to-end on the
-    * sf0.1 documents table (its templated texts make segment values skew:
-    * one 7-bit bucket held 45% of all docs). */
+    * is the right direction at any n; on the sf0.1 documents table (whose
+    * templated texts skew segment values — one 7-bit bucket held 45% of
+    * all docs) the scheme switch plus map-side verification cut the
+    * blocked-pair phase 3x. */
   private[graft] def simhashSegments(maxDist: Int): Int =
     if (maxDist <= 1) maxDist + 1 else maxDist / 2 + 1
 
@@ -287,7 +288,7 @@ object Dedup {
     * then carries only true pairs (each at most once per witness bucket —
     * ≤ 2·segments occurrences) instead of every bucket collision. On the
     * sf0.1 documents table (dense near-dup structure: 4.5M distinct
-    * candidate pairs, 92k true) this cut the pair phase 6.2s -> 1.3s.
+    * candidate pairs, 92k true) this cut the pair phase 6.2s -> 2.0s.
     *
     * For maxDist >= 2 the join is ASYMMETRIC (HmSearch): the a-side keeps
     * only `ex = true` rows (a doc's own segment values), the b-side all
