@@ -698,6 +698,48 @@ object SparkEntry {
           count(lit(1)).as("n"))
         .orderBy("source")
     }),
+    "q_pii_redact" -> ((s, dir) => {
+      // PII scrub cross-engine: plant one email, one IPv4, one card-shaped
+      // digit run, and one 32-hex token per doc (id-derived), run the
+      // redaction chain, and count each marker — DuckDB re-runs the SAME
+      // regex chain on the SAME planted text, so any Java-vs-RE2 semantic
+      // drift in the patterns fails the hash compare. The corpus text
+      // itself rides along, so organically-occurring matches are covered
+      // identically on both sides.
+      val planted = concat(col("text"),
+        lit(" contact user"), col("doc_id").cast("string"),
+        lit("@mail.example.com from 10.2."),
+        (col("doc_id") % 200).cast("string"),
+        lit(".33 card 4111-1111-1111 token deadbeefdeadbeefdeadbeefdeadbeef."))
+      def markers(r: org.apache.spark.sql.Column, m: String): org.apache.spark.sql.Column =
+        ((length(r) - length(regexp_replace(r, m, ""))) / m.length).cast("long")
+      docs(s, dir)
+        .select(planted.as("p"), TextOps.redactPii(planted).as("r"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(when(col("p") =!= col("r"), 1L).otherwise(0L)).as("docs_changed"),
+          sum(markers(col("r"), "<EMAIL>")).as("emails"),
+          sum(markers(col("r"), "<IP>")).as("ips"),
+          sum(markers(col("r"), "<KEY>")).as("hexkeys"),
+          sum(markers(col("r"), "<NUM>")).as("nums"))
+    }),
+    "q_rep_lines" -> ((s, dir) => {
+      // repetition signal cross-engine: plant three duplicate lines per doc
+      // and aggregate integer line counts (exact — no float summation
+      // order to disagree on) plus a high-repetition doc count whose
+      // per-doc fraction is an IEEE-exact integer division both engines
+      // compute identically
+      val planted = concat(col("text"), lit("\nEND\nfoo\nEND\nEND"))
+      val lines = split(planted, "\n")
+      val nL = size(lines)
+      val nDup = nL - size(array_distinct(lines))
+      docs(s, dir)
+        .select(nL.as("nl"), nDup.as("nd"),
+          TextOps.dupLineFraction(planted).as("f"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("nl").cast("long")).as("sum_lines"),
+          sum(col("nd").cast("long")).as("sum_dup_lines"),
+          sum(when(col("f") >= 0.3, 1L).otherwise(0L)).as("high_rep_docs"))
+    }),
     "q_lang_id" -> ((s, dir) => {
       docs(s, dir)
         .select(col("lang"), TextOps.langId(col("text")).as("predicted"))
@@ -1137,6 +1179,35 @@ object SparkEntry {
         "* (CASE WHEN (CASE WHEN length(text) > 0 THEN (length(text) - length(regexp_replace(text, '\\s', '', 'g')))::DOUBLE / length(text) ELSE 0.0 END) > 0.6 THEN 0.3 ELSE 1.0 END)" +
         ")), 4)), 3) AS sum_quality, count(*) AS n " +
         "FROM documents GROUP BY source ORDER BY source"),
+    "q_pii_redact" ->
+      // the SAME regex chain on the SAME planted text, in RE2: cross-engine
+      // agreement on every pattern is the point of this oracle
+      ("WITH p AS (SELECT text || ' contact user' || CAST(doc_id AS VARCHAR) " +
+        "|| '@mail.example.com from 10.2.' || CAST(doc_id % 200 AS VARCHAR) " +
+        "|| '.33 card 4111-1111-1111 token deadbeefdeadbeefdeadbeefdeadbeef.' AS p " +
+        "FROM documents), " +
+        "r AS (SELECT p, regexp_replace(regexp_replace(regexp_replace(regexp_replace(p, " +
+        "'[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}', '<EMAIL>', 'g'), " +
+        "'\\b[0-9]{1,3}(\\.[0-9]{1,3}){3}\\b', '<IP>', 'g'), " +
+        "'\\b[0-9a-fA-F]{32,}\\b', '<KEY>', 'g'), " +
+        "'\\b[0-9][0-9\\-]{5,13}[0-9]\\b', '<NUM>', 'g') AS r FROM p) " +
+        "SELECT count(*) AS n_docs, " +
+        "CAST(sum(CASE WHEN p <> r THEN 1 ELSE 0 END) AS BIGINT) AS docs_changed, " +
+        "CAST(sum((length(r) - length(replace(r, '<EMAIL>', ''))) / 7) AS BIGINT) AS emails, " +
+        "CAST(sum((length(r) - length(replace(r, '<IP>', ''))) / 4) AS BIGINT) AS ips, " +
+        "CAST(sum((length(r) - length(replace(r, '<KEY>', ''))) / 5) AS BIGINT) AS hexkeys, " +
+        "CAST(sum((length(r) - length(replace(r, '<NUM>', ''))) / 5) AS BIGINT) AS nums " +
+        "FROM r"),
+    "q_rep_lines" ->
+      ("WITH p AS (SELECT text || chr(10) || 'END' || chr(10) || 'foo' || " +
+        "chr(10) || 'END' || chr(10) || 'END' AS p FROM documents), " +
+        "m AS (SELECT len(string_split(p, chr(10))) AS nl, " +
+        "len(string_split(p, chr(10))) - len(list_distinct(string_split(p, chr(10)))) AS nd " +
+        "FROM p) " +
+        "SELECT count(*) AS n_docs, CAST(sum(nl) AS BIGINT) AS sum_lines, " +
+        "CAST(sum(nd) AS BIGINT) AS sum_dup_lines, " +
+        "CAST(sum(CASE WHEN CAST(nd AS DOUBLE) / nl >= 0.3 THEN 1 ELSE 0 END) AS BIGINT) AS high_rep_docs " +
+        "FROM m"),
     "q_multimodal_image" ->
       ("SELECT count(*) AS n, " +
         "CAST(sum(16 + doc_id % 48) AS BIGINT) AS sum_w, " +

@@ -92,4 +92,43 @@ object TextOps {
     array_distinct(transform(sequence(lit(0), count - 1),
       i => array_join(slice(toks, i + 1, lit(n)), " ")))
   }
+
+  /** The PII patterns [[redactPii]] masks, in application order, with their
+    * replacement markers. Conservative regex syntax only (character
+    * classes, bounded repetition, `\b`) so Java's engine (Spark) and RE2
+    * (DuckDB) agree — the cross-engine agreement IS oracle-checked.
+    * Order matters: an email is redacted before its host part could match
+    * the IPv4 rule, and the IP/hex rules run before the digit-run rule
+    * could swallow their digits. Markers contain no digits or '@', so no
+    * later pattern can match inside an earlier replacement. */
+  val PiiPatterns: Seq[(String, String)] = Seq(
+    ("[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}", "<EMAIL>"),
+    ("\\b[0-9]{1,3}(\\.[0-9]{1,3}){3}\\b", "<IP>"),
+    ("\\b[0-9a-fA-F]{32,}\\b", "<KEY>"),
+    ("\\b[0-9][0-9\\-]{5,13}[0-9]\\b", "<NUM>"))
+
+  /** PII redaction — the pre-training scrub pass every large-scale corpus
+    * pipeline runs before anything else sees the text: emails, IPv4s,
+    * long hex strings (API-key/token shaped), and 7-15 digit runs
+    * (phone/SSN shaped) each collapse to a typed marker. Chained
+    * `regexp_replace` — codegen'd, no UDF, and replayable verbatim in
+    * ANSI SQL (the q_pii_redact oracle plants synthetic PII and DuckDB
+    * re-runs the same chain). */
+  def redactPii(text: Column): Column =
+    PiiPatterns.foldLeft(text) { case (c, (re, marker)) =>
+      regexp_replace(c, re, marker)
+    }
+
+  /** Duplicate-line fraction in [0,1] — the repetition quality signal
+    * (boilerplate, log spew, and template output duplicate lines; classic
+    * pretraining-filter rule). 0 for texts of distinct lines and for empty
+    * text; (n_lines - n_distinct_lines) / n_lines otherwise. Exactly
+    * reproducible in SQL over string_split. */
+  def dupLineFraction(text: Column): Column = {
+    val lines = split(text, "\n")
+    val n = size(lines)
+    when(n > 0,
+      (n - size(array_distinct(lines))).cast("double") / n.cast("double"))
+      .otherwise(lit(0.0))
+  }
 }

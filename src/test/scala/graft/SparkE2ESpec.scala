@@ -1427,6 +1427,47 @@ class SparkE2ESpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(again == rows.map(_.getString(1)).toSeq)
   }
 
+  test("text ops: PII redaction masks planted identifiers, leaves clean text") {
+    val sp = spark
+    import sp.implicits._
+    val cases = Seq(
+      (1L, "mail me at jane.doe+spam@corp.example.org today",
+        "mail me at <EMAIL> today"),
+      (2L, "server 192.168.001.12 answered", "server <IP> answered"),
+      (3L, "token 0123456789abcdef0123456789ABCDEF end", "token <KEY> end"),
+      (4L, "call 555-123-4567 now", "call <NUM> now"),
+      (5L, "card 4111-1111-1111 paid", "card <NUM> paid"),
+      // clean text unmodified: short digit runs, short hex, bare words
+      (6L, "v1.2.3 build 42 cafe babe", "v1.2.3 build 42 cafe babe"),
+      // an ip-shaped mail host is not an email (no alpha TLD), and '@' is
+      // a word boundary — both ip literals redact
+      (7L, "bot@10.0.0.1 pinged 10.0.0.2", "bot@<IP> pinged <IP>"),
+      // overlong digit-dash run: the 7-15-char rule matches the longest
+      // prefix that ends on a digit at a word boundary (backtracking), the
+      // tail stays — deliberate: a 19-char run is not phone/SSN shaped
+      (8L, "card 4111-1111-1111-1111!", "card <NUM>-1111!"))
+    val got = cases.toDF("id", "t", "want")
+      .select(col("id"), col("want"), TextOps.redactPii(col("t")).as("got"))
+      .collect().sortBy(_.getLong(0))
+    got.foreach(r => assert(r.getString(2) == r.getString(1),
+      s"case ${r.getLong(0)}: got '${r.getString(2)}'"))
+  }
+
+  test("text ops: duplicate-line fraction") {
+    val sp = spark
+    import sp.implicits._
+    val rows = Seq(
+      (1L, "a\nb\nc", 0.0),
+      (2L, "a\na\na\nb", 0.5),     // 4 lines, 2 distinct -> 2/4
+      (3L, "", 0.0),               // one empty line, distinct
+      (4L, "x\nx", 0.5))
+      .toDF("id", "t", "want")
+      .select(col("id"), col("want"), TextOps.dupLineFraction(col("t")).as("got"))
+      .collect().sortBy(_.getLong(0))
+    rows.foreach(r => assert(math.abs(r.getDouble(2) - r.getDouble(1)) < 1e-12,
+      s"case ${r.getLong(0)}: got ${r.getDouble(2)}"))
+  }
+
   test("DataSource V2: runtime join-key filtering (DPP) narrows the scan") {
     import graft.sources.{GraftParquetFormat, ParquetSink}
     import org.apache.spark.sql.execution.datasources.v2.BatchScanExec
