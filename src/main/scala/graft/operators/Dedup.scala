@@ -67,7 +67,14 @@ object Dedup {
     * the rank column of one identical Window-over-Exchange subtree, so the
     * bucket shuffle is planned once and reused (pinned in PlanSpec); the
     * joins' equi-keys equal the window partition keys, adding no exchange.
-    * Only the slim (keyA, keyB) union re-shuffles for the dedup. */
+    * Only the slim (keyA, keyB) union re-shuffles for the dedup.
+    *
+    * KEEP IN SYNC: [[simhashPairs]]' capped branch runs the same
+    * window/cap/anchor pattern with two extra ingredients this helper
+    * cannot host without giving every caller payload columns it must not
+    * shuffle — per-row simhash values for map-side verification and the
+    * exact-side asymmetry. A change to cap semantics here (ordering,
+    * anchor leg, rank filter) almost certainly applies there too. */
   private[operators] def candidatePairs(banded: DataFrame,
       bucketCols: Seq[String], keyCol: String, maxBucket: Int): DataFrame = {
     val bc = bucketCols.map(col)

@@ -228,6 +228,15 @@ object Multimodal {
     * (nothing is allocated from these, they are metadata-only). */
   private val MaxVideoDim = 65535
 
+  /** Duration/frame-rate sanity bounds, same spirit: a crafted mvhd can
+    * claim a 2^62-tick duration and an avih a 2^31 frame count x 2^31 us
+    * frame time — arithmetically they survive a `>= 0` check (the products
+    * are computed in DOUBLE precisely so they cannot wrap to plausible
+    * garbage), so explicit ceilings reject them. ~115 days / 1000 fps are
+    * far past any legitimate training-corpus video. */
+  private val MaxVideoSeconds = 1e7
+  private val MaxVideoFps = 1000.0
+
   /** Box-walk recursion bound for ISO BMFF parsing: real files nest moov/
     * trak/mdia/... a handful deep; a crafted file must not stack-overflow
     * the task. */
@@ -263,7 +272,8 @@ object Multimodal {
       bytes: Array[Byte]): Option[MediaMeta] = {
     def meta(w: Long, h: Long, durationSec: Double, fps: Double) =
       if (w <= 0 || h <= 0 || w > MaxVideoDim || h > MaxVideoDim ||
-          !(durationSec >= 0) || !(fps >= 0)) None
+          !(durationSec >= 0) || durationSec > MaxVideoSeconds ||
+          !(fps >= 0) || fps > MaxVideoFps) None
       else {
         val feats = new Array[Float](16)
         feats(0) = durationSec.toFloat
@@ -350,7 +360,8 @@ object Multimodal {
             val h = le32(bytes, body + 36)
             val fps = if (usPerFrame > 0) 1e6 / usPerFrame else 0.0
             val dur =
-              if (usPerFrame > 0) totalFrames * usPerFrame / 1e6 else 0.0
+              if (usPerFrame > 0) totalFrames.toDouble * usPerFrame / 1e6
+              else 0.0
             found = meta(w, h, dur, fps)
           }
           // chunks are word-aligned: odd sizes carry a pad byte

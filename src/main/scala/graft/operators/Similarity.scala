@@ -101,10 +101,7 @@ object Similarity {
         var i = 0
         while (i < q.length) { s += q(i) * q(i); i += 1 }
         val qn = math.sqrt(s)
-        // top-k by (cosine desc, neighbor asc): bounded insertion sort
-        val topIds = new Array[Long](k)
-        val topCos = new Array[Double](k)
-        var filled = 0
+        val top = new TopSel(k)
         var ci = 0
         while (ci < n) {
           val (cid, cv, cn) = cor(ci)
@@ -112,28 +109,42 @@ object Similarity {
             var d = 0.0
             var j = 0
             while (j < cv.length) { d += q(j) * cv(j); j += 1 }
-            val c = if (qn * cn > 0) d / (qn * cn) else 0.0
-            val better = filled < k || c > topCos(k - 1) ||
-              (c == topCos(k - 1) && cid < topIds(k - 1))
-            if (better) {
-              var pos = if (filled < k) filled else k - 1
-              topIds(pos) = cid
-              topCos(pos) = c
-              while (pos > 0 && (topCos(pos) > topCos(pos - 1) ||
-                  (topCos(pos) == topCos(pos - 1) && topIds(pos) < topIds(pos - 1)))) {
-                val ti = topIds(pos); topIds(pos) = topIds(pos - 1); topIds(pos - 1) = ti
-                val tc = topCos(pos); topCos(pos) = topCos(pos - 1); topCos(pos - 1) = tc
-                pos -= 1
-              }
-              if (filled < k) filled += 1
-            }
+            top.offer(cid, if (qn * cn > 0) d / (qn * cn) else 0.0)
           }
           ci += 1
         }
-        (0 until filled).iterator.map(rk =>
-          Row(qid, topIds(rk), topCos(rk), rk + 1))
+        (0 until top.filled).iterator.map(rk =>
+          Row(qid, top.ids(rk), top.cos(rk), rk + 1))
       }
     }.toDF("query", "neighbor", "cosine", "rank")
+  }
+
+  /** Bounded top-k selection by (cosine desc, neighbor asc) — the ONE
+    * insertion kernel [[bruteForceTopK]] and [[exactTopK]] both run, so
+    * their documented row-for-row parity is structural rather than kept by
+    * parallel edits. Deterministic regardless of offer order: an equal
+    * cosine keeps the smaller neighbor id, both at the cut boundary and
+    * inside the sorted prefix. */
+  private final class TopSel(k: Int) {
+    val ids = new Array[Long](k)
+    val cos = new Array[Double](k)
+    var filled = 0
+    def offer(cid: Long, c: Double): Unit = {
+      val better = filled < k || c > cos(k - 1) ||
+        (c == cos(k - 1) && cid < ids(k - 1))
+      if (better) {
+        var pos = if (filled < k) filled else k - 1
+        ids(pos) = cid
+        cos(pos) = c
+        while (pos > 0 && (cos(pos) > cos(pos - 1) ||
+            (cos(pos) == cos(pos - 1) && ids(pos) < ids(pos - 1)))) {
+          val ti = ids(pos); ids(pos) = ids(pos - 1); ids(pos - 1) = ti
+          val tc = cos(pos); cos(pos) = cos(pos - 1); cos(pos - 1) = tc
+          pos -= 1
+        }
+        if (filled < k) filled += 1
+      }
+    }
   }
 
   /** Exact cosine-threshold pair join — the brute-force ground truth for
@@ -251,6 +262,17 @@ object Similarity {
       while (i < v.length) { s += v(i) * v(i); i += 1 }
       (r.getLong(0), v, math.sqrt(s))
     }.sortBy(_._1)
+    // duplicate probe keys would make the global window merge rank the
+    // duplicated partials as ONE list (duplicate rows + a dropped true
+    // neighbor) — unlike bruteForceTopK, which emits one correct list per
+    // probe ROW. Refuse rather than silently diverge from that contract.
+    var pi = 1
+    while (pi < probes.length) {
+      require(probes(pi)._1 != probes(pi - 1)._1,
+        s"exactTopK probe keys must be distinct: ${probes(pi)._1} appears " +
+          "more than once (dedup the probe frame on the key column first)")
+      pi += 1
+    }
     val bc = spark.sparkContext.broadcast(probes)
     val partialSchema = StructType(Seq(
       StructField("query", LongType, nullable = false),
@@ -261,11 +283,9 @@ object Similarity {
     val partials = slim(corpus).mapPartitions { it =>
       val qs = bc.value
       val nq = qs.length
-      // per-probe bounded selection, same (cosine desc, neighbor asc)
-      // insertion rule as bruteForceTopK's
-      val topIds = Array.fill(nq)(new Array[Long](k))
-      val topCos = Array.fill(nq)(new Array[Double](k))
-      val filled = new Array[Int](nq)
+      // per-probe bounded selection: the same TopSel kernel (and so the
+      // same (cosine desc, neighbor asc) rule) as bruteForceTopK's
+      val tops = Array.fill(nq)(new TopSel(k))
       it.foreach { r =>
         val cid = r.getLong(0)
         val cv = r.getSeq[Double](1).toArray
@@ -280,32 +300,16 @@ object Similarity {
             var d = 0.0
             var j = 0
             while (j < q.length) { d += q(j) * cv(j); j += 1 }
-            val c = if (qn * cn > 0) d / (qn * cn) else 0.0
-            val ids = topIds(qi)
-            val cos = topCos(qi)
-            val f = filled(qi)
-            val better = f < k || c > cos(k - 1) ||
-              (c == cos(k - 1) && cid < ids(k - 1))
-            if (better) {
-              var pos = if (f < k) f else k - 1
-              ids(pos) = cid
-              cos(pos) = c
-              while (pos > 0 && (cos(pos) > cos(pos - 1) ||
-                  (cos(pos) == cos(pos - 1) && ids(pos) < ids(pos - 1)))) {
-                val ti = ids(pos); ids(pos) = ids(pos - 1); ids(pos - 1) = ti
-                val tc = cos(pos); cos(pos) = cos(pos - 1); cos(pos - 1) = tc
-                pos -= 1
-              }
-              if (f < k) filled(qi) = f + 1
-            }
+            tops(qi).offer(cid, if (qn * cn > 0) d / (qn * cn) else 0.0)
           }
           qi += 1
         }
       }
       (0 until nq).iterator.flatMap { qi =>
         val qid = qs(qi)._1
-        (0 until filled(qi)).iterator.map(rk =>
-          Row(qid, topIds(qi)(rk), topCos(qi)(rk)))
+        val top = tops(qi)
+        (0 until top.filled).iterator.map(rk =>
+          Row(qid, top.ids(rk), top.cos(rk)))
       }
     }.toDF("query", "neighbor", "cosine")
     val w = Window.partitionBy(col("query"))

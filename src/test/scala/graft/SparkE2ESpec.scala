@@ -1837,6 +1837,27 @@ class SparkE2ESpec extends AnyFunSuite with BeforeAndAfterAll {
       evilAvi(wAt) = 0; evilAvi(wAt + 1) = 0; evilAvi(wAt + 2) = 0
       evilAvi(wAt + 3) = 0x40.toByte
     }
+    // hostile duration: 2^31 frames x 2^31 us/frame — the double-math
+    // product (no long wrap) trips the MaxVideoSeconds ceiling; and a
+    // 1 us/frame avi trips the MaxVideoFps ceiling
+    val evilDur = Multimodal.tinyAvi(320, 240, 40000, 100)
+    val evilFps = Multimodal.tinyAvi(320, 240, 40000, 100)
+    locally {
+      def patch(a: Array[Byte], off: Int, v: Long): Unit = {
+        val at = (0 until a.length - 4).find(i =>
+          a(i) == 'a' && a(i + 1) == 'v' && a(i + 2) == 'i' && a(i + 3) == 'h').get
+        val p = at + 8 + off
+        a(p) = v.toByte; a(p + 1) = (v >>> 8).toByte
+        a(p + 2) = (v >>> 16).toByte; a(p + 3) = (v >>> 24).toByte
+      }
+      patch(evilDur, 0, 0x80000000L) // usPerFrame = 2^31
+      patch(evilDur, 16, 0x80000000L) // totalFrames = 2^31
+      patch(evilFps, 0, 1L) // 1 us/frame -> 1e6 fps
+    }
+    assert(Multimodal.decodeVideo(0L, evilDur).isEmpty,
+      "2^62-microsecond duration must not pass the sanity ceiling")
+    assert(Multimodal.decodeVideo(0L, evilFps).isEmpty,
+      "1e6 fps must not pass the sanity ceiling")
     // truncated mp4: moov size claims bytes past the buffer end
     val truncated = mp4.take(mp4.length - 20)
     val df = Seq(
@@ -1881,7 +1902,8 @@ class SparkE2ESpec extends AnyFunSuite with BeforeAndAfterAll {
       Multimodal.decodeVideo(i.toLong, cut).foreach { meta =>
         assert(meta.width > 0 && meta.width <= 65535 &&
           meta.height > 0 && meta.height <= 65535 &&
-          meta.features(0) >= 0 && meta.features(1) >= 0,
+          meta.features(0) >= 0 && meta.features(0) <= 1e7f &&
+          meta.features(1) >= 0 && meta.features(1) <= 1000f,
           s"mutation $i produced $meta")
       }
     }
@@ -1928,6 +1950,20 @@ class SparkE2ESpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(dist.count() == base.count())
     assert(dist.exceptAll(base).count() == 0 &&
       base.exceptAll(dist).count() == 0)
+  }
+
+  test("exactTopK refuses duplicate probe keys") {
+    // a duplicated probe id would make the global merge rank the doubled
+    // partials as ONE list (duplicate rows + a dropped true neighbor)
+    val sp = spark
+    import sp.implicits._
+    val emb = Seq((1L, Seq(1.0, 0.0)), (2L, Seq(0.0, 1.0)),
+      (1L, Seq(1.0, 0.0))).toDF("vec_id", "embedding")
+    val e = intercept[IllegalArgumentException] {
+      Similarity.exactTopK(emb.where(col("vec_id") === 2), emb,
+        "vec_id", "embedding", k = 1)
+    }
+    assert(e.getMessage.contains("distinct"))
   }
 
   test("exactTopK refuses a probe set above its broadcast guard rail") {
