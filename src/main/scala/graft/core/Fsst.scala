@@ -37,13 +37,15 @@ object FsstCodec {
     // compare)
     private[FsstCodec] val symWord: Array[Long] = symbols.map(wordOf)
     private[FsstCodec] val symLen: Array[Int] = symbols.map(_.length)
-    // short(idx) = (len << 8) | code for the longest 1/2-byte symbol whose
+    // short(idx) = (len << 8) | code (16-bit char — the whole table is
+    // 128 KB, half the int version, to stay L2-resident in the hot loop)
+    // for the longest 1/2-byte symbol whose
     // prefix matches idx; 0 in the low 24 bits = no short match. Bit
     // `LongPrefixFlag` marks prefixes some PLACED length>=3 symbol starts
     // with: when it is clear the hash probes cannot hit, so the encode loop
     // resolves the position from this single load (the majority of
     // positions in escape-/short-match-heavy regions).
-    private[FsstCodec] val short2: Array[Int] = new Array[Int](1 << 16)
+    private[FsstCodec] val short2: Array[Char] = new Array[Char](1 << 16)
     // 1-byte-only variant used when just one input byte remains
     private[FsstCodec] val short1: Array[Int] = new Array[Int](1 << 8)
     // two probe tables: hash4 keyed on the 4-byte prefix (symbols of length
@@ -65,7 +67,7 @@ object FsstCodec {
             var hi = 0
             while (hi < 256) {
               val idx = b | (hi << 8)
-              if (short2(idx) == 0) short2(idx) = (1 << 8) | c
+              if (short2(idx) == 0) short2(idx) = ((1 << 8) | c).toChar
               hi += 1
             }
           }
@@ -76,7 +78,7 @@ object FsstCodec {
       while (c < symbols.length) { // pass 2: 2-byte symbols override (longer wins)
         if (symLen(c) == 2) {
           val idx = (symWord(c) & 0xFFFF).toInt
-          if ((short2(idx) >>> 8) < 2) short2(idx) = (2 << 8) | c
+          if ((short2(idx) >>> 8) < 2) short2(idx) = ((2 << 8) | c).toChar
         }
         c += 1
       }
@@ -104,14 +106,17 @@ object FsstCodec {
         // flag the 2-byte prefix only for symbols that actually hold a
         // slot — an unplaced symbol can never match, so flagging it would
         // only send its prefix down the probe path for nothing
-        if (placed) short2((symWord(c) & 0xFFFF).toInt) |= LongPrefixFlag
+        if (placed) {
+          val idx = (symWord(c) & 0xFFFF).toInt
+          short2(idx) = (short2(idx) | LongPrefixFlag).toChar
+        }
       }
     }
   }
 
   // short2 bit marking "a placed length>=3 symbol starts with this 2-byte
   // prefix" — when clear, the encode loop skips both hash probes entirely.
-  private final val LongPrefixFlag = 1 << 24
+  private final val LongPrefixFlag = 1 << 15
 
   @inline private def hashIdx(word: Long): Int =
     ((((word & 0xFFFFFFL) * 2654435761L) >>> (32 - HashBits)).toInt) & (HashSize - 1)
