@@ -698,6 +698,20 @@ object SparkEntry {
           count(lit(1)).as("n"))
         .orderBy("source")
     }),
+    "q_sample" -> ((s, dir) => {
+      // deterministic corpus-mixing sample: membership is a pure function
+      // of the key (Knuth multiplicative hash into 2^31 buckets), so the
+      // oracle recomputes the EXACT same membership with plain BIGINT
+      // arithmetic — unlike DataFrame.sample, whose RNG is partition-order
+      // dependent and could never be value-checked cross-engine
+      import s.implicits._
+      val d = docs(s, dir)
+      val nAll = d.count()
+      val nBern = Sampling.bernoulli(d, "doc_id", 0.25, salt = 7).count()
+      val nStrat = Sampling.stratified(d, "doc_id", "lang",
+        Map("en" -> 0.5, "de" -> 0.1), default = 0.02, salt = 3).count()
+      Seq((nAll, nBern, nStrat)).toDF("n_docs", "n_bern", "n_strat")
+    }),
     "q_pii_redact" -> ((s, dir) => {
       // PII scrub cross-engine: plant one email, one IPv4, one card-shaped
       // digit run, and one 32-hex token per doc (id-derived), run the
@@ -1179,6 +1193,18 @@ object SparkEntry {
         "* (CASE WHEN (CASE WHEN length(text) > 0 THEN (length(text) - length(regexp_replace(text, '\\s', '', 'g')))::DOUBLE / length(text) ELSE 0.0 END) > 0.6 THEN 0.3 ELSE 1.0 END)" +
         ")), 4)), 3) AS sum_quality, count(*) AS n " +
         "FROM documents GROUP BY source ORDER BY source"),
+    "q_sample" ->
+      // same Knuth-hash membership arithmetic in plain BIGINT; thresholds
+      // are the Scala-side floor(fraction * 2^31) literals
+      ("WITH b AS (SELECT lang, " +
+        "((doc_id % 2147483648 + 7) % 2147483648 * 2654435761) % 2147483648 AS b7, " +
+        "((doc_id % 2147483648 + 3) % 2147483648 * 2654435761) % 2147483648 AS b3 " +
+        "FROM documents) " +
+        "SELECT count(*) AS n_docs, " +
+        "CAST(sum(CASE WHEN b7 < 536870912 THEN 1 ELSE 0 END) AS BIGINT) AS n_bern, " +
+        "CAST(sum(CASE WHEN b3 < (CASE WHEN lang = 'en' THEN 1073741824 " +
+        "WHEN lang = 'de' THEN 214748364 ELSE 42949672 END) THEN 1 ELSE 0 END) AS BIGINT) AS n_strat " +
+        "FROM b"),
     "q_pii_redact" ->
       // the SAME regex chain on the SAME planted text, in RE2: cross-engine
       // agreement on every pattern is the point of this oracle

@@ -1453,6 +1453,34 @@ class SparkE2ESpec extends AnyFunSuite with BeforeAndAfterAll {
       s"case ${r.getLong(0)}: got '${r.getString(2)}'"))
   }
 
+  test("deterministic sampling: parallelism-invariant, salt-independent, ANSI-safe") {
+    val sp = spark
+    import sp.implicits._
+    val d = spark.read.parquet(s"$sfDir/documents.parquet")
+    // membership must not depend on partitioning (DataFrame.sample's does)
+    val a = Sampling.bernoulli(d, "doc_id", 0.3, salt = 11)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val b = Sampling.bernoulli(d.repartition(17), "doc_id", 0.3, salt = 11)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(a == b, s"sample changed with partitioning: ${a.size} vs ${b.size}")
+    // fraction lands near its target
+    val n = d.count().toDouble
+    assert(math.abs(a.size / n - 0.3) < 0.05, s"got ${a.size / n}")
+    // different salts give (nearly) independent draws
+    val c = Sampling.bernoulli(d, "doc_id", 0.3, salt = 12)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val overlap = a.intersect(c).size / math.max(1.0, a.size)
+    assert(overlap < 0.6, s"salted samples overlap $overlap")
+    // stratified: per-stratum rates follow the config
+    val strat = Sampling.stratified(d, "doc_id", "lang",
+      Map.empty, default = 1.0)
+    assert(strat.count() == d.count(), "default 1.0 must keep everything")
+    // ANSI mode must never throw, whatever the key
+    val extreme = Seq(Long.MaxValue, Long.MinValue, -1L, 0L)
+      .toDF("k")
+    assert(Sampling.bernoulli(extreme, "k", 0.5).count() <= 4)
+  }
+
   test("text ops: duplicate-line fraction") {
     val sp = spark
     import sp.implicits._
