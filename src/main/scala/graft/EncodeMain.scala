@@ -31,6 +31,13 @@ import graft.operators.{ChunkRow, DecodeJob, EncodeJob, Verifier}
   *                               exit 1 on any mismatch
   * }}}
   *
+  * One run per `outDir` at a time: the startup sweep deletes stale
+  * `.inprogress` staging files on the assumption that no other attempt is
+  * alive (a second concurrent run would sweep the first's in-flight
+  * stages — its tasks then fail fast on the missing stage file rather
+  * than corrupt anything, but the pair of runs wastes work; serialize
+  * runs or use distinct outDirs).
+  *
   * `inputDir` is any Spark-readable parquet directory; on a classpath with
   * an Iceberg runtime the same pipeline runs off `spark.table(...)` —
   * nothing below the DataFrame boundary changes (SURVEY.md §7.8). Output is
