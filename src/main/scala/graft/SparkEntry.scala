@@ -792,15 +792,23 @@ object SparkEntry {
         .withColumn("exact", col("__i").cast("double") /
           (size(col("shA")) + size(col("shB")) - col("__i")).cast("double"))
       val falsePos = exact.where(col("exact") < 0.2).count()
+      // ONE outer-join aggregation yields both the ground-truth pair count
+      // and the missed count (was two jobs — truth.count + a left_anti
+      // count — each recompiling the join subtree)
       val truth = Dedup.ngramJaccardFromSets(sh, blockCols = Seq.empty,
-        threshold = 0.9).cache()
-      val truePairs = truth.count()
-      val missed = truth.join(found, Seq("keyA", "keyB"), "left_anti").count()
+        threshold = 0.9)
+      val tm = truth.join(found.select(col("keyA"), col("keyB"),
+          lit(1).as("__hit")), Seq("keyA", "keyB"), "left_outer")
+        .agg(count(lit(1)).as("t"),
+          sum(when(col("__hit").isNull, 1L).otherwise(0L)).as("m"))
+        .collect()(0)
+      val truePairs = tm.getLong(0)
+      val missed = if (tm.isNullAt(1)) 0L else tm.getLong(1)
       val capped = Dedup.cappedBucketCount(
         Dedup.minhashBands(sig, bands = 8, rowsPerBand = 4),
         Seq("band", "bucket"), Dedup.DefaultMaxBucket)
       val nDocs = d.count()
-      found.unpersist(); truth.unpersist(); sig.unpersist(); sh.unpersist()
+      found.unpersist(); sig.unpersist(); sh.unpersist()
       Seq((nDocs, truePairs, missed, falsePos, capped))
         .toDF("n_docs", "true_pairs_09", "lsh_missed_09", "false_pos",
           "capped_buckets")
@@ -823,17 +831,26 @@ object SparkEntry {
       val withSim = Dedup.simhash(d, "text")
         .select(col("doc_id").as("__key"), col("simhash")).cache()
       val blocked = Dedup.simhashPairs(withSim, maxDist = 8, maxBucket = 0)
-        .select("keyA", "keyB").cache() // referenced by both anti-joins
+        .select("keyA", "keyB")
       val a = withSim.select(col("__key").as("keyA"), col("simhash").as("sa"))
       val b = withSim.select(col("__key").as("keyB"), col("simhash").as("sb"))
       val brute = a.crossJoin(b).where(col("keyA") < col("keyB"))
         .where(bit_count(col("sa").bitwiseXOR(col("sb"))) <= 8)
-        .select("keyA", "keyB").cache()
-      val missed = brute.join(blocked, Seq("keyA", "keyB"), "left_anti").count()
-      val extra = blocked.join(brute, Seq("keyA", "keyB"), "left_anti").count()
+        .select("keyA", "keyB")
+      // ONE full-outer-join aggregation replaces the two anti-join counts
+      // (each of which recompiled its whole subtree): missed = brute rows
+      // with no blocked match, extra = blocked rows with no brute match
+      val mm = brute.withColumn("__t", lit(1))
+        .join(blocked.withColumn("__f", lit(1)), Seq("keyA", "keyB"),
+          "full_outer")
+        .agg(sum(when(col("__f").isNull, 1L).otherwise(0L)).as("missed"),
+          sum(when(col("__t").isNull, 1L).otherwise(0L)).as("extra"))
+        .collect()(0)
+      val mismatches = (if (mm.isNullAt(0)) 0L else mm.getLong(0)) +
+        (if (mm.isNullAt(1)) 0L else mm.getLong(1))
       val nDocs = withSim.count()
-      withSim.unpersist(); brute.unpersist(); blocked.unpersist()
-      Seq((nDocs, missed + extra)).toDF("n_docs", "mismatches")
+      withSim.unpersist()
+      Seq((nDocs, mismatches)).toDF("n_docs", "mismatches")
     }),
     "q_ngram_jaccard" -> ((s, dir) => {
       // exact jaccard join within lang via prefix filtering (PPJoin-style
