@@ -926,22 +926,37 @@ object SparkEntry {
       val base = embeddings(s, dir)
       // planted ids offset past max(vec_id), NOT a fixed constant: a fixed
       // +100000 collides with real ids once the table outgrows 100k rows,
-      // breaking the keyA<keyB pair identity in both truth and oracle
-      val off = base.agg(max(col("vec_id"))).head().getLong(0) + 1L
+      // breaking the keyA<keyB pair identity in both truth and oracle.
+      // ONE metadata job yields both the offset and the row count, and the
+      // planted frame is cached — round 3 ran four separate actions over
+      // uncached unions, doubling this query's wall time (VERDICT r3 #2)
+      val mc = base.agg(max(col("vec_id")).as("mx"), count(lit(1)).as("n"))
+        .head()
+      val off = mc.getLong(0) + 1L
+      val nVecs = mc.getLong(1) + 5L
       val emb = base.unionByName(base.orderBy("vec_id").limit(5)
-        .withColumn("vec_id", col("vec_id") + lit(off)))
+        .withColumn("vec_id", col("vec_id") + lit(off))).cache()
       val found = Dedup.embeddingNearDups(emb, "vec_id", "embedding",
-        threshold = 0.9, planes = 8).select("keyA", "keyB").cache()
+        threshold = 0.9, planes = 8).select("keyA", "keyB")
       // ground truth: broadcast brute-force kernel (bit-identical
       // normalization/dot arithmetic to the LSH operator's SQL path, so
-      // the anti-joins below are exact set comparisons)
+      // the set comparison below is exact)
       val truth = Similarity.bruteForceNearDups(emb, "vec_id", "embedding",
-        threshold = 0.9).select("keyA", "keyB").cache()
-      val truePairs = truth.count()
-      val falsePos = found.join(truth, Seq("keyA", "keyB"), "left_anti").count()
-      val missed = truth.join(found, Seq("keyA", "keyB"), "left_anti").count()
-      val nVecs = emb.count()
-      found.unpersist(); truth.unpersist()
+        threshold = 0.9).select("keyA", "keyB")
+      // ONE full-outer-join aggregation yields the truth-pair count and
+      // both direction mismatches (was truth.count + two anti-join counts,
+      // each recompiling its whole subtree)
+      val tm = truth.withColumn("__t", lit(1))
+        .join(found.withColumn("__f", lit(1)), Seq("keyA", "keyB"),
+          "full_outer")
+        .agg(sum(when(col("__t").isNotNull, 1L).otherwise(0L)).as("t"),
+          sum(when(col("__t").isNull, 1L).otherwise(0L)).as("fp"),
+          sum(when(col("__f").isNull, 1L).otherwise(0L)).as("m"))
+        .head()
+      val truePairs = if (tm.isNullAt(0)) 0L else tm.getLong(0)
+      val falsePos = if (tm.isNullAt(1)) 0L else tm.getLong(1)
+      val missed = if (tm.isNullAt(2)) 0L else tm.getLong(2)
+      emb.unpersist()
       Seq((nVecs, truePairs, falsePos, missed))
         .toDF("n_vecs", "true_pairs", "false_pos", "lsh_missed")
     }),
@@ -1212,10 +1227,13 @@ object SparkEntry {
         "FROM documents GROUP BY source ORDER BY source"),
     "q_sample" ->
       // same Knuth-hash membership arithmetic in plain BIGINT; thresholds
-      // are the Scala-side floor(fraction * 2^31) literals
+      // are the Scala-side floor(fraction * 2^31) literals. DuckDB's % is
+      // sign-preserving while bucketOf uses pmod, so the innermost
+      // remainder is folded non-negative — the two engines then agree for
+      // negative keys too (all later terms stay >= 0 and < 2^63)
       ("WITH b AS (SELECT lang, " +
-        "((doc_id % 2147483648 + 7) % 2147483648 * 2654435761) % 2147483648 AS b7, " +
-        "((doc_id % 2147483648 + 3) % 2147483648 * 2654435761) % 2147483648 AS b3 " +
+        "(((doc_id % 2147483648 + 2147483648) % 2147483648 + 7) % 2147483648 * 2654435761) % 2147483648 AS b7, " +
+        "(((doc_id % 2147483648 + 2147483648) % 2147483648 + 3) % 2147483648 * 2654435761) % 2147483648 AS b3 " +
         "FROM documents) " +
         "SELECT count(*) AS n_docs, " +
         "CAST(sum(CASE WHEN b7 < 536870912 THEN 1 ELSE 0 END) AS BIGINT) AS n_bern, " +

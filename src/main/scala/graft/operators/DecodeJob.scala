@@ -135,15 +135,14 @@ object DecodeJob {
       case Some(_: DecimalType) => (null, null)
       case _ => (lower, upper)
     }
-    // column-level stats predicate (NOT a typed lambda): the metadata scan
-    // then prunes to the stats columns and never reads chunk blobs
-    val overlap = udf((physicalType: Int, numValues: Long, numNulls: Long,
-        minStat: Array[Byte], maxStat: Array[Byte]) =>
-      statsOverlap(physicalType, numValues, numNulls, minStat, maxStat,
-        loB, hiB))
+    // column-level stats predicate as a native codegen'd Expression (NOT a
+    // typed lambda, NOT a udf): the metadata scan prunes to the stats
+    // columns, never reads chunk blobs, and stays inside WholeStageCodegen
+    val overlap = graft.functions.StatsOverlapExpr(
+      $"physicalType", $"numValues", $"numNulls", $"minStat", $"maxStat",
+      loB, hiB)
     val keep = chunks.toDF()
-      .where($"column" === column && overlap($"physicalType", $"numValues",
-        $"numNulls", $"minStat", $"maxStat"))
+      .where($"column" === column && overlap)
       .select($"partId", $"chunkIdx")
       .distinct()
     val pruned = chunks.join(broadcast(keep), Seq("partId", "chunkIdx"))

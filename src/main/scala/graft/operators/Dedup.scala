@@ -204,7 +204,7 @@ object Dedup {
 
   /** Near-dup pairs by SimHash hamming distance ≤ maxDist, blocked with
     * [[simhashSegments]] disjoint bit segments — exact-match segments for
-    * maxDist <= 1, the HmSearch 1-bit-variant scheme for maxDist >= 2
+    * maxDist <= 3, the HmSearch 1-bit-variant scheme for maxDist >= 4
     * (round 2 hard-coded 4 exact segments, silently losing recall for
     * maxDist > 3; round 3's maxDist+1 exact segments were full-recall but
     * left segments only 64/(d+1) bits wide — at d=8, 7-bit segments put
@@ -218,12 +218,15 @@ object Dedup {
       maxDist, maxBucket)
 
   /** Number of disjoint bit segments [[simhashBands]] blocks on for a given
-    * distance. `maxDist <= 1` uses maxDist+1 segments with EXACT-match
-    * blocking (a pair within distance d cannot differ in all d+1 segments);
-    * `maxDist >= 2` switches to the HmSearch scheme — floor(d/2)+1 segments
-    * where the witness segment may carry ONE differing bit, covered by
-    * enumerating 1-bit variants. Pigeonhole both ways: with m = floor(d/2)+1
-    * segments, all segments carrying >= 2 errors would total 2m > d.
+    * distance. `maxDist <= 3` uses maxDist+1 segments with EXACT-match
+    * blocking (a pair within distance d cannot differ in all d+1 segments —
+    * and at d <= 3 the exact segments are still >= 16 bits wide, so they
+    * keep their selectivity while emitting only d+1 banded rows per doc,
+    * vs 64+m for the variant scheme); `maxDist >= 4` switches to the
+    * HmSearch scheme — floor(d/2)+1 segments where the witness segment may
+    * carry ONE differing bit, covered by enumerating 1-bit variants.
+    * Pigeonhole both ways: with m = floor(d/2)+1 segments, all segments
+    * carrying >= 2 errors would total 2m > d.
     *
     * Why variants: fewer, WIDER segments. At d=8 exact-match needs nine
     * 7-bit segments (128 distinct values — bucket sizes ~n/128, candidate
@@ -236,11 +239,11 @@ object Dedup {
     * all docs) the scheme switch plus map-side verification cut the
     * blocked-pair phase 3x. */
   private[graft] def simhashSegments(maxDist: Int): Int =
-    if (maxDist <= 1) maxDist + 1 else maxDist / 2 + 1
+    if (maxDist <= 3) maxDist + 1 else maxDist / 2 + 1
 
   /** Segment-blocking frame for [[simhashPairs]]: (__key, tbl, seg, ex)
     * rows — for every [[simhashSegments]] disjoint bit segment, one `ex =
-    * true` row with the segment's value and (for maxDist >= 2, where a
+    * true` row with the segment's value and (for maxDist >= 4, where a
     * witness segment may differ by one bit) `width` ex = false rows with
     * each single bit flipped. A doc contributes at most ONE row per
     * (tbl, seg) bucket: its exact row if the segment equals the bucket
@@ -252,7 +255,7 @@ object Dedup {
       s"maxDist must be in [0, 15] (got $maxDist): blocking needs " +
         "segments of >= 4 bits to have any selectivity")
     val segs = simhashSegments(maxDist)
-    val withVariants = maxDist >= 2
+    val withVariants = maxDist >= 4
     val segCols = (0 until segs).flatMap { t =>
       val lo = t * 64 / segs
       val width = (t + 1) * 64 / segs - lo
@@ -280,7 +283,7 @@ object Dedup {
   /** Blocked pair join over a precomputed (__key, simhash) frame — split
     * out so tests can plant hash values (e.g. top-bit flips) directly.
     * [[simhashSegments]] segments (1-bit variants enumerated for
-    * maxDist >= 2 — the HmSearch scheme), so by pigeonhole recall is FULL
+    * maxDist >= 4 — the HmSearch scheme), so by pigeonhole recall is FULL
     * at the requested distance AS LONG AS no segment bucket exceeds the
     * cap: past it, overflow members still pair with the bucket anchor (so
     * identical floods dedup) but overflow↔overflow pairs can be missed —
@@ -297,7 +300,7 @@ object Dedup {
     * sf0.1 documents table (dense near-dup structure: 4.5M distinct
     * candidate pairs, 92k true) this cut the pair phase 6.2s -> 2.0s.
     *
-    * For maxDist >= 2 the join is ASYMMETRIC (HmSearch): the a-side keeps
+    * For maxDist >= 4 the join is ASYMMETRIC (HmSearch): the a-side keeps
     * only `ex = true` rows (a doc's own segment values), the b-side all
     * rows. A true pair's witness segment always yields an (exactA, exactB)
     * or (exactA, variantB) match, so the variant x variant cross product
@@ -308,7 +311,7 @@ object Dedup {
   private[graft] def simhashPairs(withSim: DataFrame, maxDist: Int,
       maxBucket: Int = DefaultMaxBucket): DataFrame = {
     val banded = simhashBands(withSim, maxDist)
-    val asym = maxDist >= 2
+    val asym = maxDist >= 4
     def legA(d: DataFrame): DataFrame = if (asym) d.where(col("ex")) else d
     // canonical ordering: free with the symmetric self-join; least/greatest
     // with the asymmetric one (an (exactA, variantB) witness carries no

@@ -348,8 +348,10 @@ object Multimodal {
         var p = from
         while (p + 8 <= to && found.isEmpty) {
           val id = fourcc(bytes, p)
+          // le32 is an unsigned 32-bit value in a Long (never negative);
+          // the Long comparison alone rejects oversized/hostile chunks
           val size = le32(bytes, p + 8 - 4)
-          if (size < 0 || p + 8 + size > to) return
+          if (p + 8 + size > to) return
           val body = p + 8
           if (id == "LIST" && size >= 4)
             walk(body + 4, (body + size).toInt, depth + 1)

@@ -256,6 +256,11 @@ object Similarity {
         s"maxQueryRows=$maxQueryRows probe rows. Pass a smaller probe " +
         "frame, or use lshTopK/ivfTopK for all-pairs search.")
     val probes: Array[(Long, Array[Double], Double)] = qRows.map { r =>
+      // a null key/vector would otherwise surface as an opaque NPE deep in
+      // the kernel — refuse with the same explicitness as the guards above
+      require(!r.isNullAt(0) && !r.isNullAt(1),
+        s"exactTopK probe frame has a null $keyCol/$vecCol row; " +
+          "filter nulls out of the probe frame first")
       val v = r.getSeq[Double](1).toArray
       var s = 0.0
       var i = 0
@@ -287,6 +292,8 @@ object Similarity {
       // same (cosine desc, neighbor asc) rule) as bruteForceTopK's
       val tops = Array.fill(nq)(new TopSel(k))
       it.foreach { r =>
+        if (r.isNullAt(0) || r.isNullAt(1)) throw new IllegalArgumentException(
+          "exactTopK corpus has a null key/vector row; filter nulls first")
         val cid = r.getLong(0)
         val cv = r.getSeq[Double](1).toArray
         var s = 0.0

@@ -62,6 +62,10 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(statsScans >= 1, plan)
     assert(plan.split("\n").exists(l =>
       l.contains("ReadSchema") && l.contains("minStat") && !l.contains("blob")), plan)
+    // the stats predicate is a native codegen'd Expression, not a Scala
+    // udf (which would force the stats scan out of WholeStageCodegen)
+    assert(plan.contains("stats_overlap"), plan)
+    assert(!plan.contains("UDF"), plan)
     // and it still returns the right rows
     assert(pruned.where(col("l_orderkey").between(10, 50)).count() ==
       li.where(col("l_orderkey").between(10, 50)).count())
@@ -97,7 +101,10 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
     val probes = emb.where(col("vec_id") % 50 === 0)
     val plan = planOf(Similarity.exactTopK(emb, probes,
       "vec_id", "embedding", k = 2))
-    assert(plan.sliding("Exchange".length).count(_ == "Exchange") == 1, plan)
+    // node-boundary count: "ReusedExchange"/"BroadcastExchange" must not
+    // satisfy (or mask) the single-SHUFFLE-exchange property
+    assert("(?<!Reused)(?<!Broadcast)Exchange".r
+      .findAllMatchIn(plan).length == 1, plan)
   }
 
   test("LSH dedup ops compute their banding once (ReusedExchange)") {
