@@ -566,6 +566,53 @@ object SparkEntry {
           sum(col("doc_id")).as("sum_id"))
         .orderBy("lang")
     }),
+    "q_parquet_col_props" -> ((s, dir) => {
+      // per-column writer property overrides (the reference's
+      // WriterProperties surface, properties.rs:101-210) on a REAL file:
+      // DELTA pinned on the sorted id with its dictionary disabled,
+      // DELTA_LENGTH_BYTE_ARRAY + gzip on text (dict off), statistics
+      // dropped on n_chars — while lang keeps its dictionary and the
+      // file-level snappy. The FOOTER pins every choice (pins_ok, audited
+      // across all files and row groups Scala-side, a constant the oracle
+      // replays); SPARK'S OWN reader then proves the mixed-codec,
+      // mixed-encoding file is a faithful copy of the source table.
+      import graft.sources.{ParquetFileReader, PqCodec, PqEncoding, WriterProps}
+      val in = docs(s, dir).select("doc_id", "lang", "text", "n_chars")
+      val out = java.nio.file.Files.createTempDirectory("graft-colpq").toString
+      val props = WriterProps.empty
+        .withColumnEncoding("doc_id", PqEncoding.DeltaBinaryPacked)
+        .withColumnDictionaryEnabled("doc_id", on = false)
+        .withColumnEncoding("text", PqEncoding.DeltaLengthByteArray)
+        .withColumnDictionaryEnabled("text", on = false)
+        .withColumnCodec("text", PqCodec.Gzip)
+        .withColumnStatisticsEnabled("n_chars", on = false)
+      graft.sources.ParquetSink.write(
+        in.repartition(2).sortWithinPartitions("doc_id"), out,
+        codec = PqCodec.Snappy, props = props).count()
+      val pinsOk = new java.io.File(out)
+        .listFiles((_, nm) => nm.endsWith(".parquet")).forall { f =>
+          ParquetFileReader.readFooterOnly(f.getPath).rowGroups.forall { rg =>
+            val cols = rg.columns
+              .map(c => c.pathInSchema.mkString(".") -> c).toMap
+            cols("doc_id").encodings.contains(PqEncoding.DeltaBinaryPacked) &&
+              cols("doc_id").dictionaryPageOffset < 0 &&
+              cols("doc_id").stats.nonEmpty &&
+              cols("text").codec == PqCodec.Gzip &&
+              cols("text").dictionaryPageOffset < 0 &&
+              cols("text").encodings.contains(
+                PqEncoding.DeltaLengthByteArray) &&
+              cols("lang").codec == PqCodec.Snappy &&
+              cols("lang").dictionaryPageOffset >= 0 &&
+              cols("n_chars").stats.isEmpty
+          }
+        }
+      s.read.parquet(out).agg(count(lit(1)).as("n"),
+        sum(col("doc_id")).as("sum_id"),
+        sum(length(col("text"))).as("chars"),
+        countDistinct(col("lang")).as("n_lang"),
+        sum(col("n_chars")).as("sum_nc"))
+        .withColumn("pins_ok", lit(pinsOk))
+    }),
     "q_parquet_int96" -> ((s, dir) => {
       // legacy INT96 timestamp writes (reference writer.rs:51-100's eighth
       // physical type, opt-in): our writer emits physical INT96 leaves
@@ -1141,6 +1188,15 @@ object SparkEntry {
         "CAST(sum(l_orderkey) AS BIGINT) AS sum_k FROM lineitem"),
     "q_parquet_enc_auto" ->
       "SELECT lang, count(*) AS cnt, CAST(sum(length(text)) AS BIGINT) AS chars, CAST(sum(doc_id) AS BIGINT) AS sum_id FROM documents GROUP BY lang ORDER BY lang",
+    "q_parquet_col_props" ->
+      // footer pin audit happens Spark-side (pins_ok constant); the
+      // aggregates prove the mixed-codec mixed-encoding file reads back
+      // as a faithful copy of the source table
+      ("SELECT count(*) AS n, CAST(sum(doc_id) AS BIGINT) AS sum_id, " +
+        "CAST(sum(length(text)) AS BIGINT) AS chars, " +
+        "count(DISTINCT lang) AS n_lang, " +
+        "CAST(sum(n_chars) AS BIGINT) AS sum_nc, " +
+        "CAST(1 AS BOOLEAN) AS pins_ok FROM documents"),
     "q_rt_nulls" ->
       ("SELECT count(*) AS n, " +
         "count(CASE WHEN n_chars % 7 = 0 THEN NULL ELSE source END) AS nn_source, " +

@@ -144,7 +144,13 @@ final class GraftParquetTable(dir: String, tableSchema: StructType)
   * [[ParquetFileWriter.IncrementalFileWriter]] into a uniquely-named part
   * file; `truncate` (SaveMode.Overwrite) clears existing part files first.
   * Options: `codec` (snappy|gzip|zstd|lz4_raw|uncompressed), `pageVersion`
-  * (1|2), `rowGroupRows`. */
+  * (1|2), `rowGroupRows`, plus per-COLUMN overrides (the reference's
+  * WriterProperties surface, properties.rs:101-210) as dotted option
+  * keys — `enc.<col>=delta|deltalen|deltabyte|plain|rle|bss` pins that
+  * column's fallback encoding, `dict.<col>=false` disables its
+  * dictionary, `codec.<col>=gzip` overrides its block codec,
+  * `stats.<col>=false` drops its statistics. Unknown column paths fail
+  * the write up front (see [[WriterProps]]). */
 final class GraftWriteBuilder(dir: String, schema: StructType,
     options: CaseInsensitiveStringMap)
     extends WriteBuilder with SupportsTruncate {
@@ -160,14 +166,19 @@ final class GraftWriteBuilder(dir: String, schema: StructType,
       options.getOrDefault("bloomcols", "").split(',').map(_.trim)
         .filter(_.nonEmpty).toSet,
       // fallback value-encoding policy: plain | v2 | auto (EncPolicy)
-      EncPolicy.parse(options.getOrDefault("enc", "plain")))
+      EncPolicy.parse(options.getOrDefault("enc", "plain")),
+      {
+        import scala.jdk.CollectionConverters._
+        WriterProps.fromOptions(options.asScala)
+      })
   }
 }
 
 final class GraftBatchWrite(dir: String, schema: StructType,
     truncate: Boolean, codecName: String, pageVersion: Int,
     rowGroupRows: Int, bloomCols: Set[String] = Set.empty,
-    encPolicy: Int = EncPolicy.Plain) extends BatchWrite {
+    encPolicy: Int = EncPolicy.Plain,
+    props: WriterProps = WriterProps.empty) extends BatchWrite {
   override def createBatchWriterFactory(
       info: PhysicalWriteInfo): DataWriterFactory = {
     val io = GraftIO.forPath(dir)
@@ -175,17 +186,11 @@ final class GraftBatchWrite(dir: String, schema: StructType,
     if (truncate)
       io.list(dir).filter(e => !e.isDir && e.name.endsWith(".parquet"))
         .foreach(e => io.delete(e.path))
-    val codec = codecName.toLowerCase match {
-      case "snappy" => PqCodec.Snappy
-      case "gzip" => PqCodec.Gzip
-      case "zstd" => PqCodec.Zstd
-      case "lz4_raw" | "lz4" => PqCodec.Lz4Raw
-      case "brotli" => PqCodec.Brotli
-      case "uncompressed" | "none" => PqCodec.Uncompressed
-      case other => throw new IllegalArgumentException(s"codec $other")
-    }
+    val codec = PqCodec.parse(codecName)
+    // fail misconfigured per-column props at the DRIVER, before any task
+    if (!props.isEmpty) props.resolveFor(schema, codec)
     new GraftWriterFactory(dir, schema, codec, pageVersion, rowGroupRows,
-      bloomCols, encPolicy)
+      bloomCols, encPolicy, props)
   }
   // Task output is staged under a dot-prefixed name (invisible to every
   // scan listing, ours and Spark's) and renamed to its final name only at
@@ -212,12 +217,13 @@ final class GraftBatchWrite(dir: String, schema: StructType,
 final class GraftWriterFactory(dir: String, schema: StructType, codec: Int,
     pageVersion: Int, rowGroupRows: Int,
     bloomCols: Set[String] = Set.empty,
-    encPolicy: Int = EncPolicy.Plain) extends DataWriterFactory {
+    encPolicy: Int = EncPolicy.Plain,
+    props: WriterProps = WriterProps.empty) extends DataWriterFactory {
   override def createWriter(partitionId: Int,
       taskId: Long): DataWriter[InternalRow] =
     new GraftDataWriter(dir,
       f"part-$partitionId%05d-$taskId.parquet",
-      schema, codec, pageVersion, rowGroupRows, bloomCols, encPolicy)
+      schema, codec, pageVersion, rowGroupRows, bloomCols, encPolicy, props)
 }
 
 final case class GraftCommit(path: String, rows: Long)
@@ -227,12 +233,13 @@ final class GraftDataWriter(dir: String, fileName: String,
     schema: StructType, codec: Int,
     pageVersion: Int, rowGroupRows: Int,
     bloomCols: Set[String] = Set.empty,
-    encPolicy: Int = EncPolicy.Plain) extends DataWriter[InternalRow] {
+    encPolicy: Int = EncPolicy.Plain,
+    props: WriterProps = WriterProps.empty) extends DataWriter[InternalRow] {
   private val stagePath = s"$dir/.$fileName.inprogress"
   private val finalPath = s"$dir/$fileName"
   private val w = new ParquetFileWriter.IncrementalFileWriter(stagePath,
     schema, rowGroupRows, codec, pageVersion, bloomCols,
-    encPolicy = encPolicy)
+    encPolicy = encPolicy, props = props)
   // catalyst rows feed the writer directly — the builders copy every value
   // out inside add(), so Spark's row reuse is safe (no per-row external
   // conversion, which round 2 paid here)

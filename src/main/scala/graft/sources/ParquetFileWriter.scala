@@ -138,10 +138,11 @@ object ParquetFileWriter {
       rowGroupRows: Int = 1 << 16, codec: Int = PqCodec.Snappy,
       pageVersion: Int = 1, bloomCols: Set[String] = Set.empty,
       encPolicy: Int = EncPolicy.Plain,
-      int96Timestamps: Boolean = false): Long = {
+      int96Timestamps: Boolean = false,
+      props: WriterProps = WriterProps.empty): Long = {
     val w = new IncrementalFileWriter(path, schema, rowGroupRows, codec,
       pageVersion, bloomCols, encPolicy = encPolicy,
-      int96Timestamps = int96Timestamps)
+      int96Timestamps = int96Timestamps, props = props)
     rows.foreach(w.addRow)
     w.close()
   }
@@ -172,9 +173,20 @@ object ParquetFileWriter {
         * rows (multi-MB blobs, giant strings) can't accumulate a whole
         * partition in the builder arenas before the row-count cut —
         * unbounded task memory and a 2 GiB arena overflow at scale. */
-      rowGroupBytes: Long = 128L << 20) {
+      rowGroupBytes: Long = 128L << 20,
+      /** per-column property overrides (encoding pin, codec, dictionary
+        * and statistics toggles) — the reference's WriterProperties
+        * surface, see [[WriterProps]]. Validated against `schema` here,
+        * at construction, not at first flush. */
+      props: WriterProps = WriterProps.empty) {
     private val fields = schema.fields
     private val nCols = fields.length
+    // leaf-path -> resolved overrides; null map means "all defaults" so
+    // the per-chunk lookup is free on the common path
+    private val colProps: Map[String, ResolvedColProps] =
+      if (props.isEmpty) null else props.resolveFor(schema, codec)
+    private def propsOf(path: Seq[String]): ResolvedColProps =
+      if (colProps == null) null else colProps(path.mkString("."))
     // create-or-truncate through the pluggable I/O seam: local paths hit
     // the JDK, scheme:// paths stream through Hadoop's FileSystem
     private val out = GraftIO.forPath(path).create(path)
@@ -251,7 +263,8 @@ object ParquetFileWriter {
               Seq(f.name, "list", "element"), et, elems,
               rep, defsArr, rep.length, defWidth = 2, maxDef = 3, codec,
               pageVersion, encPolicy,
-              pages => pendingIdx += ((rowGroups.length, chunks.length, pages)))
+              pages => pendingIdx += ((rowGroups.length, chunks.length, pages)),
+              colProps = propsOf(Seq(f.name, "list", "element")))
           case mb: ColBuilder.MapBuilder =>
             // two leaves sharing one rep stream: key (maxDef 2, required)
             // and value (maxDef 3, optional)
@@ -266,12 +279,14 @@ object ParquetFileWriter {
               Seq(f.name, "key_value", "key"), kt, keys,
               rep, keyDefs, rep.length, defWidth = 2, maxDef = 2, codec,
               pageVersion, encPolicy,
-              pages => pendingIdx += ((rowGroups.length, chunks.length, pages)))
+              pages => pendingIdx += ((rowGroups.length, chunks.length, pages)),
+              colProps = propsOf(Seq(f.name, "key_value", "key")))
             chunks += writeColumnChunk(write, () => pos,
               Seq(f.name, "key_value", "value"), vt, vals,
               rep, defsArr, rep.length, defWidth = 2, maxDef = 3, codec,
               pageVersion, encPolicy,
-              pages => pendingIdx += ((rowGroups.length, chunks.length, pages)))
+              pages => pendingIdx += ((rowGroups.length, chunks.length, pages)),
+              colProps = propsOf(Seq(f.name, "key_value", "value")))
           case sb: ColBuilder.StructBuilder =>
             // non-repeated group: one leaf chunk per subfield, maxDef 2
             // (optional group + optional field), no rep stream
@@ -284,7 +299,8 @@ object ParquetFileWriter {
                 Seq(f.name, subFields(j).name), subFields(j).dataType, vec,
                 null, defsArr, sb.rowCount, defWidth = 2, maxDef = 2, codec,
                 pageVersion, encPolicy,
-                pages => pendingIdx += ((rowGroups.length, chunks.length, pages)))
+                pages => pendingIdx += ((rowGroups.length, chunks.length, pages)),
+                colProps = propsOf(Seq(f.name, subFields(j).name)))
               j += 1
             }
           case b =>
@@ -303,7 +319,7 @@ object ParquetFileWriter {
               null, levels, nRows, defWidth = 1, maxDef = 1, codec,
               pageVersion, encPolicy,
               pages => pendingIdx += ((rowGroups.length, chunks.length, pages)),
-              int96 = asInt96)
+              int96 = asInt96, colProps = propsOf(Seq(f.name)))
         }
         builders(c).clear()
         c += 1
@@ -454,14 +470,25 @@ object ParquetFileWriter {
   private def writeColumnChunk(write: Array[Byte] => Unit, tell: () => Long,
       path: Seq[String], dt: DataType, vec: ColVec, repLevels: Array[Byte],
       defLevels: Array[Byte], numValues: Int, defWidth: Int, maxDef: Int,
-      codec: Int, pageVersion: Int,
+      fileCodec: Int, pageVersion: Int,
       encPolicy: Int = EncPolicy.Plain,
       /** invoked (during this call) with every data page's location +
         * stats + all-null flag, for the footer page index */
       recordPages: Seq[(PqPageLocation, Option[PqStats], Boolean)] => Unit = null,
       /** legacy INT96 timestamp chunk: `vec` holds 12-byte values */
-      int96: Boolean = false)
+      int96: Boolean = false,
+      /** this leaf's resolved per-column overrides (WriterProps) — null
+        * means "no overrides": file codec, dict on, stats on, policy-chosen
+        * fallback encoding */
+      colProps: ResolvedColProps = null)
       : PqColumnMeta = {
+    // per-column resolution (reference properties.rs:168-210): codec,
+    // dictionary toggle, statistics toggle, pinned fallback encoding
+    val codec = if (colProps == null) fileCodec else colProps.codec
+    val dictOn = colProps == null || colProps.dictionary
+    val statsOn = colProps == null || colProps.statistics
+    val encPin: Option[Int] =
+      if (colProps == null) None else colProps.encPin
     val typ = if (int96) PqType.Int96 else pqTypeOf(dt)
     // raw fixed-width values (FLBA decimals, INT96): PLAIN concat with no
     // length prefixes, no dictionary, no min/max (FLBA decimal order is
@@ -479,18 +506,23 @@ object ParquetFileWriter {
     }
     // chunk statistics: stat-encoded min/max over the non-null values plus
     // the null count (the reference's statistics.rs fields; its own writer
-    // left them TODO — writer.rs:352).
+    // left them TODO — writer.rs:352). statistics_enabled=false omits them
+    // entirely (properties.rs:195-204) — chunk meta, page stats, and the
+    // footer page index all go stat-less for this column.
     val stats =
-      if (rawFixed) Some(PqStats(Array.emptyByteArray, Array.emptyByteArray,
-        numNulls.toLong))
+      if (!statsOn) None
+      else if (rawFixed) Some(PqStats(Array.emptyByteArray,
+        Array.emptyByteArray, numNulls.toLong))
       else {
         val (mn, mx) = MinMax.compute(vec)
         Some(PqStats(mn, mx, numNulls.toLong))
       }
 
-    // dictionary attempt (first-seen order, like the reference's writer)
+    // dictionary attempt (first-seen order, like the reference's writer);
+    // dictionary_enabled=false (properties.rs:185) skips the attempt so
+    // the fallback (possibly pinned) encoding carries the whole chunk
     val dictPair: Option[(Int, Array[Byte], Array[Byte])] =
-      if (rawFixed) None else buildDict(vec)
+      if (rawFixed || !dictOn) None else buildDict(vec)
 
     // the dict path knows the EXACT distinct count — carry it in the
     // footer stats (thrift Statistics field 4, the reference's
@@ -521,8 +553,17 @@ object ParquetFileWriter {
     // WHOLE chunk (it fit the sample bound), the winning encoding's bytes
     // come back cached — the single-page path below reuses them instead of
     // encoding twice.
+    // a pinned encoding (set_column_encoding) bypasses the policy; with
+    // dictionary enabled it is the FALLBACK, reached only when the dict
+    // path rejects the chunk — the reference's set_encoding semantics
+    // (properties.rs:348-358). Empty value vectors stay PLAIN (nothing to
+    // encode; delta headers over zero values are wasted bytes).
     val (fallbackEnc, cachedVals) =
-      if (dictIds.isEmpty && !rawFixed) selectEnc(vec, dt, encPolicy, codec)
+      if (dictIds.isEmpty && !rawFixed) encPin match {
+        case Some(pin) if vec.length > 0 => (pin, null: Array[Byte])
+        case Some(_) => (PqEncoding.Plain, null: Array[Byte])
+        case None => selectEnc(vec, dt, encPolicy, codec)
+      }
       else (PqEncoding.Plain, null: Array[Byte])
     val valueEnc =
       if (dictIds.isEmpty) fallbackEnc
@@ -600,8 +641,12 @@ object ParquetFileWriter {
         // page-level statistics over this page's values (the page-skipping
         // granularity the reference never reached — its writer left even
         // chunk stats TODO, writer.rs:352)
-        val (pMn, pMx) = MinMax.compute(slice)
-        val pStats = Some(PqStats(pMn, pMx, (rEnd - r0 - (vEnd - v0)).toLong))
+        val pStats =
+          if (!statsOn) None
+          else {
+            val (pMn, pMx) = MinMax.compute(slice)
+            Some(PqStats(pMn, pMx, (rEnd - r0 - (vEnd - v0)).toLong))
+          }
         emitPage(rEnd - r0, defsSlice, null, encodeValues(slice, fallbackEnc),
           pStats, firstRow = r0)
         r0 = rEnd; v0 = vEnd; acc = 0L
@@ -1019,7 +1064,10 @@ object ParquetSink {
       rowGroupRows: Int = 1 << 16, pageVersion: Int = 1,
       bloomCols: Seq[String] = Nil,
       encPolicy: Int = EncPolicy.Plain,
-      int96Timestamps: Boolean = false): DataFrame = {
+      int96Timestamps: Boolean = false,
+      props: WriterProps = WriterProps.empty): DataFrame = {
+    // fail on bad per-column props at the DRIVER, before tasks launch
+    if (!props.isEmpty) props.resolveFor(df.schema, codec)
     val spark = df.sparkSession
     import spark.implicits._
     val schema = df.schema
@@ -1042,7 +1090,7 @@ object ParquetSink {
         val stage = f"$dir/.part-$pid%05d.parquet.${taskAttempt()}%d.inprogress"
         val w = new ParquetFileWriter.IncrementalFileWriter(stage, schema,
           rowGroupRows, codec, pageVersion, blooms, encPolicy = encPolicy,
-          int96Timestamps = int96Timestamps)
+          int96Timestamps = int96Timestamps, props = props)
         it.foreach(w.add)
         val n = w.close()
         GraftIO.forPath(dir).rename(stage, path)
@@ -1072,8 +1120,10 @@ object ParquetSink {
     * attempts are swept at the next start). */
   def writeResumable(df: DataFrame, dir: String, codec: Int = PqCodec.Snappy,
       rowGroupRows: Int = 1 << 16, pageVersion: Int = 1,
-      encPolicy: Int = EncPolicy.Plain): DataFrame = {
+      encPolicy: Int = EncPolicy.Plain,
+      props: WriterProps = WriterProps.empty): DataFrame = {
     val spark = df.sparkSession
+    if (!props.isEmpty) props.resolveFor(df.schema, codec) // driver-side check
     GraftIO.forPath(dir).mkdirs(dir)
     sweepStaging(dir)
     val lineageDir = s"$dir/_lineage"
@@ -1099,7 +1149,8 @@ object ParquetSink {
         // deterministic target (atomic REPLACE — identical content).
         val stage = f"$dir/.part-$pid%05d.parquet.${taskAttempt()}%d.inprogress"
         val w = new ParquetFileWriter.IncrementalFileWriter(stage, schema,
-          rowGroupRows, codec, pageVersion, encPolicy = encPolicy)
+          rowGroupRows, codec, pageVersion, encPolicy = encPolicy,
+          props = props)
         it.foreach(w.add)
         val n = w.close()
         GraftIO.forPath(dir).rename(stage, path)

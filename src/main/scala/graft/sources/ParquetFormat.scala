@@ -227,6 +227,18 @@ object PqCodec {
   val Lz4 = 5 // legacy: LZ4 frame format (what the reference's lz4 crate speaks)
   val Zstd = 6
   val Lz4Raw = 7 // raw LZ4 block format
+
+  /** Writer-option codec names (the single parser for DSv2 options and
+    * per-column overrides). */
+  def parse(s: String): Int = s.toLowerCase match {
+    case "snappy" => Snappy
+    case "gzip" => Gzip
+    case "zstd" => Zstd
+    case "lz4_raw" | "lz4" => Lz4Raw
+    case "brotli" => Brotli
+    case "uncompressed" | "none" => Uncompressed
+    case other => throw new IllegalArgumentException(s"codec $other")
+  }
 }
 
 object PqConvertedType {

@@ -48,11 +48,13 @@ object StreamingEncode {
       codec: Int = graft.sources.PqCodec.Snappy,
       rowGroupRows: Int = 1 << 16,
       trigger: org.apache.spark.sql.streaming.Trigger =
-        org.apache.spark.sql.streaming.Trigger.AvailableNow()): StreamingQuery = {
+        org.apache.spark.sql.streaming.Trigger.AvailableNow(),
+      props: graft.sources.WriterProps = graft.sources.WriterProps.empty)
+      : StreamingQuery = {
     input.writeStream
       .option("checkpointLocation", s"$outDir/_checkpoint")
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        parquetBatch(batch, batchId, outDir, codec, rowGroupRows)
+        parquetBatch(batch, batchId, outDir, codec, rowGroupRows, props)
       }
       .trigger(trigger)
       .start()
@@ -61,14 +63,16 @@ object StreamingEncode {
   /** One micro-batch of the parquet-file sink (idempotent per batch id). */
   def parquetBatch(batch: DataFrame, batchId: Long, outDir: String,
       codec: Int = graft.sources.PqCodec.Snappy,
-      rowGroupRows: Int = 1 << 16): Unit = {
+      rowGroupRows: Int = 1 << 16,
+      props: graft.sources.WriterProps = graft.sources.WriterProps.empty)
+      : Unit = {
     val dir = new java.io.File(s"$outDir/batch=$batchId")
     // clear partial output from any failed earlier attempt — a replayed
     // batch must not leave stale part files from a different partitioning
     if (dir.isDirectory)
       dir.listFiles().foreach(f => if (f.isFile) f.delete())
-    graft.sources.ParquetSink.write(batch, dir.getPath, codec, rowGroupRows)
-      .count()
+    graft.sources.ParquetSink.write(batch, dir.getPath, codec, rowGroupRows,
+      props = props).count()
   }
 
   /** One micro-batch: encode, renumber partitions into the global id

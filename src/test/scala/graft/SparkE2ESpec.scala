@@ -980,6 +980,104 @@ class SparkE2ESpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(sz(autoDir) < sz(plainDir))
   }
 
+  test("parquet writer: per-column property overrides (encoding/dict/codec/stats)") {
+    import graft.sources.{ParquetFileReader, ParquetSink, PqCodec, PqEncoding, WriterProps, ColumnProps}
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    // id: unique sorted longs (dict WOULD win at n=2000 — the test pins
+    // delta by ALSO disabling its dict, exercising the pin+toggle combo);
+    // lang: low-card string (dict must stay on, untouched column);
+    // text: unique strings (per-column gzip + dict off + deltalen pin);
+    // score: doubles with stats disabled
+    val n = 2000
+    val rows = (0 until n).map { i =>
+      Row(i.toLong, Seq("en", "de", "fr")(i % 3),
+        f"unique text payload $i%06d with trailing entropy ${i * 2654435761L}%x",
+        i / 7.0)
+    }
+    val schema = StructType(Seq(
+      StructField("id", LongType), StructField("lang", StringType),
+      StructField("text", StringType), StructField("score", DoubleType)))
+    val df = spark.createDataFrame(spark.sparkContext.parallelize(rows, 1), schema)
+    val props = WriterProps.empty
+      .withColumnEncoding("id", PqEncoding.DeltaBinaryPacked)
+      .withColumnDictionaryEnabled("id", on = false)
+      .withColumnEncoding("text", PqEncoding.DeltaLengthByteArray)
+      .withColumnDictionaryEnabled("text", on = false)
+      .withColumnCodec("text", PqCodec.Gzip)
+      .withColumnStatisticsEnabled("score", on = false)
+
+    def footerOf(dir: String) = {
+      val f = new java.io.File(dir).listFiles(
+        (_, nm) => nm.endsWith(".parquet")).head.getPath
+      ParquetFileReader.readFooterOnly(f).rowGroups.head.columns
+        .map(c => c.pathInSchema.mkString(".") -> c).toMap
+    }
+    def checkFooter(dir: String): Unit = {
+      val cols = footerOf(dir)
+      // pinned fallback shows because dict is off; no dict page written
+      assert(cols("id").encodings.contains(PqEncoding.DeltaBinaryPacked))
+      assert(cols("id").dictionaryPageOffset < 0)
+      // untouched column keeps its dictionary and the FILE codec
+      assert(cols("lang").dictionaryPageOffset >= 0)
+      assert(cols("lang").codec == PqCodec.Snappy)
+      // per-column codec + encoding pin + dict off
+      assert(cols("text").codec == PqCodec.Gzip)
+      assert(cols("text").dictionaryPageOffset < 0)
+      assert(cols("text").encodings.contains(PqEncoding.DeltaLengthByteArray))
+      // statistics disabled: no chunk stats, while others carry them
+      assert(cols("score").stats.isEmpty)
+      assert(cols("id").stats.nonEmpty)
+    }
+
+    val dir1 = java.nio.file.Files.createTempDirectory("graft-colprops").toString
+    ParquetSink.write(df, dir1, codec = PqCodec.Snappy, props = props).count()
+    checkFooter(dir1)
+    // value-exact through Spark's own reader (mixed per-chunk codecs and
+    // the pinned encodings are all spec-legal) and through our DSv2 source
+    val expect = rows.map(r =>
+      (r.getLong(0), r.getString(1), r.getString(2), r.getDouble(3)))
+    val viaSpark = spark.read.parquet(dir1).orderBy("id").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getDouble(3)))
+      .toSeq
+    assert(viaSpark == expect)
+    val viaDsv2 = spark.read.format(graft.sources.GraftParquetFormat.Name)
+      .load(dir1).orderBy("id").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getDouble(3)))
+      .toSeq
+    assert(viaDsv2 == expect)
+
+    // the same overrides through DSv2 writer OPTIONS (dotted keys)
+    val dir2 = java.nio.file.Files.createTempDirectory("graft-colprops2").toString
+    df.repartition(1).write.format(graft.sources.GraftParquetFormat.Name)
+      .option("enc.id", "delta").option("dict.id", "false")
+      .option("enc.text", "deltalen").option("dict.text", "false")
+      .option("codec.text", "gzip").option("stats.score", "false")
+      .mode("overwrite").save(dir2)
+    checkFooter(dir2)
+    assert(spark.read.parquet(dir2).orderBy("id").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getDouble(3)))
+      .toSeq == expect)
+
+    // rejection semantics (reference properties.rs:426-431 + strict paths)
+    intercept[IllegalArgumentException] {
+      ColumnProps(encoding = Some(PqEncoding.RleDictionary))
+    }
+    intercept[IllegalArgumentException] { WriterProps.parseEncoding("dict") }
+    // unknown column path fails at the driver, before any task runs
+    intercept[IllegalArgumentException] {
+      ParquetSink.write(df, dir1,
+        props = WriterProps.empty.withColumnEncoding("nope",
+          PqEncoding.Plain))
+    }
+    // type-incompatible pin (delta over a string leaf) fails up front
+    intercept[IllegalArgumentException] {
+      ParquetSink.write(df, dir1,
+        props = WriterProps.empty.withColumnEncoding("text",
+          PqEncoding.DeltaBinaryPacked))
+    }
+  }
+
   test("distributed ParquetSource: our writer -> our reader as a DataFrame") {
     import graft.sources.{ParquetSink, ParquetSource, PqCodec}
     import org.apache.spark.sql.Row
