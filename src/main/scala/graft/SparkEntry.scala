@@ -738,6 +738,24 @@ object SparkEntry {
           count(lit(1)).as("n"))
         .orderBy("lang")
     }),
+    "q_token_bpe_merge" -> ((s, dir) => {
+      // REAL merge-table BPE (priority pair merging, per-partition kernel
+      // — Bpe.scala) over normalized [a-z ] text. The oracle replays the
+      // SAME creation-ordered merge table as rank-ordered replace() passes
+      // (single-char symbol names make token count == length of the
+      // rewritten string) — see Bpe's oracle-equivalence scaladoc. The SQL
+      // is BUILT from Bpe.SyntheticTable.merges, so the engines can't
+      // drift.
+      val norm = regexp_replace(
+        regexp_replace(lower(col("text")), "[^a-z ]", ""), " +", " ")
+      val d = docs(s, dir).select(col("doc_id"), col("lang"),
+        norm.as("norm"))
+      graft.functions.Bpe.tokenCount(d, "norm",
+          graft.functions.Bpe.SyntheticTable, "bpe_tokens")
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n"), sum(col("bpe_tokens")).as("total_tokens"))
+        .orderBy("lang")
+    }),
     "q_quality_score" -> ((s, dir) => {
       docs(s, dir)
         .groupBy("source")
@@ -1270,6 +1288,17 @@ object SparkEntry {
       "SELECT source, count(DISTINCT regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS distinct_fp FROM documents GROUP BY source ORDER BY source",
     "q_token_bpe" ->
       "SELECT lang, CAST(sum(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]'))) AS BIGINT) AS bpe_tokens, count(*) AS n FROM documents GROUP BY lang ORDER BY lang",
+    "q_token_bpe_merge" -> {
+      // rank-ordered replace() replay of the SAME merge table (valid for
+      // creation-ordered tables with single-char symbols — Bpe scaladoc);
+      // token count == length of the rewritten string
+      val replayed = graft.functions.Bpe.SyntheticTable.merges.foldLeft(
+        "regexp_replace(regexp_replace(lower(text), '[^a-z ]', '', 'g'), ' +', ' ', 'g')") {
+        case (acc, m) => s"replace($acc, '${m.left}${m.right}', '${m.out}')"
+      }
+      s"SELECT lang, count(*) AS n, CAST(sum(length($replayed)) AS BIGINT) " +
+        s"AS total_tokens FROM documents GROUP BY lang ORDER BY lang"
+    },
     "q_quality_score" ->
       // identical double-arithmetic order to TextOps.qualityScore, so the
       // per-row round(..., 4) agrees bit for bit
