@@ -514,30 +514,63 @@ object Similarity {
     df.withColumn("lshBucket", bits.reduce(_.bitwiseOR(_)))
   }
 
-  /** Scale-path ANN: MULTI-TABLE hyperplane LSH — `tables` independent
-    * plane sets, candidates unioned across tables, then exact top-k per
-    * query over the candidate set. Single-table sign-LSH recall was ~5% on
-    * near-uniform embeddings (round-1 measurement); multi-table is the
-    * standard recall lever and keeps the same shape: one explode (x tables),
-    * join only within (table, bucket), never quadratic. The bucket join and
-    * candidate dedup carry keys only; unit vectors are joined back once per
-    * surviving pair (one dot per pair). Only the NEIGHBOR side of a bucket
-    * is bounded at `maxBucket` members (generous 4096 default): a hot
-    * bucket of size N yields N x maxBucket candidate pairs instead of N^2,
-    * but every key still rides the query side uncapped, so no query can
-    * vanish from the output — capping trades neighbor recall only. */
+  /** Scale-path ANN: MULTI-TABLE, MULTI-PROBE hyperplane LSH — `tables`
+    * independent plane sets, candidates unioned across tables, then exact
+    * top-k per query over the candidate set. Single-table sign-LSH recall
+    * was ~5% on near-uniform embeddings (round-1 measurement); multi-table
+    * is the standard recall lever, and `probes` adds the second standard
+    * lever (multi-probe LSH, Lv et al. 2007 — public algorithm): each
+    * QUERY row additionally probes the `probes` 1-bit-neighbor buckets
+    * whose sign margins |dot| are smallest — exactly the flips most likely
+    * to separate a true neighbor — for (1+probes)x query-side rows instead
+    * of the ~2^probes x cost of more tables at equal recall.
+    *
+    * Shape: one explode (x tables x (1+probes)), join only within
+    * (table, bucket), never quadratic. The bucket join and candidate dedup
+    * carry keys only; unit vectors are joined back once per surviving pair
+    * (one dot per pair). Probe rows live on the QUERY side only (the
+    * asymmetric-join trick of [[Dedup.simhashPairs]]): a true pair always
+    * meets through (probeA-or-exactA, exactB), so the neighbor side stays
+    * exact rows and probe x probe never joins. Only the NEIGHBOR side of
+    * a bucket is bounded at `maxBucket` members (generous 4096 default): a
+    * hot bucket of size N yields N x maxBucket candidate pairs instead of
+    * N^2, but every key still rides the query side uncapped, so no query
+    * can vanish from the output — capping trades neighbor recall only. */
   def lshTopK(df: DataFrame, keyCol: String, vecCol: String,
       k: Int = 5, planes: Int = 8, tables: Int = 8,
-      maxBucket: Int = 4096): DataFrame = {
+      maxBucket: Int = 4096, probes: Int = 2): DataFrame = {
+    require(probes >= 0 && probes <= planes, s"probes $probes of $planes")
     val v = col(vecCol)
     val idx = sequence(lit(0), size(v) - 1)
-    val bucketStructs = (0 until tables).map { t =>
-      val bits = (0 until planes).map { p =>
-        val d = aggregate(zip_with(v, idx, (x, i) => x * planeComponent(t, p, i)),
+    val bucketStructs = (0 until tables).flatMap { t =>
+      val dots = (0 until planes).map { p =>
+        aggregate(zip_with(v, idx, (x, i) => x * planeComponent(t, p, i)),
           lit(0.0), (acc, x) => acc + x)
-        when(d >= 0, shiftleft(lit(1L), p)).otherwise(lit(0L))
       }
-      struct(lit(t).as("tbl"), bits.reduce(_.bitwiseOR(_)).as("bucket"))
+      val bucket = dots.zipWithIndex.map { case (d, p) =>
+        when(d >= 0, shiftleft(lit(1L), p)).otherwise(lit(0L))
+      }.reduce(_.bitwiseOR(_))
+      val exact = struct(lit(t).as("tbl"), bucket.as("bucket"),
+        lit(true).as("ex"))
+      val probeRows =
+        if (probes == 0) Nil
+        else {
+          // margin-ordered single-bit flips: sort planes by |dot| asc
+          // (ties by bit mask — array_sort's struct order, deterministic),
+          // flip the `probes` narrowest margins. Masks are plan-time
+          // literals (1L << p), so no runtime shift-by-column is needed.
+          val margins = array(dots.zipWithIndex.map { case (d, p) =>
+            struct(abs(d).as("m"), lit(1L << p).as("mask"))
+          }: _*)
+          val flips = slice(array_sort(margins), 1, probes)
+          (0 until probes).map { j =>
+            val mask = element_at(flips, j + 1).getField("mask")
+            struct(lit(t).as("tbl"),
+              bucket.bitwiseXOR(mask).as("bucket"),
+              lit(false).as("ex"))
+          }
+        }
+      exact +: probeRows
     }
     // materialize the banded frame's shuffle ONCE: the explicit repartition
     // on (tbl, bucket) gives both join sides a canonically identical
@@ -550,10 +583,11 @@ object Similarity {
     // only the neighbor side pays the cap's within-partition sort.
     val banded = df.select(col(keyCol).as("__key"),
         explode(array(bucketStructs: _*)).as("tb"))
-      .select(col("__key"), col("tb.tbl"), col("tb.bucket"))
+      .select(col("__key"), col("tb.tbl"), col("tb.bucket"), col("tb.ex"))
       .repartition(col("tbl"), col("bucket"))
     val a = banded.select(col("tbl"), col("bucket"), col("__key").as("query"))
-    val b = Dedup.capBuckets(banded, Seq("tbl", "bucket"), "__key", maxBucket)
+    val b = Dedup.capBuckets(banded.where(col("ex")),
+        Seq("tbl", "bucket"), "__key", maxBucket)
       .select(col("tbl"), col("bucket"), col("__key").as("neighbor"))
     val cand = a.join(b, Seq("tbl", "bucket"))
       .where(col("query") =!= col("neighbor"))

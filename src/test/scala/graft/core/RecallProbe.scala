@@ -16,13 +16,18 @@ object RecallProbe {
       val bf = Similarity.bruteForceTopK(emb, "vec_id", "embedding", k = 3)
         .select("query", "neighbor").cache()
       bf.count()
-      val lshR = Similarity.recall(bf,
-        Similarity.lshTopK(emb, "vec_id", "embedding", k = 3, planes = 6)
-          .select("query", "neighbor"))
-      val ivfR = Similarity.recall(bf,
-        Similarity.ivfTopK(emb, "vec_id", "embedding", k = 3, nLists = 8, nProbe = 2)
-          .select("query", "neighbor"))
-      println(f"$sf: lsh=$lshR%.4f ivf=$ivfR%.4f n=${emb.count()}")
+      Seq(0, 1, 2, 3).foreach { probes =>
+        val r = Similarity.recall(bf,
+          Similarity.lshTopK(emb, "vec_id", "embedding", k = 3, planes = 6,
+            probes = probes).select("query", "neighbor"))
+        println(f"$sf: lsh planes=6 probes=$probes recall=$r%.4f")
+      }
+      Seq(2, 3, 4).foreach { nProbe =>
+        val r = Similarity.recall(bf,
+          Similarity.ivfTopK(emb, "vec_id", "embedding", k = 3, nLists = 8,
+            nProbe = nProbe).select("query", "neighbor"))
+        println(f"$sf: ivf nLists=8 nProbe=$nProbe recall=$r%.4f")
+      }
       bf.unpersist()
     }
     spark.stop()
