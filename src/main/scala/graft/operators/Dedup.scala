@@ -144,8 +144,17 @@ object Dedup {
       numHashes: Int = 64, bands: Int = 16, threshold: Double = 0.7,
       maxBucket: Int = DefaultMaxBucket): DataFrame =
     minhashLshFromSig(
+      // materialized ONCE, eagerly (the ivfTopK localCheckpoint
+      // precedent): the signature frame feeds three exchanges (banding +
+      // both payload join-backs), and a lazy subtree would re-run the
+      // scan + shingling + hashing — the dominant cost — once per
+      // exchange (measured 3x wall on a single-partition 50k corpus).
+      // localCheckpoint (not persist) so the blocks die with the RDD
+      // instead of lingering in the cache manager. Callers who already
+      // persist their own signature frame use minhashLshFromSig directly.
       minhashSignature(df, textCol, numHashes)
-        .select(col(keyCol).as("__key"), col("minhash")),
+        .select(col(keyCol).as("__key"), col("minhash"))
+        .localCheckpoint(true),
       numHashes, bands, threshold, maxBucket)
 
   /** [[minhashLsh]] over a precomputed (__key, minhash) frame. The
