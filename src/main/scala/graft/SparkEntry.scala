@@ -872,15 +872,34 @@ object SparkEntry {
       // estimator can't plausibly cross, no bucket capped.
       import s.implicits._
       val d = docs(s, dir)
+      val nDocs = d.count()
+      // the WHOLE comparison — LSH under test, exact ground truth, and
+      // every pinned invariant — runs on the same deterministic sample
+      // universe (identity at driver correctness scales): the exact-
+      // jaccard twin is quadratic, and comparing full-corpus LSH to
+      // sampled truth would be vacuous for the sampled pairs anyway
+      // (banding is per-doc, so sampled-universe bucket collisions are
+      // exactly the full run's collisions restricted to the sample).
+      val dS = d.where(
+        sampleGate(col("doc_id"), nDocs, DocTruthCeiling, salt = 13))
       // signatures cached once — the operator references them three times
       // (banding + both join-backs) and the capped-bucket stat reuses them
-      val sig = Dedup.minhashSignature(d, "text", 32)
+      val sig = Dedup.minhashSignature(dS, "text", 32)
         .select(col("doc_id").as("__key"), col("minhash")).cache()
+      // 16 bands x 2 rows, NOT 8 x 4: the lsh_missed_09=0 pin is only as
+      // strong as the banding's miss probability, and (1-0.9^4)^8 = 2e-4
+      // per pair actually fired at a 31892-true-pair corpus (2 misses in
+      // the 10x replica run). (1-0.9^2)^16 = 3e-12 per pair keeps the
+      // zero pin exact for any conceivable corpus (1e9 true pairs ->
+      // 0.003 expected misses). maxBucket = 0 (uncapped) so the pin is
+      // unconditional — the q_simhash convention; the sample gate bounds
+      // the uncapped join's worst case, and capped_buckets still reports
+      // the DefaultMaxBucket census the production (capped) run would see.
       val found = Dedup.minhashLshFromSig(sig,
-        numHashes = 32, bands = 8, threshold = 0.5).cache()
+        numHashes = 32, bands = 16, threshold = 0.5, maxBucket = 0).cache()
       // one cached 5-shingle set frame serves the exact-verify join AND the
       // prefix-filtered ground-truth join (four internal references)
-      val sh = d.select(col("doc_id").as("__key"),
+      val sh = dS.select(col("doc_id").as("__key"),
         array_sort(transform(TextOps.wordShingles(col("text"), 5),
           x => xxhash64(x))).as("__sh")).cache()
       val exact = found
@@ -890,19 +909,10 @@ object SparkEntry {
         .withColumn("exact", col("__i").cast("double") /
           (size(col("shA")) + size(col("shB")) - col("__i")).cast("double"))
       val falsePos = exact.where(col("exact") < 0.2).count()
-      val nDocs = d.count()
       // ONE outer-join aggregation yields both the ground-truth pair count
       // and the missed count (was two jobs — truth.count + a left_anti
-      // count — each recompiling the join subtree). The exact-jaccard
-      // ground-truth join is the quadratic twin: above DocTruthCeiling it
-      // runs on a deterministic key-hash sample of the shingle frame
-      // (identity at driver correctness scales) that the DuckDB oracle
-      // replays with the same membership arithmetic — missed counting is
-      // unaffected (truth pairs are a subset of the sampled universe
-      // either way), and the found/falsePos legs stay full-corpus.
-      val shT = sh.where(
-        sampleGate(col("__key"), nDocs, DocTruthCeiling, salt = 13))
-      val truth = Dedup.ngramJaccardFromSets(shT, blockCols = Seq.empty,
+      // count — each recompiling the join subtree)
+      val truth = Dedup.ngramJaccardFromSets(sh, blockCols = Seq.empty,
         threshold = 0.9)
       val tm = truth.join(found.select(col("keyA"), col("keyB"),
           lit(1).as("__hit")), Seq("keyA", "keyB"), "left_outer")
@@ -912,7 +922,7 @@ object SparkEntry {
       val truePairs = tm.getLong(0)
       val missed = if (tm.isNullAt(1)) 0L else tm.getLong(1)
       val capped = Dedup.cappedBucketCount(
-        Dedup.minhashBands(sig, bands = 8, rowsPerBand = 4),
+        Dedup.minhashBands(sig, bands = 16, rowsPerBand = 2),
         Seq("band", "bucket"), Dedup.DefaultMaxBucket)
       found.unpersist(); sig.unpersist(); sh.unpersist()
       Seq((nDocs, truePairs, missed, falsePos, capped))
