@@ -14,7 +14,13 @@ import graft.operators.{ChunkRow, DecodeJob, EncodeJob, Verifier}
   * {{{
   * spark-submit --master <cluster> --class graft.EncodeMain app.jar \
   *   <inputDir> <outDir> \
-  *   [--partitions N]            encode partitions (default 256)
+  *   [--partitions N]            encode partitions (default 256). Size to
+  *                               ~100 MB RAW bytes per partition
+  *                               (rawBytes / 100e6): per-task memory scales
+  *                               with raw partition size (sort buffers +
+  *                               codec arenas), and the 100 GB soak OOM'd
+  *                               at 400 MB/partition x 32 tasks on a 24 GB
+  *                               heap while ~100 MB/partition fit easily
   *   [--partition-keys a,b]      salted repartition keys (default: the
   *                               input's (repo, lang) columns when present)
   *   [--sort-keys a,b,c]         within-partition sort (default: present
@@ -150,15 +156,18 @@ object EncodeMain {
     if (verifyKeys.nonEmpty) {
       verifyKeys.foreach(k => if (!present(k)) fail(s"verify key $k not in input"))
       val chunks = spark.read.parquet(s"$outDir/chunks").as[ChunkRow]
-      val decoded = DecodeJob.decode(chunks, df.schema).cache()
-      // every non-key column participates in the sha256 equality check
+      val decoded = DecodeJob.decode(chunks, df.schema)
+      // every non-key column participates in the sha256 equality check —
+      // ONE join/aggregation for all of them (verifyAll scaladoc: caching
+      // the decoded frame and joining per column OOM-killed the 100 GB
+      // soak; hashes ride the shuffle, the payload never does)
       var bad = 0L
-      df.schema.fieldNames.filterNot(verifyKeys.contains).foreach { c =>
-        val (ns, nd, mismatched) = Verifier.verify(df, decoded, verifyKeys, c)
-        println(s"verify $c: source=$ns decoded=$nd mismatched=$mismatched")
-        bad += mismatched
+      val dataCols = df.schema.fieldNames.filterNot(verifyKeys.contains).toSeq
+      Verifier.verifyAll(df, decoded, verifyKeys, dataCols).foreach {
+        case (c, (ns, nd, mismatched)) =>
+          println(s"verify $c: source=$ns decoded=$nd mismatched=$mismatched")
+          bad += mismatched
       }
-      decoded.unpersist()
       if (bad > 0) {
         System.err.println(s"VERIFY FAILED: $bad mismatched rows")
         if (ownSession) spark.stop()
