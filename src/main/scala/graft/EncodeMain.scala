@@ -163,7 +163,11 @@ object EncodeMain {
       // soak; hashes ride the shuffle, the payload never does)
       var bad = 0L
       val dataCols = df.schema.fieldNames.filterNot(verifyKeys.contains).toSeq
-      Verifier.verifyAll(df, decoded, verifyKeys, dataCols).foreach {
+      // every column a key -> nothing to hash-compare; keep the old loop's
+      // benign-no-op behavior instead of tripping verifyAll's require
+      if (dataCols.isEmpty)
+        println("verify: all columns are keys, nothing to compare")
+      else Verifier.verifyAll(df, decoded, verifyKeys, dataCols).foreach {
         case (c, (ns, nd, mismatched)) =>
           println(s"verify $c: source=$ns decoded=$nd mismatched=$mismatched")
           bad += mismatched

@@ -150,8 +150,15 @@ object Dedup {
       // scan + shingling + hashing — the dominant cost — once per
       // exchange (measured 3x wall on a single-partition 50k corpus).
       // localCheckpoint (not persist) so the blocks die with the RDD
-      // instead of lingering in the cache manager. Callers who already
-      // persist their own signature frame use minhashLshFromSig directly.
+      // instead of lingering in the cache manager. TWO consequences the
+      // caller must know: (1) calling minhashLsh launches the
+      // scan+shingle+hash job NOW, not at first action; (2) localCheckpoint
+      // truncates lineage, so on a multi-executor cluster a lost executor
+      // fails the job instead of recomputing its blocks. Callers on real
+      // clusters who need recompute-on-loss (or lazy construction) should
+      // build the signature frame themselves, persist it with the storage
+      // level and replication their fault model wants, and call
+      // minhashLshFromSig.
       minhashSignature(df, textCol, numHashes)
         .select(col(keyCol).as("__key"), col("minhash"))
         .localCheckpoint(true),

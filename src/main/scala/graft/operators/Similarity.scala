@@ -542,11 +542,25 @@ object Similarity {
     require(probes >= 0 && probes <= planes, s"probes $probes of $planes")
     val v = col(vecCol)
     val idx = sequence(lit(0), size(v) - 1)
-    val bucketStructs = (0 until tables).flatMap { t =>
-      val dots = (0 until planes).map { p =>
+    // The hyperplane dots feed the bucket, the probe margins, AND every
+    // probe row's flipped bucket — 2 + 2*probes syntactic occurrences per
+    // table. Catalyst's subexpression elimination skips lambda-bearing
+    // expressions (aggregate/zip_with carry LambdaVariables), so inlining
+    // the dot expression everywhere re-evaluates the full projection per
+    // occurrence. Instead: materialize all tables' dots ONCE through an
+    // intermediate projection and derive everything downstream from cheap
+    // array lookups. CollapseProject will not inline a non-cheap alias
+    // that is referenced more than once, so the two selects stay separate
+    // and each dot is computed exactly once per input row.
+    val dotsCol = array((0 until tables).map { t =>
+      array((0 until planes).map { p =>
         aggregate(zip_with(v, idx, (x, i) => x * planeComponent(t, p, i)),
           lit(0.0), (acc, x) => acc + x)
-      }
+      }: _*)
+    }: _*)
+    val bucketStructs = (0 until tables).flatMap { t =>
+      val dots = (0 until planes).map(p =>
+        col("__dots").getItem(t).getItem(p))
       val bucket = dots.zipWithIndex.map { case (d, p) =>
         when(d >= 0, shiftleft(lit(1L), p)).otherwise(lit(0L))
       }.reduce(_.bitwiseOR(_))
@@ -581,8 +595,8 @@ object Similarity {
     // Window from that side, and the subtrees diverge again.) The join keys
     // equal the repartition keys, so neither side shuffles a second time;
     // only the neighbor side pays the cap's within-partition sort.
-    val banded = df.select(col(keyCol).as("__key"),
-        explode(array(bucketStructs: _*)).as("tb"))
+    val banded = df.select(col(keyCol).as("__key"), dotsCol.as("__dots"))
+      .select(col("__key"), explode(array(bucketStructs: _*)).as("tb"))
       .select(col("__key"), col("tb.tbl"), col("tb.bucket"), col("tb.ex"))
       .repartition(col("tbl"), col("bucket"))
     val a = banded.select(col("tbl"), col("bucket"), col("__key").as("query"))

@@ -183,12 +183,14 @@ final class GraftBatchWrite(dir: String, schema: StructType,
       info: PhysicalWriteInfo): DataWriterFactory = {
     val io = GraftIO.forPath(dir)
     io.mkdirs(dir)
+    val codec = PqCodec.parse(codecName)
+    // fail misconfigured per-column props at the DRIVER, before any task —
+    // and BEFORE the Overwrite truncation below: validating after the
+    // delete would destroy the existing table on a typo'd column path
+    if (!props.isEmpty) props.resolveFor(schema, codec)
     if (truncate)
       io.list(dir).filter(e => !e.isDir && e.name.endsWith(".parquet"))
         .foreach(e => io.delete(e.path))
-    val codec = PqCodec.parse(codecName)
-    // fail misconfigured per-column props at the DRIVER, before any task
-    if (!props.isEmpty) props.resolveFor(schema, codec)
     new GraftWriterFactory(dir, schema, codec, pageVersion, rowGroupRows,
       bloomCols, encPolicy, props)
   }

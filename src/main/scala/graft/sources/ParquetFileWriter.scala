@@ -184,7 +184,8 @@ object ParquetFileWriter {
     // leaf-path -> resolved overrides; null map means "all defaults" so
     // the per-chunk lookup is free on the common path
     private val colProps: Map[String, ResolvedColProps] =
-      if (props.isEmpty) null else props.resolveFor(schema, codec)
+      if (props.isEmpty) null
+      else props.resolveFor(schema, codec, int96Timestamps)
     private def propsOf(path: Seq[String]): ResolvedColProps =
       if (colProps == null) null else colProps(path.mkString("."))
     // create-or-truncate through the pluggable I/O seam: local paths hit
@@ -1067,7 +1068,7 @@ object ParquetSink {
       int96Timestamps: Boolean = false,
       props: WriterProps = WriterProps.empty): DataFrame = {
     // fail on bad per-column props at the DRIVER, before tasks launch
-    if (!props.isEmpty) props.resolveFor(df.schema, codec)
+    if (!props.isEmpty) props.resolveFor(df.schema, codec, int96Timestamps)
     val spark = df.sparkSession
     import spark.implicits._
     val schema = df.schema

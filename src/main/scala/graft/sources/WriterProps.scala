@@ -81,9 +81,16 @@ final case class WriterProps(
   /** Resolve against a concrete writer schema: one [[ResolvedColProps]]
     * per leaf path, with per-column > default > writer-arg precedence,
     * case-insensitive path canonicalization (DSv2 option keys arrive
-    * lowercased), unknown-path and incompatible-pin validation. */
-  def resolveFor(schema: StructType,
-      fileCodec: Int): Map[String, ResolvedColProps] = {
+    * lowercased), unknown-path and incompatible-pin validation.
+    *
+    * `int96Timestamps` mirrors the writer flag: INT96 chunks are raw
+    * fixed-width concat, so an explicit non-PLAIN pin on a timestamp leaf
+    * is rejected HERE rather than silently dropped at chunk-write time
+    * (the silent-no-op misconfiguration class this surface exists to
+    * fail loud on). A *default* encoding still degrades silently, as for
+    * every other type it cannot take. */
+  def resolveFor(schema: StructType, fileCodec: Int,
+      int96Timestamps: Boolean = false): Map[String, ResolvedColProps] = {
     val leaves = WriterProps.leafPathsOf(schema)
     val byExact = leaves.map(_._1).toSet
     val byLower = leaves.groupBy(_._1.toLowerCase)
@@ -104,7 +111,11 @@ final case class WriterProps(
     }
     leaves.map { case (path, dt) =>
       val cp = canon.getOrElse(path, ColumnProps())
-      val allowed = WriterProps.pinnableEncodings(dt)
+      val allowed =
+        if (int96Timestamps &&
+            (dt == TimestampType || dt == TimestampNTZType))
+          Set(PqEncoding.Plain)
+        else WriterProps.pinnableEncodings(dt)
       cp.encoding.foreach { e =>
         require(allowed.contains(e),
           s"encoding ${PqEncoding.name(e)} cannot encode column '$path' " +
@@ -184,10 +195,12 @@ object WriterProps {
 
   /** Build per-column overrides from string options — the DSv2/sink
     * surface: `enc.<path>=delta`, `codec.<path>=gzip`,
-    * `dict.<path>=false`, `stats.<path>=false`. Returns the props plus
-    * the set of UNRECOGNIZED `enc.*`-style keys left untouched (so callers
-    * can keep their other options). Paths keep the case the caller used;
-    * [[WriterProps.resolveFor]] canonicalizes case-insensitively. */
+    * `dict.<path>=false`, `stats.<path>=false`. Keys whose prefix is not
+    * one of those four kinds are ignored here (they belong to other
+    * writer options); a recognized kind with a bad VALUE or an unknown
+    * column path fails in `parseEncoding`/[[WriterProps.resolveFor]].
+    * Paths keep the case the caller used; [[WriterProps.resolveFor]]
+    * canonicalizes case-insensitively. */
   def fromOptions(opts: Iterable[(String, String)]): WriterProps = {
     opts.foldLeft(empty) { case (acc, (k, v)) =>
       val dot = k.indexOf('.')
