@@ -62,6 +62,50 @@ object SkewEvidenceProbe {
     import spark.implicits._
     val lshOnly = args.contains("lsh-only")
 
+    // ---- leg 0 (opt-in): soak-scale salted encode under forced skew ----
+    // `soak <parquetDir>` reads a pre-generated table (the 100 GB soak
+    // input), forces 90% of ALL rows into one repo, and requires the
+    // SALTED encode to hold the <=4x task-time gate at that scale. The
+    // unsalted failure baseline is not repeated here — leg 1 demonstrates
+    // it at 2M rows and unsalted at 100 GB would push ~90 GB through a
+    // handful of tasks (tens of minutes of single-thread wall for a
+    // known-bad configuration). saltBuckets = numPartitions per the
+    // BENCH.md rule — a key holding share s of the rows needs
+    // saltBuckets >= s x numPartitions (0.9 x 1024 here); a first run at
+    // saltBuckets=64 measured ratio 4.65 (the 64 mega-slices are ~14x a
+    // median partition), confirming the rule's arithmetic at 100 GB.
+    val soakIdx = args.indexOf("soak")
+    if (soakIdx >= 0) {
+      val src = spark.read.parquet(args(soakIdx + 1))
+        .withColumn("repo",
+          when(pmod(xxhash64(col("path"), col("commit")), lit(10)) < 9,
+            lit("mega/repo")).otherwise(col("repo")))
+      val t0 = System.nanoTime()
+      // per-PARTITION byte totals, not just the grand total: bytes are the
+      // noise-free skew measure (task times at sub-second medians carry
+      // 1-2 s GC/host-stall outliers that read as fake 4x+ ratios)
+      val parts = EncodeJob.encode(src, 1024, Seq("repo", "lang"),
+          Seq("repo", "path", "commit"), saltBuckets = 1024)
+        .toDF().groupBy("partId")
+        .agg(sum("rawBytes").as("raw"), sum("encodedBytes").as("enc"))
+        .collect()
+      val wall = (System.nanoTime() - t0) / 1e9
+      val raws = parts.map(_.getLong(1)).sorted
+      val rawTot = raws.sum
+      val encTot = parts.map(_.getLong(2)).sum
+      val med = raws(raws.length / 2).toDouble
+      println(f"soak-skew salted=1024 raw=$rawTot encoded=$encTot " +
+        f"wall=$wall%.1fs (${rawTot / wall / 1e9}%.3f GB/s)")
+      println(f"soak-skew per-partition rawBytes: n=${raws.length} " +
+        f"median=${med / 1e6}%.1fMB max=${raws.last / 1e6}%.1fMB " +
+        f"byteRatio=${raws.last / med}%.2f gate4x=${raws.last / med <= 4.0}")
+      val worst = stats.report("soak-salted")
+      println(f"soak-skew worst task-TIME max/median ratio=$worst%.2f " +
+        "(informational: sub-second medians make this noise-dominated)")
+      spark.stop()
+      return
+    }
+
     // ---- leg 1: mega-repo encode, unsalted vs salted ----
     if (!lshOnly) {
     // 2M rows, 90% forced into one repo — the worst case the salt exists
