@@ -14,13 +14,16 @@ import graft.operators.{ChunkRow, DecodeJob, EncodeJob, Verifier}
   * {{{
   * spark-submit --master <cluster> --class graft.EncodeMain app.jar \
   *   <inputDir> <outDir> \
-  *   [--partitions N]            encode partitions (default 256). Size to
+  *   [--partitions N|auto]       encode partitions (default 256). Size to
   *                               ~100 MB RAW bytes per partition
   *                               (rawBytes / 100e6): per-task memory scales
   *                               with raw partition size (sort buffers +
   *                               codec arenas), and the 100 GB soak OOM'd
   *                               at 400 MB/partition x 32 tasks on a 24 GB
-  *                               heap while ~100 MB/partition fit easily
+  *                               heap while ~100 MB/partition fit easily.
+  *                               `auto` applies that rule from the input
+  *                               footers' uncompressed byte totals
+  *                               (metadata-only, no data read)
   *   [--partition-keys a,b]      salted repartition keys (default: the
   *                               input's (repo, lang) columns when present)
   *   [--sort-keys a,b,c]         within-partition sort (default: present
@@ -72,6 +75,7 @@ object EncodeMain {
     val inputDir = args(0)
     val outDir = args(1)
     var partitions = 256
+    var partitionsAuto = false
     var partitionKeys: Seq[String] = null
     var sortKeys: Seq[String] = null
     var columns: Seq[String] = Seq.empty
@@ -84,7 +88,10 @@ object EncodeMain {
       if (args(i) != "--no-resume" && i + 1 >= args.length)
         fail(s"option ${args(i)} needs a value")
       args(i) match {
-        case "--partitions" => partitions = args(i + 1).toInt; i += 2
+        case "--partitions" =>
+          if (args(i + 1).toLowerCase == "auto") partitionsAuto = true
+          else partitions = args(i + 1).toInt
+          i += 2
         case "--partition-keys" =>
           partitionKeys = args(i + 1).split(",").toSeq.filter(_.nonEmpty); i += 2
         case "--sort-keys" =>
@@ -129,6 +136,39 @@ object EncodeMain {
       .getOrElse(Seq("repo", "path", "commit").filter(present))
     pKeys.foreach(k => if (!present(k)) fail(s"partition key $k not in input"))
     sKeys.foreach(k => if (!present(k)) fail(s"sort key $k not in input"))
+
+    // --partitions auto: size from the input's parquet FOOTERS so each
+    // partition holds ~100 MB raw (the measured per-task memory sweet
+    // spot — see the --partitions scaladoc). Footer reads are O(footer)
+    // per file, no data pages touched; row-group totalByteSize is the
+    // standard uncompressed accounting every parquet writer populates.
+    // One level of subdirectories covers hive-partitioned layouts; a
+    // projection (--columns) doesn't shrink the estimate, which errs
+    // toward MORE partitions — the safe direction for memory.
+    if (partitionsAuto) {
+      val io = graft.sources.GraftIO.forPath(inputDir)
+      def dataFiles(dir: String, depth: Int): Seq[graft.sources.GraftIO.Entry] =
+        io.list(dir).flatMap { e =>
+          if (e.isDir && depth > 0 && !e.name.startsWith("_") &&
+              !e.name.startsWith(".")) dataFiles(e.path, depth - 1)
+          else if (!e.isDir && e.name.endsWith(".parquet") &&
+              !e.name.startsWith("_") && !e.name.startsWith(".")) Seq(e)
+          else Nil
+        }
+      val files = dataFiles(inputDir, 2)
+      val rawEst = files.map(f =>
+        graft.sources.ParquetFileReader.readFooterOnly(f.path)
+          .rowGroups.map(_.totalByteSize).sum).foldLeft(0L)(_ + _)
+      if (rawEst <= 0)
+        println(s"auto partitions: no readable footers under $inputDir, " +
+          s"keeping default $partitions")
+      else {
+        partitions = math.max(32, math.ceil(rawEst / 100e6).toLong.toInt)
+        println(s"auto partitions: ${files.length} files, " +
+          s"$rawEst footer uncompressed bytes -> $partitions partitions " +
+          "(~100 MB raw each)")
+      }
+    }
 
     val t0 = System.nanoTime()
     if (resume) {

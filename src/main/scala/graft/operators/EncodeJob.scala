@@ -377,6 +377,31 @@ object EncodeJob {
         e.isDir && e.name.startsWith("partId=")),
       s"$outDir/chunks uses the legacy partId=N layout — re-encode into " +
         "a fresh directory (task-durable resume writes flat part files)")
+    // the resume contract is "same job, same routing": a different
+    // numPartitions (or partition/sort keys) re-routes every row, so
+    // partIds completed under the OLD layout would silently mask NEW-layout
+    // partitions (e.g. a 1024-partition checkpoint resumed at 1005 looks
+    // 100% complete and skips everything). Pin the routing config in a
+    // marker file on first run; refuse a mismatched resume.
+    val metaPath = s"$outDir/_encode_meta"
+    val metaNow = s"v1 numPartitions=$numPartitions" +
+      s" partitionKeys=${partitionKeys.mkString(",")}" +
+      s" sortKeys=${sortKeys.mkString(",")} blockCodec=$blockCodec" +
+      // the salt hashes every non-map column, so the COLUMN SET routes
+      // rows too — a different projection must not resume this checkpoint
+      s" columns=${df.schema.fieldNames.mkString(",")}"
+    if (io.status(metaPath).isDefined) {
+      val prev = new String(io.readAll(metaPath),
+        java.nio.charset.StandardCharsets.UTF_8).trim
+      require(prev == metaNow,
+        s"resume config mismatch for $outDir\n  checkpoint: $prev\n" +
+          s"  this run:   $metaNow\nRe-run with the checkpoint's settings," +
+          " or encode into a fresh outDir")
+    } else {
+      val out = io.create(metaPath)
+      try out.write(metaNow.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      finally out.close()
+    }
     val done: Set[Int] =
       try {
         spark.read.parquet(s"$outDir/lineage")

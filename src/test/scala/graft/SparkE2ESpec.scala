@@ -220,6 +220,16 @@ class SparkE2ESpec extends AnyFunSuite with BeforeAndAfterAll {
     // rerun resumes from the lineage checkpoint: nothing re-encoded
     EncodeMain.main(Array(in, out, "--partitions", "4", "--block-codec", "zstd"))
     assert(spark.read.parquet(s"$out/chunks").count() == chunkFiles1)
+    // a resume with different routing (partition count here) must refuse:
+    // partIds completed under the old layout would silently mask the new
+    // layout's partitions (the _encode_meta marker guard)
+    val mism = intercept[IllegalArgumentException] {
+      graft.operators.EncodeJob.encodeResumable(
+        spark.read.parquet(in), out, 5,
+        Seq("repo", "lang"), Seq("repo", "path", "commit"),
+        blockCodec = graft.core.BlockCodec.Zstd)
+    }
+    assert(mism.getMessage.contains("resume config mismatch"), mism.getMessage)
     // --no-resume + projection writes a fresh two-column chunk table
     val out2 = java.nio.file.Files.createTempDirectory("graft-emain2").toString
     EncodeMain.main(Array(in, out2, "--partitions", "2", "--no-resume",
