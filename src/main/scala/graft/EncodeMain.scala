@@ -63,7 +63,7 @@ object EncodeMain {
   private def fail(msg: String): Nothing = {
     System.err.println(s"error: $msg")
     System.err.println(
-      "usage: EncodeMain <inputDir> <outDir> [--partitions N]" +
+      "usage: EncodeMain <inputDir> <outDir> [--partitions N|auto]" +
         " [--partition-keys a,b] [--sort-keys a,b,c] [--columns a,b,...]" +
         " [--block-codec none|snappy|zstd|lz4|gzip|brotli] [--no-resume]" +
         " [--verify k1,k2,...]")
@@ -142,31 +142,40 @@ object EncodeMain {
     // spot — see the --partitions scaladoc). Footer reads are O(footer)
     // per file, no data pages touched; row-group totalByteSize is the
     // standard uncompressed accounting every parquet writer populates.
-    // One level of subdirectories covers hive-partitioned layouts; a
-    // projection (--columns) doesn't shrink the estimate, which errs
-    // toward MORE partitions — the safe direction for memory.
+    // The file walk is the SAME one the DSv2 scan uses (arbitrary hive
+    // depth, `_`/`.` entries skipped); a file with an unreadable footer is
+    // extrapolated from its on-disk size share rather than aborting —
+    // dropping its bytes would shrink the estimate, the memory-UNSAFE
+    // direction. A projection (--columns) doesn't shrink the estimate
+    // either: it errs toward MORE partitions, the safe direction.
     if (partitionsAuto) {
-      val io = graft.sources.GraftIO.forPath(inputDir)
-      def dataFiles(dir: String, depth: Int): Seq[graft.sources.GraftIO.Entry] =
-        io.list(dir).flatMap { e =>
-          if (e.isDir && depth > 0 && !e.name.startsWith("_") &&
-              !e.name.startsWith(".")) dataFiles(e.path, depth - 1)
-          else if (!e.isDir && e.name.endsWith(".parquet") &&
-              !e.name.startsWith("_") && !e.name.startsWith(".")) Seq(e)
-          else Nil
-        }
-      val files = dataFiles(inputDir, 2)
-      val rawEst = files.map(f =>
-        graft.sources.ParquetFileReader.readFooterOnly(f.path)
-          .rowGroups.map(_.totalByteSize).sum).foldLeft(0L)(_ + _)
-      if (rawEst <= 0)
-        println(s"auto partitions: no readable footers under $inputDir, " +
-          s"keeping default $partitions")
-      else {
-        partitions = math.max(32, math.ceil(rawEst / 100e6).toLong.toInt)
-        println(s"auto partitions: ${files.length} files, " +
-          s"$rawEst footer uncompressed bytes -> $partitions partitions " +
-          "(~100 MB raw each)")
+      scala.util.Try(
+          graft.sources.GraftParquetFormat.listDataFilesSized(inputDir)) match {
+        case scala.util.Failure(e) =>
+          println(s"auto partitions: cannot list $inputDir " +
+            s"(${e.getMessage}), keeping default $partitions")
+        case scala.util.Success(files) =>
+          var okBytes = 0L; var okLen = 0L; var totLen = 0L; var skipped = 0
+          files.foreach { case (p, len) =>
+            totLen += len
+            scala.util.Try(graft.sources.ParquetFileReader.readFooterOnly(p)
+                .rowGroups.map(_.totalByteSize).foldLeft(0L)(_ + _)) match {
+              case scala.util.Success(b) => okBytes += b; okLen += len
+              case scala.util.Failure(_) => skipped += 1
+            }
+          }
+          if (okBytes <= 0 || okLen <= 0)
+            println(s"auto partitions: no readable footers under $inputDir," +
+              s" keeping default $partitions")
+          else {
+            val rawEst = math.ceil(okBytes.toDouble * totLen / okLen).toLong
+            partitions = math.max(32, math.ceil(rawEst / 100e6).toLong.toInt)
+            println(s"auto partitions: ${files.length} files" +
+              (if (skipped > 0) s" ($skipped unreadable footers," +
+                " size-extrapolated)" else "") +
+              s", $rawEst estimated raw bytes -> $partitions partitions " +
+              "(~100 MB raw each)")
+          }
       }
     }
 
@@ -179,6 +188,12 @@ object EncodeMain {
         .write.mode("overwrite").parquet(s"$outDir/chunks")
       EncodeJob.lineage(spark.read.parquet(s"$outDir/chunks").as[ChunkRow])
         .write.mode("overwrite").parquet(s"$outDir/lineage")
+      // the overwrite replaced chunks+lineage, so the routing marker must
+      // follow: a stale marker from an earlier resumable run would let a
+      // later resume "match" the old config against this run's on-disk
+      // layout and silently mis-skip partitions
+      EncodeJob.writeRoutingMarker(outDir, EncodeJob.routingMeta(
+        partitions, pKeys, sKeys, blockCodec, df.schema.fieldNames.toSeq))
     }
     val secs = (System.nanoTime() - t0) / 1e9
 

@@ -384,12 +384,8 @@ object EncodeJob {
     // 100% complete and skips everything). Pin the routing config in a
     // marker file on first run; refuse a mismatched resume.
     val metaPath = s"$outDir/_encode_meta"
-    val metaNow = s"v1 numPartitions=$numPartitions" +
-      s" partitionKeys=${partitionKeys.mkString(",")}" +
-      s" sortKeys=${sortKeys.mkString(",")} blockCodec=$blockCodec" +
-      // the salt hashes every non-map column, so the COLUMN SET routes
-      // rows too — a different projection must not resume this checkpoint
-      s" columns=${df.schema.fieldNames.mkString(",")}"
+    val metaNow = routingMeta(numPartitions, partitionKeys, sortKeys,
+      blockCodec, df.schema.fieldNames.toSeq)
     if (io.status(metaPath).isDefined) {
       val prev = new String(io.readAll(metaPath),
         java.nio.charset.StandardCharsets.UTF_8).trim
@@ -398,9 +394,19 @@ object EncodeJob {
           s"  this run:   $metaNow\nRe-run with the checkpoint's settings," +
           " or encode into a fresh outDir")
     } else {
-      val out = io.create(metaPath)
-      try out.write(metaNow.getBytes(java.nio.charset.StandardCharsets.UTF_8))
-      finally out.close()
+      // no marker + existing lineage = a checkpoint from before routing
+      // markers existed (or a hand-pruned dir). Proceeding would PIN this
+      // run's config as the checkpoint's truth with no way to know it
+      // matches — the silent-mask bug with extra steps — so refuse and
+      // tell the user how to assert the original settings themselves.
+      require(!io.list(s"$outDir/lineage").exists(e =>
+          !e.isDir && e.name.startsWith("part-") && e.name.endsWith(".parquet")),
+        s"$outDir has lineage rows but no _encode_meta routing marker " +
+          "(checkpoint predates the marker, or it was deleted). If this " +
+          s"run's settings match the original encode, create the marker " +
+          s"yourself:\n  echo '$metaNow' > $metaPath\nOtherwise encode " +
+          "into a fresh outDir")
+      writeRoutingMarker(outDir, metaNow)
     }
     val done: Set[Int] =
       try {
@@ -439,6 +445,30 @@ object EncodeJob {
         io.rename(lstage, lpath)
       }
     }
+  }
+
+  /** Canonical routing-config line pinned in a checkpoint's `_encode_meta`
+    * marker. The column set is included because the salt hashes every
+    * non-map column — a different projection re-routes rows too. */
+  private[graft] def routingMeta(numPartitions: Int,
+      partitionKeys: Seq[String], sortKeys: Seq[String], blockCodec: Int,
+      columns: Seq[String]): String =
+    s"v1 numPartitions=$numPartitions" +
+      s" partitionKeys=${partitionKeys.mkString(",")}" +
+      s" sortKeys=${sortKeys.mkString(",")} blockCodec=$blockCodec" +
+      s" columns=${columns.mkString(",")}"
+
+  /** Write (or overwrite) a checkpoint's routing marker via the same
+    * stage-and-rename protocol as every other commit in this file: a crash
+    * mid-write must not leave a truncated marker that blocks all future
+    * resumes of an otherwise healthy checkpoint. */
+  private[graft] def writeRoutingMarker(outDir: String, meta: String): Unit = {
+    val io = graft.sources.GraftIO.forPath(outDir)
+    val stage = s"$outDir/._encode_meta.inprogress"
+    val out = io.create(stage)
+    try out.write(meta.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    finally out.close()
+    io.rename(stage, s"$outDir/_encode_meta")
   }
 
   /** One task's durable checkpoint: stream the partition's chunks into a

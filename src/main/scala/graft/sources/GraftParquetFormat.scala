@@ -75,6 +75,14 @@ object GraftParquetFormat {
       Seq[(String, Seq[(String, String)])] =
     listFilesPartitionedSized(dir).map { case (p, kvs, _) => (p, kvs) }
 
+  /** Every data file under a (possibly hive-partitioned) parquet
+    * directory with its on-disk size — the same walk the DSv2 scan uses
+    * (arbitrary depth, `_`/`.` entries skipped, single-file inputs
+    * accepted). Public for tools that size work from file listings
+    * (e.g. EncodeMain's footer-driven partition auto-sizing). */
+  def listDataFilesSized(dir: String): Seq[(String, Long)] =
+    listFilesPartitionedSized(dir).map { case (p, _, len) => (p, len) }
+
   private[sources] def listFilesPartitionedSized(dir: String):
       Seq[(String, Seq[(String, String)], Long)] = {
     val io = GraftIO.forPath(dir)

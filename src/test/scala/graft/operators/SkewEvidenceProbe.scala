@@ -76,6 +76,8 @@ object SkewEvidenceProbe {
     // median partition), confirming the rule's arithmetic at 100 GB.
     val soakIdx = args.indexOf("soak")
     if (soakIdx >= 0) {
+      require(soakIdx + 1 < args.length,
+        "usage: SkewEvidenceProbe soak <parquetDir>")
       val src = spark.read.parquet(args(soakIdx + 1))
         .withColumn("repo",
           when(pmod(xxhash64(col("path"), col("commit")), lit(10)) < 9,
@@ -90,6 +92,7 @@ object SkewEvidenceProbe {
         .agg(sum("rawBytes").as("raw"), sum("encodedBytes").as("enc"))
         .collect()
       val wall = (System.nanoTime() - t0) / 1e9
+      require(parts.nonEmpty, "soak input produced zero encoded partitions")
       val raws = parts.map(_.getLong(1)).sorted
       val rawTot = raws.sum
       val encTot = parts.map(_.getLong(2)).sum
