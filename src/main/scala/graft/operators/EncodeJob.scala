@@ -428,10 +428,15 @@ object EncodeJob {
     // forever and every no-op rerun re-scans the input instead of hitting
     // the where(lit(false)) fast path.
     if (numPartitions > 0) {
-      val have = io.list(s"$outDir/lineage").iterator.map(_.name).collect {
-        case n if n.startsWith("part-") && n.endsWith(".parquet") =>
-          n.stripPrefix("part-").stripSuffix(".parquet").toInt
-      }.toSet
+      // covered partIds come from lineage CONTENT, not filenames: a dir
+      // whose lineage was written by the non-resumable path carries
+      // Spark-committer names (part-00000-<uuid>....parquet) that a
+      // filename parse would crash on, and any valid sidecar regardless
+      // of name means the partition is accounted for
+      val have: Set[Int] =
+        try spark.read.parquet(s"$outDir/lineage")
+          .select($"partId").distinct().as[Int].collect().toSet
+        catch { case _: Throwable => Set.empty }
       val columns = df.schema.fieldNames
       (0 until numPartitions).filterNot(have).foreach { pid =>
         val lstage = f"$outDir/lineage/.part-$pid%05d.parquet.driver.inprogress"

@@ -238,6 +238,19 @@ class SparkE2ESpec extends AnyFunSuite with BeforeAndAfterAll {
     val cols2 = spark.read.parquet(s"$out2/lineage")
       .select("column").distinct().collect().map(_.getString(0)).toSet
     assert(cols2 == Set("lang", "content"))
+    // --no-resume rewrote the routing marker to ITS config, so a resume
+    // with the same (projected) settings no-ops cleanly...
+    EncodeMain.main(Array(in, out2, "--partitions", "2",
+      "--columns", "lang,content", "--partition-keys", "lang",
+      "--sort-keys", "content"))
+    // ...while a resume with different routing against the overwritten
+    // layout refuses instead of matching a stale marker
+    val stale = intercept[IllegalArgumentException] {
+      graft.operators.EncodeJob.encodeResumable(
+        spark.read.parquet(in), out2, 4,
+        Seq("repo", "lang"), Seq("repo", "path", "commit"))
+    }
+    assert(stale.getMessage.contains("resume config mismatch"), stale.getMessage)
   }
 
   test("timestamp and numeric columns roundtrip through the chunk pipeline") {
