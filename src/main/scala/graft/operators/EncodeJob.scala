@@ -363,8 +363,10 @@ object EncodeJob {
     io.mkdirs(s"$outDir/lineage")
     // sweep staging orphans from killed attempts (dot-prefixed, invisible
     // to scans but real disk): this run's tasks stage under fresh attempt
-    // ids, so anything .inprogress now is dead
-    Seq(s"$outDir/chunks", s"$outDir/lineage").foreach { d =>
+    // ids, so anything .inprogress now is dead. outDir itself is included
+    // because the routing marker stages `._encode_meta.inprogress` there —
+    // a crash between its create and rename would otherwise orphan it
+    Seq(outDir, s"$outDir/chunks", s"$outDir/lineage").foreach { d =>
       io.list(d).foreach { e =>
         if (e.name.startsWith(".") && e.name.endsWith(".inprogress"))
           io.delete(s"$d/${e.name}")
@@ -408,13 +410,12 @@ object EncodeJob {
           "into a fresh outDir")
       writeRoutingMarker(outDir, metaNow)
     }
-    val done: Set[Int] =
-      try {
-        spark.read.parquet(s"$outDir/lineage")
-          .groupBy($"partId").agg(countDistinct($"column").as("n"))
-          .where($"n" === nCols)
-          .select($"partId").as[Int].collect().toSet
-      } catch { case _: Throwable => Set.empty }
+    val done: Set[Int] = lineageReadOrEmpty(io, outDir) {
+      spark.read.parquet(s"$outDir/lineage")
+        .groupBy($"partId").agg(countDistinct($"column").as("n"))
+        .where($"n" === nCols)
+        .select($"partId").as[Int].collect().toSet
+    }
     val chunks = encode(df, numPartitions, partitionKeys, sortKeys,
       skipPartitions = done, blockCodec = blockCodec)
     val chunkSchema = Encoders.product[ChunkRow].schema
@@ -433,10 +434,10 @@ object EncodeJob {
       // Spark-committer names (part-00000-<uuid>....parquet) that a
       // filename parse would crash on, and any valid sidecar regardless
       // of name means the partition is accounted for
-      val have: Set[Int] =
-        try spark.read.parquet(s"$outDir/lineage")
+      val have: Set[Int] = lineageReadOrEmpty(io, outDir) {
+        spark.read.parquet(s"$outDir/lineage")
           .select($"partId").distinct().as[Int].collect().toSet
-        catch { case _: Throwable => Set.empty }
+      }
       val columns = df.schema.fieldNames
       (0 until numPartitions).filterNot(have).foreach { pid =>
         val lstage = f"$outDir/lineage/.part-$pid%05d.parquet.driver.inprogress"
@@ -451,6 +452,24 @@ object EncodeJob {
       }
     }
   }
+
+  /** Run a lineage-checkpoint read, treating a failure as "no coverage"
+    * ONLY when a directory listing confirms no lineage data file exists.
+    * Both callers act destructively on an empty answer — `done = empty`
+    * re-encodes everything, and the gap-marker pass REPLACE_EXISTING-renames
+    * zero-row sidecars over every partition it believes uncovered — so a
+    * TRANSIENT read failure with real sidecars on disk must propagate, not
+    * silently erase the checkpoint's manifest metadata. */
+  private def lineageReadOrEmpty(io: graft.sources.GraftIO, outDir: String)(
+      read: => Set[Int]): Set[Int] =
+    try read
+    catch {
+      case scala.util.control.NonFatal(e) =>
+        val hasData = io.list(s"$outDir/lineage").exists(en =>
+          !en.isDir && !en.name.startsWith(".") && !en.name.startsWith("_"))
+        if (hasData) throw e
+        Set.empty
+    }
 
   /** Canonical routing-config line pinned in a checkpoint's `_encode_meta`
     * marker. The column set is included because the salt hashes every
