@@ -195,28 +195,15 @@ object Bench {
       Seq("repo", "lang"), Seq("repo", "path", "commit")).cache()
     val decRaw = chunks.toDF().agg(sum("rawBytes")).collect()(0).getLong(0)
     chunks.count() // materialize cache so decode timing excludes encode
-    progress("decode bench")
-    // best-of-2 like every other timed section — a single sample is at the
-    // mercy of the sandbox's multi-second noise windows
-    var decSecs = Double.MaxValue
-    (0 until 2).foreach { _ =>
-      val (_, s) = time {
-        // chunks are cached straight off EncodeJob -> co-partitioned -> the
-        // shuffle-free local decode path applies
-        DecodeJob.decodeLocal(chunks, df.schema).count()
-      }
-      decSecs = math.min(decSecs, s)
-    }
-    val decGbps = decRaw / decSecs / 1e9
-    // blocking: the default async unpersist would still be evicting blocks
-    // (and dirtying the heap) under the scan A/B that follows
-    chunks.unpersist(blocking = true)
 
-    // --- parquet scan throughput: our DSv2 columnar source vs Spark's ----
-    // same table, same files (written once by our own sink); the timed job
-    // aggregates over every column so all chunks really decode. Best-of-2
-    // interleaved, like the encode levels.
-    progress("scan bench")
+    // --- decode + parquet scan A/B, fully interleaved ---------------------
+    // decode rep, our-scan rep, spark-scan rep, repeat x3, best-of per
+    // metric. r4's driver run measured decode 33% under the builder's runs
+    // on the same jar — back-to-back best-of-2 sits entirely inside one of
+    // the sandbox's multi-second degraded windows, while interleaving with
+    // the scan legs spreads each metric's samples across the window the
+    // same way the encode levels already do.
+    progress("scan table write")
     val scanPath = s"$localDir/bench-scan-$benchRows"
     graft.sources.ParquetSink.write(df.repartition(cpus), scanPath).count()
     def scanAgg(d: DataFrame): Unit =
@@ -228,14 +215,25 @@ object Bench {
       .format(graft.sources.GraftParquetFormat.Name).load(scanPath)
     val sparkScan = sHi.read.parquet(scanPath)
     scanAgg(ourScan); scanAgg(sparkScan) // warm JIT/codegen, excluded
+    progress("decode + scan bench (interleaved)")
+    var decSecs = Double.MaxValue
     var scanSecs = Double.MaxValue
     var scanSparkSecs = Double.MaxValue
-    (0 until 3).foreach { _ =>
+    (0 until 3).foreach { r =>
+      val (_, d) = time {
+        // chunks are cached straight off EncodeJob -> co-partitioned -> the
+        // shuffle-free local decode path applies
+        DecodeJob.decodeLocal(chunks, df.schema).count()
+      }
       val (_, a) = time(scanAgg(ourScan))
       val (_, b) = time(scanAgg(sparkScan))
+      progress(f"rep$r decode=$d%.2fs ours=$a%.2fs spark=$b%.2fs")
+      decSecs = math.min(decSecs, d)
       scanSecs = math.min(scanSecs, a)
       scanSparkSecs = math.min(scanSparkSecs, b)
     }
+    val decGbps = decRaw / decSecs / 1e9
+    chunks.unpersist(blocking = true)
     // decRaw is the raw byte size of this same df per the encoder's
     // accounting, so both scans are normalized identically
     val scanGbps = decRaw / scanSecs / 1e9
@@ -256,11 +254,23 @@ object Bench {
     progress(f"parquet bytes plain=$plainFileBytes auto=$autoFileBytes " +
       f"(${autoFileBytes.toDouble / plainFileBytes}%.4f)")
 
+    // best-of-2 per query (second run skipped above 10 s to bound the
+    // section): the per-round regression gate diffs these numbers, and r4's
+    // "streaming 2x regression" turned out to be a single-shot window
+    // artifact — a same-window jar A/B showed the r4 jar at or under r3's
+    // times. Queries allocate fresh temp dirs per invocation, so reruns
+    // are side-effect-safe.
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       progress(s"query $name")
-      val (_, secs) = time {
+      val (_, s1) = time {
         try { fn(sHi, sfDir).count() } catch { case _: Throwable => -1.0 }
       }
+      val secs = if (s1 < 10.0) {
+        val (_, s2) = time {
+          try { fn(sHi, sfDir).count() } catch { case _: Throwable => -1.0 }
+        }
+        math.min(s1, s2)
+      } else s1
       name -> secs
     }
     val qJson = results.map { case (k, v) => "\"" + k + f"\":$v%.3f" }

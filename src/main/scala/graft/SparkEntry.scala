@@ -39,6 +39,10 @@ object SparkEntry {
     * DuckDB oracles replay the IDENTICAL membership arithmetic (below). */
   private val DocTruthCeiling = 20000L
   private val EmbTruthCeiling = 5000L
+  /** q_token_bpe_learned's rescan-twin universe: the reference BPE loop is
+    * O(len^2) per document, so its differential runs on ~this many docs at
+    * any sf (identity at sf0.01's 500 docs; a 10% sample at sf0.1). */
+  private val BpeTwinCeiling = 500L
 
   /** Deterministic sample-gate predicate: keep rows whose sampling bucket
     * falls under floor(min(1, ceiling/n) * 2^31). At n <= ceiling the
@@ -70,24 +74,42 @@ object SparkEntry {
       ann: DataFrame => DataFrame): DataFrame = {
     import s.implicits._
     import org.apache.spark.sql.expressions.Window
-    val emb = embeddings(s, dir)
-    val res = ann(emb).cache()
+    // the verification universe rides the same deterministic sample gate
+    // as q_ann_recall (identity at driver correctness scales): the
+    // invariants join candidates back to the corpus per (query, neighbor),
+    // and an UNGATED run at replica scale is the unbounded candidate join
+    // that OOM'd the 20x corpus (BENCH.md) — at extreme duplicate density
+    // every bucket/cell pairs quadratically. The production operator's
+    // scale story is its bucketed shape + caps, not this quality gate.
+    val embFull = embeddings(s, dir)
+    val nAll = embFull.count()
+    val emb = embFull.where(
+      sampleGate(col("vec_id"), nAll, EmbTruthCeiling, salt = 19))
+    val nq = emb.count()
+    // ONE aggregation job for all three invariants (was cache + three
+    // separate counts, each a full job): the window flags ride the same
+    // rows through the two embedding joins, and coverage / bad-rank /
+    // bad-cosine fall out of a single agg. The joins are inner but
+    // row-preserving — every res query/neighbor is an emb vec_id.
     val w = Window.partitionBy(col("query")).orderBy(col("rank"))
-    val badRank = res
+    val ev = emb.select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+    val r = ann(emb)
       .withColumn("__rn", row_number().over(w))
       .withColumn("__pc", lag(col("cosine"), 1).over(w))
-      .where(col("__rn") =!= col("rank") ||
-        (col("__pc").isNotNull && col("__pc") < col("cosine") - lit(1e-12)))
-      .count()
-    val ev = emb.select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
-    val badCos = res
       .join(ev.select(col("vec_id").as("query"), col("v").as("va")), "query")
       .join(ev.select(col("vec_id").as("neighbor"), col("v").as("vb")), "neighbor")
-      .where(abs(col("cosine") - Similarity.cosine(col("va"), col("vb"))) > 1e-9)
-      .count()
-    val covered = res.select("query").distinct().count()
-    val nq = emb.count()
-    res.unpersist()
+      .agg(
+        countDistinct(col("query")).as("covered"),
+        sum(when(col("__rn") =!= col("rank") ||
+            (col("__pc").isNotNull && col("__pc") < col("cosine") - lit(1e-12)),
+          1L).otherwise(0L)).as("bad_rank"),
+        sum(when(abs(col("cosine") -
+            Similarity.cosine(col("va"), col("vb"))) > 1e-9, 1L)
+          .otherwise(0L)).as("bad_cos"))
+      .head()
+    val covered = if (r.isNullAt(0)) 0L else r.getLong(0)
+    val badRank = if (r.isNullAt(1)) 0L else r.getLong(1)
+    val badCos = if (r.isNullAt(2)) 0L else r.getLong(2)
     Seq((nq, covered, badRank, badCos))
       .toDF("n_queries", "queries_covered", "bad_rank", "bad_cosine")
   }
@@ -497,6 +519,50 @@ object SparkEntry {
         .withColumn("resume_stable", lit(if (c1 == c2) 1 else 0))
         .orderBy("col_name")
     }),
+    "q_cli_resume_refusal" -> ((s, dir) => {
+      // pins the resume-safety CONTRACT end to end through the job driver:
+      // a checkpoint resumed under a projection (1), after input schema
+      // evolution (2), or with its routing marker deleted (3) must REFUSE
+      // (in-process the refusal is the require's IllegalArgumentException;
+      // under spark-submit the uncaught throw is the nonzero exit), and
+      // re-asserting the original config per the error message's own
+      // instructions must make the next resume a clean no-op that rewrites
+      // nothing. Each refusal's code is emitted and pinned.
+      import s.implicits._
+      val in = java.nio.file.Files.createTempDirectory("graft-rrin").toString
+      val out = java.nio.file.Files.createTempDirectory("graft-rrout").toString
+      val slice = docs(s, dir).select("doc_id", "lang", "text")
+      val nDocs = slice.count()
+      slice.write.mode("overwrite").parquet(in)
+      val baseArgs = Array(in, out, "--partitions", "4",
+        "--partition-keys", "lang", "--sort-keys", "doc_id")
+      EncodeMain.main(baseArgs)
+      val c1 = s.read.parquet(s"$out/chunks").count()
+      // 1 = config-mismatch refusal, 2 = missing-marker refusal, 0 = ran
+      def refusal(args: Array[String]): Int =
+        try { EncodeMain.main(args); 0 }
+        catch {
+          case e: IllegalArgumentException
+              if String.valueOf(e.getMessage).contains("resume config mismatch") => 1
+          case e: IllegalArgumentException
+              if String.valueOf(e.getMessage).contains("routing marker") => 2
+        }
+      val refProjection = refusal(baseArgs ++ Array("--columns", "doc_id,lang"))
+      slice.withColumn("quality", lit(1.0)).write.mode("overwrite").parquet(in)
+      val refEvolution = refusal(baseArgs)
+      slice.write.mode("overwrite").parquet(in)
+      graft.sources.GraftIO.forPath(out).delete(s"$out/_encode_meta")
+      val refNoMarker = refusal(baseArgs)
+      graft.operators.EncodeJob.writeRoutingMarker(out,
+        graft.operators.EncodeJob.routingMeta(4, Seq("lang"), Seq("doc_id"),
+          graft.core.BlockCodec.None, Seq("doc_id", "lang", "text")))
+      EncodeMain.main(baseArgs)
+      val c2 = s.read.parquet(s"$out/chunks").count()
+      Seq((nDocs, refProjection, refEvolution, refNoMarker,
+          if (c1 == c2 && c1 > 0) 1 else 0))
+        .toDF("n_docs", "refused_projection", "refused_schema_evolution",
+          "refused_no_marker", "resume_stable")
+    }),
     "q_cli_read" -> ((s, dir) => {
       // the parquet-read CLI end to end (reference parquet-read.rs:48-90):
       // a documents slice written as ONE real .parquet file by our writer,
@@ -794,6 +860,47 @@ object SparkEntry {
         .agg(count(lit(1)).as("n"), sum(col("bpe_tokens")).as("total_tokens"))
         .orderBy("lang")
     }),
+    "q_token_bpe_learned" -> ((s, dir) => {
+      // REAL learned vocabulary at 10k merges: word frequencies come from
+      // ONE distributed aggregation over the corpus (plus the deterministic
+      // filler vocab — the synthetic corpus has only ~31 distinct words,
+      // nowhere near enough pair diversity for 10k merges); Bpe.learn runs
+      // the standard incremental pair-count trainer driver-side over that
+      // bounded list. Verification is differential: learned tables have
+      // multi-char symbols, so the replace() replay of q_token_bpe_merge
+      // cannot apply — instead the indexed heap encoder (production path)
+      // is pinned against the independent full-rescan twin on a
+      // deterministically gated subset (the twin is O(len^2) per doc), and
+      // DuckDB replays the gate membership + document counts.
+      import s.implicits._
+      val norm = regexp_replace(
+        regexp_replace(lower(col("text")), "[^a-z ]", ""), " +", " ")
+      val d = docs(s, dir).select(col("doc_id"), norm.as("norm"))
+      val nDocs = d.count()
+      val table = graft.functions.Bpe.learn(
+        graft.functions.Bpe.wordFrequencies(d, "norm", 1 << 16) ++
+          graft.functions.Bpe.syntheticVocab(4000), 10000)
+      val fast = graft.functions.Bpe.tokenCount(d, "norm", table, "t_fast")
+      // the filter CANNOT push below the opaque mapPartitions kernel, so
+      // the indexed encoder really runs over the whole corpus before the
+      // rescan twin sees the gated survivors
+      val gated = fast.where(
+        sampleGate(col("doc_id"), nDocs, BpeTwinCeiling, salt = 23))
+      val r = graft.functions.Bpe.tokenCount(gated, "norm", table, "t_ref",
+          reference = true)
+        .agg(count(lit(1)).as("g"),
+          sum(when(col("t_fast") =!= col("t_ref"), 1L).otherwise(0L)).as("m"),
+          sum(when((col("t_fast") < 1 && length(col("norm")) > 0) ||
+              col("t_fast") > greatest(length(col("norm")), lit(1)), 1L)
+            .otherwise(0L)).as("b"))
+        .head()
+      val nGated = if (r.isNullAt(0)) 0L else r.getLong(0)
+      val mism = if (r.isNullAt(1)) 0L else r.getLong(1)
+      val bound = if (r.isNullAt(2)) 0L else r.getLong(2)
+      Seq((nDocs, table.merges.size, nGated, mism, bound))
+        .toDF("n_docs", "n_merges", "n_gated", "mismatches",
+          "bound_violations")
+    }),
     "q_quality_score" -> ((s, dir) => {
       // per-row score -> scaled LONG before the sum: qualityScore is already
       // round(x, 4), so score*10000 is an integer up to one double ulp, and
@@ -1028,10 +1135,15 @@ object SparkEntry {
           k = 3, nLists = 8, nProbe = 2))
     }),
     "q_ann_lsh" -> ((s, dir) => {
-      // same invariant gate over the multi-table LSH path
+      // same invariant gate over the multi-table LSH path. Operating point
+      // (tables=4, planes=5, probes=3) from the round-5 RecallProbe sweep:
+      // HIGHER recall than round 4's 8x6x2 (0.72/0.76 vs 0.68/0.76 at
+      // sf0.01/sf0.1) at ~75% of the wall time — multi-probe's trade of
+      // tables for probes (Lv et al. 2007), plus one plane fewer so each
+      // table's buckets stay populated enough to probe well.
       annInvariants(s, dir,
         emb => Similarity.lshTopK(emb, "vec_id", "embedding",
-          k = 3, planes = 6))
+          k = 3, planes = 5, tables = 4, probes = 3))
     }),
     "q_ann_recall" -> ((s, dir) => {
       // value-checks the SCALE-PATH ANN (lsh/ivf), not just the broadcast
@@ -1048,20 +1160,37 @@ object SparkEntry {
       val nE = embFull.count()
       val emb = embFull.where(
         sampleGate(col("vec_id"), nE, EmbTruthCeiling, salt = 19))
+      // ONE aggregation job scores both ANN paths against the exact
+      // baseline (was: cached bf + two recall() calls + a distinct count =
+      // five separate jobs): the union'd candidate pairs left-join the
+      // exact pairs, and hits per algorithm, total, and query coverage all
+      // fall out of a single agg. A bf pair matched by BOTH algorithms
+      // contributes one row per algorithm, so `total` counts distinct bf
+      // pairs, not join rows.
       val bf = Similarity.bruteForceTopK(emb, "vec_id", "embedding", k = 3)
-        .select("query", "neighbor").cache()
-      val lshR = Similarity.recall(bf,
-        Similarity.lshTopK(emb, "vec_id", "embedding", k = 3, planes = 6,
-          probes = 2).select("query", "neighbor"))
-      val ivfR = Similarity.recall(bf,
-        Similarity.ivfTopK(emb, "vec_id", "embedding", k = 3, nLists = 8,
-          nProbe = 3).select("query", "neighbor"))
-      val nQ = bf.select("query").distinct().count()
-      bf.unpersist()
-      // floors set from measurements (RecallProbe across sf0.001/0.01/0.1:
-      // lsh planes=6 probes=2 0.68-0.76; ivf nLists=8 nProbe=3 0.64-0.65)
-      // with regression headroom — lifted from round 3's 0.25/0.4 by
-      // multi-probe LSH and a third IVF probe cell
+        .select("query", "neighbor")
+      val lshP = Similarity.lshTopK(emb, "vec_id", "embedding", k = 3,
+          planes = 5, tables = 4, probes = 3)
+        .select("query", "neighbor").withColumn("__alg", lit(1))
+      val ivfP = Similarity.ivfTopK(emb, "vec_id", "embedding", k = 3,
+          nLists = 8, nProbe = 3)
+        .select("query", "neighbor").withColumn("__alg", lit(2))
+      val r = bf.join(lshP.unionByName(ivfP), Seq("query", "neighbor"),
+          "left_outer")
+        .agg(countDistinct(col("query")).as("nq"),
+          countDistinct(col("query"), col("neighbor")).as("total"),
+          sum(when(col("__alg") === 1, 1L).otherwise(0L)).as("lsh_hits"),
+          sum(when(col("__alg") === 2, 1L).otherwise(0L)).as("ivf_hits"))
+        .head()
+      val nQ = if (r.isNullAt(0)) 0L else r.getLong(0)
+      val total = if (r.isNullAt(1)) 0L else r.getLong(1)
+      val lshR = if (total == 0) 1.0
+        else (if (r.isNullAt(2)) 0L else r.getLong(2)).toDouble / total
+      val ivfR = if (total == 0) 1.0
+        else (if (r.isNullAt(3)) 0L else r.getLong(3)).toDouble / total
+      // floors set from measurements (RecallProbe across sf0.01/sf0.1:
+      // lsh tables=4 planes=5 probes=3 recall 0.72/0.76; ivf nLists=8
+      // nProbe=3 0.64-0.65) with regression headroom
       Seq((nQ, ivfR >= 0.6, lshR >= 0.6))
         .toDF("n_queries", "ivf_recall_ok", "lsh_recall_ok")
     }),
@@ -1285,6 +1414,10 @@ object SparkEntry {
         "UNION ALL SELECT 'source', CAST(sum(4 + strlen(source)) AS BIGINT), 1 FROM documents " +
         "UNION ALL SELECT 'text', CAST(sum(4 + strlen(text)) AS BIGINT), 1 FROM documents" +
         ") ORDER BY col_name"),
+    "q_cli_resume_refusal" ->
+      // the refusal outcomes are pinned constants (1 = config mismatch,
+      // 2 = missing marker); n_docs ties the run to the real corpus
+      "SELECT count(*) AS n_docs, 1 AS refused_projection, 1 AS refused_schema_evolution, 2 AS refused_no_marker, 1 AS resume_stable FROM documents",
     "q_parquet_page_prune" ->
       "SELECT count(*) AS n_docs, CAST(sum(length(text)) AS BIGINT) AS text_chars, CAST(sum(doc_id) AS BIGINT) AS sum_id FROM documents WHERE doc_id BETWEEN 500 AND 1499",
     "q_parquet_sql_read" ->
@@ -1395,6 +1528,18 @@ object SparkEntry {
       s"SELECT lang, count(*) AS n, CAST(sum(length($replayed)) AS BIGINT) " +
         s"AS total_tokens FROM documents GROUP BY lang ORDER BY lang"
     },
+    "q_token_bpe_learned" ->
+      // the merge table and the fast-vs-rescan token equality are verified
+      // Spark-side (two independent algorithm implementations must agree,
+      // the q_simhash differential pattern); DuckDB independently replays
+      // the document count, the pinned merge budget, and the twin-universe
+      // gate membership arithmetic
+      ("SELECT count(*) AS n_docs, 10000 AS n_merges, " +
+        "CAST(count(CASE WHEN " +
+        sampleGateSql("doc_id", "documents", 500L, 23) +
+        " THEN 1 END) AS BIGINT) AS n_gated, " +
+        "CAST(0 AS BIGINT) AS mismatches, " +
+        "CAST(0 AS BIGINT) AS bound_violations FROM documents"),
     "q_quality_score" ->
       // identical double-arithmetic order to TextOps.qualityScore, so the
       // per-row round(..., 4) agrees bit for bit; the per-row score is then
@@ -1516,10 +1661,14 @@ object SparkEntry {
         sampleGateSql("vec_id", "embeddings", EmbTruthCeiling, 19)),
     "q_ann_ivf" ->
       // coverage + structural invariants verified Spark-side (dense ranks,
-      // non-increasing cosine, cosine == exact recompute); pinned at zero
-      "SELECT count(*) AS n_queries, count(*) AS queries_covered, CAST(0 AS BIGINT) AS bad_rank, CAST(0 AS BIGINT) AS bad_cosine FROM embeddings",
+      // non-increasing cosine, cosine == exact recompute); pinned at zero.
+      // The universe is the q_ann_recall sample gate (identity at driver
+      // scales), whose membership DuckDB replays
+      ("SELECT count(*) AS n_queries, count(*) AS queries_covered, CAST(0 AS BIGINT) AS bad_rank, CAST(0 AS BIGINT) AS bad_cosine FROM embeddings WHERE " +
+        sampleGateSql("vec_id", "embeddings", EmbTruthCeiling, 19)),
     "q_ann_lsh" ->
-      "SELECT count(*) AS n_queries, count(*) AS queries_covered, CAST(0 AS BIGINT) AS bad_rank, CAST(0 AS BIGINT) AS bad_cosine FROM embeddings",
+      ("SELECT count(*) AS n_queries, count(*) AS queries_covered, CAST(0 AS BIGINT) AS bad_rank, CAST(0 AS BIGINT) AS bad_cosine FROM embeddings WHERE " +
+        sampleGateSql("vec_id", "embeddings", EmbTruthCeiling, 19)),
     "q_simhash" ->
       // Spark computes blocked-vs-brute-force mismatches; uncapped pigeonhole
       // blocking (floor(d/2)+1 segments, 1-bit variants enumerated) makes

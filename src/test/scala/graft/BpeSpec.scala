@@ -50,6 +50,68 @@ class BpeSpec extends AnyFunSuite {
     assert(multi.encodeChars("abab").toSeq == Seq("abab"))
   }
 
+  test("indexed encoder == rescan reference on randomized learned-shape tables") {
+    // the differential property q_token_bpe_learned relies on: the heap+
+    // linked-list encoder and the round-4 full-rescan loop agree symbol
+    // for symbol on creation-ordered tables (fresh concatenated outputs —
+    // the shape every learned table has) for arbitrary inputs
+    val rng = new scala.util.Random(20260821L)
+    (0 until 50).foreach { trial =>
+      val alphabet = "abcdef"
+      val syms = scala.collection.mutable.ArrayBuffer[String](
+        alphabet.map(String.valueOf): _*)
+      val seen = scala.collection.mutable.Set.empty[(String, String)]
+      val merges = scala.collection.mutable.ArrayBuffer.empty[Bpe.Merge]
+      var guard = 0
+      while (merges.length < 30 && guard < 500) {
+        val l = syms(rng.nextInt(syms.length))
+        val r = syms(rng.nextInt(syms.length))
+        if (!seen((l, r)) && (l + r).length <= 8) {
+          seen += ((l, r))
+          merges += Bpe.Merge(l, r, l + r)
+          syms += (l + r)
+        }
+        guard += 1
+      }
+      val tbl = new Bpe.Table(merges.toSeq)
+      (0 until 40).foreach { _ =>
+        val s = Seq.fill(1 + rng.nextInt(60))(
+          alphabet(rng.nextInt(alphabet.length))).mkString
+        assert(tbl.encodeChars(s).toSeq ==
+          tbl.encodeReference(s.toCharArray.map(String.valueOf)).toSeq,
+          s"trial $trial input '$s'")
+      }
+    }
+  }
+
+  test("learn: hand-checked merges, determinism, and encode consistency") {
+    // "abab" x3 + "abc" x2: pair counts ab=8, ba=3, bc=2 -> first merge
+    // (a,b)->ab; then (ab,ab)=3 vs (ab,c)=2 -> second merge (ab,ab)
+    val wf = Seq(("abab", 3L), ("abc", 2L))
+    val t1 = Bpe.learn(wf, 3)
+    assert(t1.merges.take(2) == Seq(Bpe.Merge("a", "b", "ab"),
+      Bpe.Merge("ab", "ab", "abab")), t1.merges.toString)
+    // determinism: same inputs, same table
+    assert(Bpe.learn(wf, 3).merges == t1.merges)
+    // the learned table tokenizes its own training words maximally
+    assert(t1.countTokens("abab") == 1L)
+    // early stop when pairs run dry, never an error
+    assert(Bpe.learn(Seq(("ab", 1L)), 100).merges.size == 1)
+  }
+
+  test("learn at 10k merges over synthetic vocab; indexed == rescan") {
+    val vocab = Bpe.syntheticVocab(4000)
+    assert(vocab == Bpe.syntheticVocab(4000)) // deterministic
+    val t = Bpe.learn(vocab ++ Seq(("the", 50L), ("and", 30L)), 10000)
+    assert(t.merges.size == 10000, s"only ${t.merges.size} merges learned")
+    val rng = new scala.util.Random(7L)
+    (0 until 30).foreach { _ =>
+      val s = Seq.fill(1 + rng.nextInt(80))(
+        ('a' + rng.nextInt(26)).toChar).mkString
+      assert(t.countTokens(s) == t.countTokensReference(s), s"input '$s'")
+    }
+  }
+
   test("oracle equivalence: priority BPE == rank-ordered replace() replay") {
     // the exact transformation the DuckDB oracle runs: one global
     // non-overlapping replace per merge, in rank order; token count is

@@ -253,6 +253,47 @@ class SparkE2ESpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(stale.getMessage.contains("resume config mismatch"), stale.getMessage)
   }
 
+  test("resume refusal semantics: projection, schema evolution, missing marker") {
+    val in = java.nio.file.Files.createTempDirectory("graft-rref-in").toString
+    val out = java.nio.file.Files.createTempDirectory("graft-rref-out").toString
+    val df = code(400L, 2)
+    df.write.mode("overwrite").parquet(in)
+    EncodeMain.main(Array(in, out, "--partitions", "3"))
+    val chunks1 = spark.read.parquet(s"$out/chunks").count()
+    // resume under a PROJECTION re-routes rows (the salt hashes every
+    // column), so the marker must refuse it
+    val proj = intercept[IllegalArgumentException] {
+      EncodeMain.main(Array(in, out, "--partitions", "3",
+        "--columns", "repo,lang,content", "--partition-keys", "repo,lang",
+        "--sort-keys", "repo"))
+    }
+    assert(proj.getMessage.contains("resume config mismatch"), proj.getMessage)
+    // schema EVOLUTION (a new column in the input) changes the routed
+    // column set the same way -> refused, documented: encode into a fresh
+    // outDir after evolution
+    df.withColumn("stars", lit(5)).write.mode("overwrite").parquet(in)
+    val evo = intercept[IllegalArgumentException] {
+      EncodeMain.main(Array(in, out, "--partitions", "3"))
+    }
+    assert(evo.getMessage.contains("resume config mismatch"), evo.getMessage)
+    // marker deleted (hand-pruned checkpoint) -> the no-marker guard
+    // refuses rather than pinning this run's config as the truth
+    df.write.mode("overwrite").parquet(in)
+    graft.sources.GraftIO.forPath(out).delete(s"$out/_encode_meta")
+    val noMark = intercept[IllegalArgumentException] {
+      EncodeMain.main(Array(in, out, "--partitions", "3"))
+    }
+    assert(noMark.getMessage.contains("routing marker"), noMark.getMessage)
+    // the error message tells the user how to re-assert the original
+    // config; doing so makes the next resume a clean no-op
+    graft.operators.EncodeJob.writeRoutingMarker(out,
+      graft.operators.EncodeJob.routingMeta(3, Seq("repo", "lang"),
+        Seq("repo", "path", "commit"), graft.core.BlockCodec.None,
+        df.schema.fieldNames.toSeq))
+    EncodeMain.main(Array(in, out, "--partitions", "3"))
+    assert(spark.read.parquet(s"$out/chunks").count() == chunks1)
+  }
+
   test("timestamp and numeric columns roundtrip through the chunk pipeline") {
     val ev = spark.read.parquet(s"$sfDir/events.parquet")
       .select("event_id", "ts", "event_type", "user_id", "value")
