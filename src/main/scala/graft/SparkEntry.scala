@@ -1016,35 +1016,42 @@ object SparkEntry {
       // the uncapped join's worst case, and capped_buckets still reports
       // the DefaultMaxBucket census the production (capped) run would see.
       val found = Dedup.minhashLshFromSig(sig,
-        numHashes = 32, bands = 16, threshold = 0.5, maxBucket = 0).cache()
+        numHashes = 32, bands = 16, threshold = 0.5, maxBucket = 0)
       // one cached 5-shingle set frame serves the exact-verify join AND the
       // prefix-filtered ground-truth join (four internal references)
       val sh = dS.select(col("doc_id").as("__key"),
         array_sort(transform(TextOps.wordShingles(col("text"), 5),
           x => xxhash64(x))).as("__sh")).cache()
-      val exact = found
+      // every emitted invariant comes from ONE full-outer aggregation of
+      // (found pairs scored with their exact jaccard) against (exact >=0.9
+      // ground truth): true-pair count, missed (truth rows no found pair
+      // matched), and false positives (found pairs whose exact jaccard is
+      // below the 0.2 floor) — round 4 ran the false-positive count as its
+      // own job over the same join subtree
+      val scored = found
         .join(sh.select(col("__key").as("keyA"), col("__sh").as("shA")), "keyA")
         .join(sh.select(col("__key").as("keyB"), col("__sh").as("shB")), "keyB")
         .withColumn("__i", size(array_intersect(col("shA"), col("shB"))))
         .withColumn("exact", col("__i").cast("double") /
           (size(col("shA")) + size(col("shB")) - col("__i")).cast("double"))
-      val falsePos = exact.where(col("exact") < 0.2).count()
-      // ONE outer-join aggregation yields both the ground-truth pair count
-      // and the missed count (was two jobs — truth.count + a left_anti
-      // count — each recompiling the join subtree)
+        .select(col("keyA"), col("keyB"), col("exact"), lit(1).as("__f"))
       val truth = Dedup.ngramJaccardFromSets(sh, blockCols = Seq.empty,
         threshold = 0.9)
-      val tm = truth.join(found.select(col("keyA"), col("keyB"),
-          lit(1).as("__hit")), Seq("keyA", "keyB"), "left_outer")
-        .agg(count(lit(1)).as("t"),
-          sum(when(col("__hit").isNull, 1L).otherwise(0L)).as("m"))
+      val tm = truth.select(col("keyA"), col("keyB"), lit(1).as("__t"))
+        .join(scored, Seq("keyA", "keyB"), "full_outer")
+        .agg(sum(when(col("__t").isNotNull, 1L).otherwise(0L)).as("t"),
+          sum(when(col("__t").isNotNull && col("__f").isNull, 1L)
+            .otherwise(0L)).as("m"),
+          sum(when(col("__f").isNotNull && col("exact") < 0.2, 1L)
+            .otherwise(0L)).as("fp"))
         .collect()(0)
-      val truePairs = tm.getLong(0)
+      val truePairs = if (tm.isNullAt(0)) 0L else tm.getLong(0)
       val missed = if (tm.isNullAt(1)) 0L else tm.getLong(1)
+      val falsePos = if (tm.isNullAt(2)) 0L else tm.getLong(2)
       val capped = Dedup.cappedBucketCount(
         Dedup.minhashBands(sig, bands = 16, rowsPerBand = 2),
         Seq("band", "bucket"), Dedup.DefaultMaxBucket)
-      found.unpersist(); sig.unpersist(); sh.unpersist()
+      sig.unpersist(); sh.unpersist()
       Seq((nDocs, truePairs, missed, falsePos, capped))
         .toDF("n_docs", "true_pairs_09", "lsh_missed_09", "false_pos",
           "capped_buckets")
