@@ -294,6 +294,53 @@ class SparkE2ESpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(spark.read.parquet(s"$out/chunks").count() == chunks1)
   }
 
+  test("unreadable lineage refuses the resume instead of erasing the checkpoint") {
+    // the round-4 failure mode: a lineage read failure with real sidecars
+    // on disk was treated as 'no coverage', and the gap-marker pass then
+    // REPLACE_EXISTING-renamed zero-row sidecars over every real manifest.
+    // The round-5 contract: a failed read only reads as empty when a
+    // directory listing confirms no sidecar exists; otherwise it rethrows
+    // and the checkpoint bytes stay untouched.
+    val in = java.nio.file.Files.createTempDirectory("graft-clin-in").toString
+    val out = java.nio.file.Files.createTempDirectory("graft-clin-out").toString
+    val df = code(300L, 2)
+    df.write.mode("overwrite").parquet(in)
+    EncodeMain.main(Array(in, out, "--partitions", "3"))
+    val dir = new java.io.File(s"$out/lineage")
+    val files = dir.listFiles((_, n) => n.startsWith("part-")).sortBy(_.getName)
+    assert(files.nonEmpty)
+    def sha(f: java.io.File): String = java.util.Base64.getEncoder.encodeToString(
+      java.security.MessageDigest.getInstance("SHA-256")
+        .digest(java.nio.file.Files.readAllBytes(f.toPath)))
+    // corrupt ONE sidecar in place (truncated garbage = unreadable parquet)
+    java.nio.file.Files.write(files.head.toPath, "not a parquet file".getBytes)
+    val shas = files.map(f => f.getName -> sha(f)).toMap
+    intercept[Exception] {
+      EncodeMain.main(Array(in, out, "--partitions", "3"))
+    }
+    // every sidecar byte-identical to its pre-attempt state: the refusal
+    // must not have written gap markers or re-encoded over the checkpoint
+    val after = dir.listFiles((_, n) => n.startsWith("part-")).sortBy(_.getName)
+    assert(after.map(_.getName).toSeq == files.map(_.getName).toSeq)
+    after.foreach(f => assert(sha(f) == shas(f.getName), s"${f.getName} changed"))
+  }
+
+  test("--partitions is last-wins when auto and a number both appear") {
+    val in = java.nio.file.Files.createTempDirectory("graft-lw-in").toString
+    code(300L, 2).write.mode("overwrite").parquet(in)
+    val out = java.nio.file.Files.createTempDirectory("graft-lw-out").toString
+    // auto would compute some footer-derived count (>= 32); the later
+    // explicit 3 must win
+    EncodeMain.main(Array(in, out, "--partitions", "auto", "--partitions", "3"))
+    assert(spark.read.parquet(s"$out/lineage")
+      .select("partId").distinct().count() == 3)
+    // and the reverse keeps auto (>= 32 floor)
+    val out2 = java.nio.file.Files.createTempDirectory("graft-lw2-out").toString
+    EncodeMain.main(Array(in, out2, "--partitions", "3", "--partitions", "auto"))
+    assert(spark.read.parquet(s"$out2/lineage")
+      .select("partId").distinct().count() >= 32)
+  }
+
   test("timestamp and numeric columns roundtrip through the chunk pipeline") {
     val ev = spark.read.parquet(s"$sfDir/events.parquet")
       .select("event_id", "ts", "event_type", "user_id", "value")
