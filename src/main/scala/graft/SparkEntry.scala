@@ -496,6 +496,59 @@ object SparkEntry {
           sum(col("doc_id")).as("sum_id"))
         .orderBy("lang")
     }),
+    "q_streaming_dedup" -> ((s, dir) => {
+      // Stateful streaming dedup (flatMapGroupsWithState — custom state
+      // the built-ins can't express), driver-proven across THREE
+      // micro-batches and a QUERY RESTART: batch1 = the slice plus a full
+      // duplicate copy (same texts, offset ids — within- and cross-row
+      // dedup), batch2 = another full duplicate (cross-BATCH state),
+      // then the query STOPS and a fresh start from the same checkpoint
+      // processes batch3 = a third duplicate copy plus one genuinely new
+      // text — the recovered state must drop every duplicate yet still
+      // emit the new key. Output = one deterministic representative (min
+      // doc_id) per distinct text; DuckDB recomputes the representative
+      // set from the raw table.
+      import s.implicits._
+      val base = docs(s, dir).select(col("doc_id"), col("text"))
+      val off = docs(s, dir).agg(max(col("doc_id"))).head().getLong(0) + 1L
+      val slice = base.where(col("doc_id") % 5 === 0)
+      val srcDir = java.nio.file.Files.createTempDirectory("graft-sdsrc").toString
+      val out = java.nio.file.Files.createTempDirectory("graft-sdout").toString
+      // one parquet FILE per micro-batch, mtime-staggered: the file stream
+      // source orders by modification time, so batch order is pinned
+      def addFile(df: DataFrame, name: String, mtimeMs: Long): Unit = {
+        val tmp = java.nio.file.Files.createTempDirectory("graft-sdf").toString
+        df.repartition(1).write.mode("overwrite").parquet(tmp)
+        val part = new java.io.File(tmp).listFiles()
+          .find(f => f.getName.startsWith("part-") &&
+            f.getName.endsWith(".parquet")).get
+        val dst = java.nio.file.Paths.get(srcDir, name)
+        java.nio.file.Files.move(part.toPath, dst)
+        java.nio.file.Files.setLastModifiedTime(dst,
+          java.nio.file.attribute.FileTime.fromMillis(mtimeMs))
+      }
+      val t0 = System.currentTimeMillis() - 600000L
+      addFile(slice.unionByName(
+        slice.withColumn("doc_id", col("doc_id") + lit(off))), "f1.parquet", t0)
+      addFile(slice.withColumn("doc_id", col("doc_id") + lit(2 * off)),
+        "f2.parquet", t0 + 60000L)
+      def run(): Unit = {
+        val q = graft.streaming.StreamingDedup.start(
+          s.readStream.schema(slice.schema)
+            .option("maxFilesPerTrigger", "1").parquet(srcDir),
+          xxhash64(col("text")), "doc_id", out)
+        q.awaitTermination()
+      }
+      run()
+      addFile(slice.withColumn("doc_id", col("doc_id") + lit(3 * off))
+        .unionByName(Seq((4 * off, "planted unique streaming doc"))
+          .toDF("doc_id", "text")), "f3.parquet", t0 + 120000L)
+      run() // restart: recovered state drops the dups, emits the new key
+      s.read.parquet(out)
+        .agg(count(lit(1)).as("n_rows"),
+          sum(col("doc_id")).as("sum_id"),
+          sum(length(col("text"))).as("chars"))
+    }),
     "q_cli_encode" -> ((s, dir) => {
       // the spark-submit encode job driver end to end: EncodeMain encodes
       // the documents table (lineage checkpoint + --verify per-row sha256
@@ -1446,6 +1499,18 @@ object SparkEntry {
       "SELECT lang, count(*) AS cnt, CAST(sum(length(text)) AS BIGINT) AS chars, CAST(sum(doc_id) AS BIGINT) AS sum_id FROM documents GROUP BY lang ORDER BY lang",
     "q_streaming_encode" ->
       "SELECT count(*) AS n_rows, count(DISTINCT doc_id) AS n_docs, CAST(sum(length(text)) AS BIGINT) AS chars, CAST(sum(doc_id) AS BIGINT) AS sum_id FROM documents WHERE doc_id % 7 = 0",
+    "q_streaming_dedup" ->
+      // representative set = min doc_id per distinct text of the slice,
+      // plus the planted new-key row emitted after the restart; every
+      // duplicate copy (same texts at +off/+2off/+3off) must contribute
+      // nothing
+      ("WITH s AS (SELECT doc_id, text FROM documents WHERE doc_id % 5 = 0), " +
+        "o AS (SELECT max(doc_id) + 1 AS off FROM documents), " +
+        "m AS (SELECT text, min(doc_id) AS mid FROM s GROUP BY text) " +
+        "SELECT CAST(count(*) + 1 AS BIGINT) AS n_rows, " +
+        "CAST(sum(mid) + 4 * (SELECT off FROM o) AS BIGINT) AS sum_id, " +
+        "CAST(sum(length(text)) + length('planted unique streaming doc') AS BIGINT) AS chars " +
+        "FROM m"),
     "q_streaming_pqsink" ->
       "SELECT lang, count(*) AS cnt, CAST(sum(length(text)) AS BIGINT) AS chars, CAST(sum(doc_id) AS BIGINT) AS sum_id FROM documents WHERE doc_id % 7 = 0 GROUP BY lang ORDER BY lang",
     "q_cli_read" ->
