@@ -1,7 +1,6 @@
 package graft.streaming
 
 import org.apache.spark.sql.{DataFrame, Encoders, Row}
-import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, StreamingQuery, Trigger}
 
 /** Cross-micro-batch streaming deduplication with CUSTOM state —
@@ -13,19 +12,24 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
   * smallest `orderCol` — per key, which needs the custom-state form.)
   *
   * Semantics: the first micro-batch in which a key appears emits exactly
-  * one row — the one with the minimal (orderCol, then arbitrary-but-fixed
-  * field order) among that batch's rows for the key; every later
-  * occurrence of the key, in the same batch or ANY later batch, is
-  * dropped. State per key is a single empty marker record, recovered from
-  * the checkpoint across restarts, so a stop/start never re-emits.
+  * one row — the one with the minimal `orderCol` among that batch's rows
+  * for the key; every later occurrence of the key, in the same batch or
+  * ANY later batch, is dropped. State per key is a single marker record,
+  * recovered from the checkpoint across restarts, so a stop/start never
+  * re-emits.
   *
-  * 100 TB shape: state is one tiny record per DISTINCT key, partitioned
-  * by key hash across executors (Spark's state store); an eternal stream
-  * still accretes state forever, so `stateTtlMs` arms a processing-time
-  * timeout per key — after `stateTtlMs` without a re-occurrence the
-  * marker is dropped and a much-later duplicate would re-emit. That is
-  * the standard bounded-state trade; pass 0 for unbounded state (exact
-  * forever, state grows with distinct keys).
+  * 100 TB state arithmetic: exact-forever dedup holds one ~50-byte marker
+  * per DISTINCT key in the partitioned state store — 10^10 distinct
+  * documents is ~500 GB of state, or ~500 MB per executor on a
+  * 1000-executor cluster; real corpora sit well under that. For
+  * TIME-WINDOWED dedup ("duplicate within N hours") use Spark's own
+  * `dropDuplicatesWithinWatermark` — its event-time watermark is the
+  * mechanism that truly expires state. A processing-time TTL via
+  * `GroupStateTimeout.ProcessingTimeTimeout` was built and measured here,
+  * then REMOVED: registered timers make the engine schedule empty
+  * timeout batches on every trigger, so a `Trigger.AvailableNow` backfill
+  * never terminates (measured: 2,500+ empty batches, each invoking the
+  * sink with a fresh batch id) — an operational trap, not a feature.
   */
 object StreamingDedup {
 
@@ -35,42 +39,27 @@ object StreamingDedup {
   /** Deduplicate `input` (a streaming OR batch DataFrame) by `keyExpr`
     * (any deterministic expression over the row, e.g.
     * `xxhash64(col("text"))`), emitting per key the row minimal by
-    * `orderCol` from the key's FIRST batch. Appends nothing for
-    * later batches' occurrences. */
+    * `orderCol` from the key's FIRST batch. Appends nothing for later
+    * batches' occurrences. */
   def dedupByKey(input: DataFrame, keyExpr: org.apache.spark.sql.Column,
-      orderCol: String, stateTtlMs: Long = 0L): DataFrame = {
-    val spark = input.sparkSession
+      orderCol: String): DataFrame = {
     val schema = input.schema
     val orderIdx = schema.fieldIndex(orderCol)
     require(schema(orderIdx).dataType ==
         org.apache.spark.sql.types.LongType,
       s"orderCol $orderCol must be LongType (deterministic representative)")
-    implicit val rowEnc: org.apache.spark.sql.Encoder[Row] =
-      Encoders.row(schema)
-    implicit val kvEnc: org.apache.spark.sql.Encoder[(Long, Row)] =
-      Encoders.tuple(Encoders.scalaLong, rowEnc)
     implicit val stateEnc: org.apache.spark.sql.Encoder[Seen] =
       Encoders.product[Seen]
-    val timeoutConf =
-      if (stateTtlMs > 0) GroupStateTimeout.ProcessingTimeTimeout()
-      else GroupStateTimeout.NoTimeout()
+    implicit val rowEnc: org.apache.spark.sql.Encoder[Row] =
+      Encoders.row(schema)
     input.withColumn("__dedup_key", keyExpr)
       .as[Row](Encoders.row(schema.add("__dedup_key", "long")))
       .groupByKey(r => r.getLong(r.length - 1))(Encoders.scalaLong)
       .flatMapGroupsWithState[Seen, Row](
-        OutputMode.Append(), timeoutConf) {
-        (key: Long, rows: Iterator[Row], state: GroupState[Seen]) =>
-          if (state.hasTimedOut) {
-            // TTL fired with no new rows: drop the marker; a later
-            // duplicate re-emits (documented bounded-state trade)
-            state.remove()
-            Iterator.empty
-          } else if (rows.isEmpty) {
-            Iterator.empty
-          } else if (state.exists) {
-            // key already represented in an earlier batch: drop all, and
-            // re-arm the TTL so hot keys keep their marker alive
-            if (stateTtlMs > 0) state.setTimeoutDuration(stateTtlMs)
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        (_: Long, rows: Iterator[Row], state: GroupState[Seen]) =>
+          if (!rows.hasNext || state.exists) {
+            // key already represented in an earlier batch: drop all
             Iterator.empty
           } else {
             var best: Row = null
@@ -79,7 +68,6 @@ object StreamingDedup {
                 best = r
             }
             state.update(Seen(emitted = true))
-            if (stateTtlMs > 0) state.setTimeoutDuration(stateTtlMs)
             // strip the internal key column back off
             Iterator.single(Row.fromSeq(best.toSeq.dropRight(1)))
           }
@@ -94,9 +82,9 @@ object StreamingDedup {
     * flatMapGroupsWithState state store recovers from the same
     * checkpoint). */
   def start(input: DataFrame, keyExpr: org.apache.spark.sql.Column,
-      orderCol: String, outDir: String, stateTtlMs: Long = 0L,
+      orderCol: String, outDir: String,
       trigger: Trigger = Trigger.AvailableNow()): StreamingQuery = {
-    dedupByKey(input, keyExpr, orderCol, stateTtlMs).writeStream
+    dedupByKey(input, keyExpr, orderCol).writeStream
       .option("checkpointLocation", s"$outDir/_checkpoint")
       .outputMode(OutputMode.Append())
       .foreachBatch { (batch: DataFrame, batchId: Long) =>

@@ -45,6 +45,40 @@ class StreamingDedupSpec extends AnyFunSuite {
     assert(got == Set((3L, "aa"), (9L, "bb"), (21L, "cc")))
   }
 
+  test("restart from checkpoint: recovered state drops dups, new keys still emit") {
+    // AvailableNow run -> stop -> fresh start from the same checkpoint:
+    // the recovered flatMapGroupsWithState store must remember every key.
+    val s = spark
+    import s.implicits._
+    val src = java.nio.file.Files.createTempDirectory("graft-sdrs-src").toString
+    val out = java.nio.file.Files.createTempDirectory("graft-sdrs").toString
+    def addFile(rows: Seq[(Long, String)], name: String): Unit = {
+      val tmp = java.nio.file.Files.createTempDirectory("graft-sdrs-f").toString
+      rows.toDF("id", "text").repartition(1).write.mode("overwrite").parquet(tmp)
+      val part = new java.io.File(tmp).listFiles()
+        .find(f => f.getName.startsWith("part-") &&
+          f.getName.endsWith(".parquet")).get
+      java.nio.file.Files.move(part.toPath,
+        java.nio.file.Paths.get(src, name))
+    }
+    val schema = Seq((0L, "")).toDF("id", "text").schema
+    def run(): Unit = {
+      val q = StreamingDedup.start(
+        s.readStream.schema(schema).parquet(src),
+        xxhash64(col("text")), "id", out)
+      q.awaitTermination()
+    }
+    addFile(Seq((1L, "aa"), (2L, "bb")), "f1.parquet")
+    run()
+    // second QUERY (fresh start, same checkpoint): "aa" duplicate dropped
+    // by recovered state, "cc" new -> emitted
+    addFile(Seq((10L, "aa"), (11L, "cc")), "f2.parquet")
+    run()
+    val got = s.read.parquet(out)
+      .select("id", "text").as[(Long, String)].collect().toSet
+    assert(got == Set((1L, "aa"), (2L, "bb"), (11L, "cc")))
+  }
+
   test("batch-mode dedupByKey: same semantics without a stream") {
     val s = spark
     import s.implicits._
