@@ -500,6 +500,19 @@ object Similarity {
     (pmod(xxhash64(lit("graft-lsh"), lit(t * 1000 + p), i), lit(2000001L))
       .cast("double") - 1000000.0) / 1000000.0
 
+  /** The measured planes-sizing rule for [[lshTopK]] (AnnScaleProbe,
+    * BENCH.md round 5): per-table candidate volume is ~n²(1+probes)/2^planes,
+    * so buckets must track corpus size — planes = log2(n / targetBucket)
+    * with targetBucket ~10-50. At 200k vectors, planes 10 → 14 cut wall 9x
+    * for 3.5 recall points. The bench-table operating point (planes=5 at
+    * 2k rows) is an instance of this rule, not a constant to carry. */
+  def lshPlanesFor(corpusRows: Long, targetBucket: Int = 32): Int = {
+    require(corpusRows > 0 && targetBucket > 0,
+      s"corpusRows=$corpusRows targetBucket=$targetBucket")
+    math.max(4, math.ceil(
+      math.log(corpusRows.toDouble / targetBucket) / math.log(2)).toInt)
+  }
+
   /** Random-hyperplane LSH for table `t`: `planes` sign bits -> one integer
     * bucket id. Cosine-similar vectors collide with high probability. */
   def cosineLshBuckets(df: DataFrame, vecCol: String, planes: Int = 12,

@@ -1939,6 +1939,16 @@ class SparkE2ESpec extends AnyFunSuite with BeforeAndAfterAll {
     ePairs.unpersist()
   }
 
+  test("lshPlanesFor encodes the measured sizing rule") {
+    // planes = ceil(log2(n / targetBucket)), floored at 4
+    assert(Similarity.lshPlanesFor(2000, 32) == 6)
+    assert(Similarity.lshPlanesFor(200000, 32) == 13)
+    assert(Similarity.lshPlanesFor(200000, 12) == 15)
+    assert(Similarity.lshPlanesFor(100, 32) == 4)     // floor
+    assert(Similarity.lshPlanesFor(1L << 40, 32) == 35) // 1T vectors
+    intercept[IllegalArgumentException](Similarity.lshPlanesFor(0, 32))
+  }
+
   test("lshTopK cap bounds candidates but never drops a query") {
     val sp = spark
     import sp.implicits._
